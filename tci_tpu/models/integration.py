@@ -1,0 +1,55 @@
+"""High-dimensional integration: Gauss-Kronrod grids x TCI2 x factorized sum.
+
+Parity reference: src/integration.jl. The GK nodes/weights come from
+ops/kronrod.py (Laurie's algorithm) instead of QuadGK.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from ..ops.kronrod import kronrod
+from .tensorci2 import crossinterpolate2
+
+
+def integrate(
+    valuetype,
+    f: Callable[[Sequence[float]], complex],
+    a: Sequence[float],
+    b: Sequence[float],
+    GKorder: int = 15,
+    **kwargs,
+):
+    """∫_a^b f(x) d^N x via TCI2 over a tensor-product GK grid
+    (integration.jl:68-161).
+
+    GKorder must be odd (2n+1 Kronrod points with n = GKorder // 2 Gauss
+    points). Additional kwargs go to crossinterpolate2 (e.g. tolerance).
+    """
+    if GKorder % 2 == 0:
+        raise ValueError("Gauss--Kronrod order must be odd, e.g. 15 or 61.")
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    if len(a) != len(b):
+        raise ValueError(
+            f"Integral bounds must have the same dimensionality, got "
+            f"{len(a)} lower and {len(b)} upper bounds."
+        )
+
+    nodes1d, weights1d, _ = kronrod(GKorder // 2)
+    # affine map [-1, 1] -> [a_n, b_n] per dimension
+    nodes = (b[:, None] - a[:, None]) * (nodes1d[None, :] + 1) / 2 + a[:, None]
+    weights = (b[:, None] - a[:, None]) * weights1d[None, :] / 2
+    normalization = float(GKorder) ** len(a)
+    localdims = [len(nodes1d)] * len(a)
+
+    def F(indices):
+        x = [nodes[n, i] for n, i in enumerate(indices)]
+        w = float(np.prod([weights[n, i] for n, i in enumerate(indices)]))
+        return w * f(x) * normalization
+
+    kwargs.setdefault("nsearchglobalpivot", 10)
+    tci2, ranks, errors = crossinterpolate2(valuetype, F, localdims, **kwargs)
+    return tci2.sum() / normalization

@@ -1,0 +1,411 @@
+"""Rank-revealing LU with complete (full) and rook pivoting.
+
+Parity reference: src/matrixlu.jl. The elimination loop itself runs on the
+accelerator (see lu_kernel.py); this module holds the host-side factorization
+object, the adaptive rook search (arrlu, matrixlu.jl:492-569), factor
+extraction/completion (cols2Lmatrix!/rows2Umatrix!, :627-674), accessors
+(:685-813) and triangular solves (:839-905).
+
+Indices are 0-based.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.linalg import solve_triangular
+
+from ..utils.util import pushrandomsubset
+from .lu_kernel import rrlu_raw, submatrixargmax_colmajor
+
+_INTMAX = 2**62
+
+
+def submatrixargmax(
+    A: np.ndarray,
+    rows=None,
+    cols=None,
+    f: Optional[Callable] = None,
+    colmask: Optional[Callable] = None,
+    rowmask: Optional[Callable] = None,
+):
+    """Position (r, c) maximizing f(A[r, c]) over the given row/col subsets.
+
+    `rows`/`cols` may be index lists, slices, None (all), or a single int
+    `startindex` passed as `rows` with cols=None meaning the trailing submatrix
+    A[startindex:, startindex:]. First maximum in column-major order wins,
+    matching matrixlu.jl:46-139.
+    """
+    A = np.asarray(A)
+    if f is None:
+        f = lambda x: x.real if np.iscomplexobj(x) else x  # identity on reals
+
+    if isinstance(rows, (int, np.integer)) and cols is None:
+        start = int(rows)
+        rows = list(range(start, A.shape[0]))
+        cols = list(range(start, A.shape[1]))
+
+    def convertarg(arg, size):
+        if arg is None or arg == slice(None):
+            return list(range(size))
+        if isinstance(arg, (int, np.integer)):
+            return [int(arg)]
+        return list(arg)
+
+    rows = convertarg(rows, A.shape[0])
+    cols = convertarg(cols, A.shape[1])
+    if len(rows) == 0:
+        raise ValueError("rows must not be empty")
+    if len(cols) == 0:
+        raise ValueError("cols must not be empty")
+    if not all(0 <= r < A.shape[0] for r in rows):
+        raise ValueError("rows must be a subset of the row range of A")
+    if not all(0 <= c < A.shape[1] for c in cols):
+        raise ValueError("cols must be a subset of the column range of A")
+
+    if rowmask is not None:
+        rows = [r for r in rows if rowmask(r)]
+    if colmask is not None:
+        cols = [c for c in cols if colmask(c)]
+
+    sub = A[np.ix_(rows, cols)]
+    vals = np.vectorize(f)(sub) if sub.size else sub.real
+    r, c = submatrixargmax_colmajor(vals)
+    return rows[r], cols[c]
+
+
+class rrLU:
+    """Rank-revealing LU factorization P_r · A · P_c ≈ L · U.
+
+    Fields mirror the reference struct (matrixlu.jl:200-231): row/col
+    permutations, L (m × npivot), U (npivot × n), leftorthogonal flag, npivot
+    and the residual `error` (magnitude of the first rejected pivot).
+    """
+
+    def __init__(
+        self,
+        rowpermutation: np.ndarray,
+        colpermutation: np.ndarray,
+        L: np.ndarray,
+        U: np.ndarray,
+        leftorthogonal: bool,
+        npivot: int,
+        error: float,
+    ):
+        assert npivot == L.shape[1], "L must have npivot columns"
+        assert npivot == U.shape[0], "U must have npivot rows"
+        assert len(rowpermutation) == L.shape[0]
+        assert len(colpermutation) == U.shape[1]
+        self.rowpermutation = np.asarray(rowpermutation, dtype=np.int64)
+        self.colpermutation = np.asarray(colpermutation, dtype=np.int64)
+        self.L = np.asarray(L)
+        self.U = np.asarray(U)
+        self.leftorthogonal = bool(leftorthogonal)
+        self.npivot = int(npivot)
+        self.error = float(error)
+
+    # -- accessors (matrixlu.jl:685-813) ---------------------------------
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.L.shape[0], self.U.shape[1])
+
+    def size(self, dim: Optional[int] = None):
+        if dim is None:
+            return self.shape
+        return self.shape[dim]
+
+    def left(self, permute: bool = True) -> np.ndarray:
+        if permute:
+            out = np.empty_like(self.L)
+            out[self.rowpermutation, :] = self.L
+            return out
+        return self.L
+
+    def right(self, permute: bool = True) -> np.ndarray:
+        if permute:
+            out = np.empty_like(self.U)
+            out[:, self.colpermutation] = self.U
+            return out
+        return self.U
+
+    def diag(self) -> np.ndarray:
+        k = self.npivot
+        if self.leftorthogonal:
+            return np.diagonal(self.U[:k, :k]).copy()
+        return np.diagonal(self.L[:k, :k]).copy()
+
+    def rowindices(self) -> np.ndarray:
+        return self.rowpermutation[: self.npivot]
+
+    def colindices(self) -> np.ndarray:
+        return self.colpermutation[: self.npivot]
+
+    def npivots(self) -> int:
+        return self.npivot
+
+    def pivoterrors(self) -> np.ndarray:
+        return np.concatenate([np.abs(self.diag()), [self.error]])
+
+    def lastpivoterror(self) -> float:
+        return self.error
+
+    def transpose(self) -> "rrLU":
+        """LU factorization of A^T (matrixlu.jl:918-923)."""
+        return rrLU(
+            self.colpermutation,
+            self.rowpermutation,
+            np.ascontiguousarray(self.U.T),
+            np.ascontiguousarray(self.L.T),
+            not self.leftorthogonal,
+            self.npivot,
+            self.error,
+        )
+
+    @property
+    def T(self) -> "rrLU":
+        return self.transpose()
+
+    def solve(self, b: np.ndarray) -> np.ndarray:
+        """Solve A x = b via the factorization; requires square full rank."""
+        return lu_solve(self, b)
+
+    def __repr__(self):
+        return (
+            f"rrLU(shape={self.shape}, npivot={self.npivot}, "
+            f"error={self.error:.3e}, leftorthogonal={self.leftorthogonal})"
+        )
+
+
+def _finalize(
+    LUmat: np.ndarray,
+    rowperm: np.ndarray,
+    colperm: np.ndarray,
+    npivot: int,
+    err: float,
+    leftorthogonal: bool,
+) -> rrLU:
+    m, n = LUmat.shape
+    k = npivot
+    L = np.tril(LUmat[:, :k])
+    U = np.triu(LUmat[:k, :])
+    if np.isnan(L).any():
+        raise ValueError("lu.L contains NaNs")
+    if np.isnan(U).any():
+        raise ValueError("lu.U contains NaNs")
+    if leftorthogonal:
+        np.fill_diagonal(L, 1.0)
+    else:
+        np.fill_diagonal(U, 1.0)
+    if k >= min(m, n):
+        err = 0.0
+    return rrLU(rowperm, colperm, L, U, leftorthogonal, k, err)
+
+
+def rrlu(
+    A: np.ndarray,
+    maxrank: int = _INTMAX,
+    reltol: float = 1e-14,
+    abstol: float = 0.0,
+    leftorthogonal: bool = True,
+) -> rrLU:
+    """Rank-revealing LU of a dense matrix with complete pivoting.
+
+    The pivot loop runs as one jit-compiled XLA program (lu_kernel.py); stop
+    rule and at-least-one-pivot semantics match matrixlu.jl:346-396.
+    """
+    A = np.asarray(A)
+    LUmat, rowperm, colperm, k, mags, err = rrlu_raw(
+        A, maxrank, reltol, abstol, leftorthogonal
+    )
+    return _finalize(LUmat, rowperm, colperm, k, err, leftorthogonal)
+
+
+def cols2Lmatrix(C: np.ndarray, P: np.ndarray, leftorthogonal: bool) -> np.ndarray:
+    """Transform sampled columns C into L-matrix rows: C <- C · P^{-1} with P
+    upper-triangular (matrixlu.jl:627-647, expressed as a triangular solve)."""
+    if C.shape[1] != P.shape[1]:
+        raise ValueError("C and P must have the same number of columns")
+    if P.shape[0] != P.shape[1]:
+        raise ValueError("P must be square")
+    if P.shape[0] == 0:
+        return C
+    # X · P = C  =>  P^T · X^T = C^T with P^T lower-triangular
+    return solve_triangular(P.T, C.T, lower=True).T
+
+
+def rows2Umatrix(R: np.ndarray, P: np.ndarray, leftorthogonal: bool) -> np.ndarray:
+    """Transform sampled rows R into U-matrix columns: R <- P^{-1} · R with P
+    lower-triangular (matrixlu.jl:654-674)."""
+    if R.shape[0] != P.shape[0]:
+        raise ValueError("R and P must have the same number of rows")
+    if P.shape[0] != P.shape[1]:
+        raise ValueError("P must be square")
+    if P.shape[0] == 0:
+        return R
+    return solve_triangular(P, R, lower=True)
+
+
+def arrlu(
+    valuetype,
+    f: Callable[[Sequence[int], Sequence[int]], np.ndarray],
+    matrixsize: Tuple[int, int],
+    I0: Sequence[int] = (),
+    J0: Sequence[int] = (),
+    maxrank: int = _INTMAX,
+    reltol: float = 1e-14,
+    abstol: float = 0.0,
+    leftorthogonal: bool = True,
+    numrookiter: int = 5,
+    usebatcheval: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> rrLU:
+    """Adaptive rank-revealing LU by rook pivoting on an implicit matrix.
+
+    `f` gives matrix entries: elementwise f(i, j) by default, or batched
+    f(rows, cols) -> |rows| x |cols| array when usebatcheval=True. Alternating
+    row/column moves sample one full slab per move, factorize it with the
+    complete-pivot kernel, and iterate the pivot sets until they are
+    self-consistent (matrixlu.jl:492-569). The missing factor side is then
+    completed via triangular solves (cols2Lmatrix/rows2Umatrix).
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    m, n = matrixsize
+    maxrank = min(maxrank, m, n)
+
+    if usebatcheval:
+        _batchf = f
+    else:
+        _batchf = lambda rows, cols: np.array(
+            [[f(i, j) for j in cols] for i in rows], dtype=valuetype
+        ).reshape(len(rows), len(cols))
+
+    I0 = list(I0)
+    J0 = list(J0)
+    islowrank = False
+    lu = None
+    last_full_rows = False  # whether the last factorized slab spanned all rows
+    rows_l = cols_l = None
+
+    while True:
+        if leftorthogonal:
+            pushrandomsubset(J0, range(n), max(1, len(J0)), rng)
+        else:
+            pushrandomsubset(I0, range(m), max(1, len(I0)), rng)
+
+        for rookiter in range(1, numrookiter + 1):
+            colmove = (rookiter % 2 == 0) == leftorthogonal
+            if colmove:
+                rows_l, cols_l = list(I0), list(range(n))
+                last_full_rows = False
+            else:
+                rows_l, cols_l = list(range(m)), list(J0)
+                last_full_rows = True
+            sub = np.asarray(_batchf(rows_l, cols_l))
+            LUmat, rp, cp, k, mags, err = rrlu_raw(
+                sub, maxrank, reltol, abstol, leftorthogonal
+            )
+            lu = _finalize(LUmat, rp, cp, k, err, leftorthogonal)
+            islowrank |= lu.npivot < min(sub.shape)
+            newI = [rows_l[i] for i in lu.rowindices()]
+            newJ = [cols_l[j] for j in lu.colindices()]
+            if newI == I0 and newJ == J0:
+                break
+            I0, J0 = newI, newJ
+
+        if islowrank or len(I0) >= maxrank:
+            break
+
+    assert lu is not None
+    k = lu.npivot
+    pivotblock_L = lu.L[:k, :k]
+    pivotblock_U = lu.U[:k, :k]
+
+    if last_full_rows:
+        # L covers all rows already (in permuted order); complete U columns.
+        rowpermutation = np.array(
+            [rows_l[i] for i in lu.rowpermutation], dtype=np.int64
+        )
+        L = lu.L
+        J2 = [j for j in range(n) if j not in set(J0)]
+        colpermutation = np.array(J0 + J2, dtype=np.int64)
+        if J2:
+            U2 = np.asarray(_batchf(I0, J2))
+            U2 = rows2Umatrix(U2, pivotblock_L, leftorthogonal)
+            U = np.hstack([pivotblock_U, U2])
+        else:
+            U = pivotblock_U
+    else:
+        # U covers all columns; complete L rows.
+        colpermutation = np.array(
+            [cols_l[j] for j in lu.colpermutation], dtype=np.int64
+        )
+        U = lu.U
+        I2 = [i for i in range(m) if i not in set(I0)]
+        rowpermutation = np.array(I0 + I2, dtype=np.int64)
+        if I2:
+            L2 = np.asarray(_batchf(I2, J0))
+            L2 = cols2Lmatrix(L2, pivotblock_U, leftorthogonal)
+            L = np.vstack([pivotblock_L, L2])
+        else:
+            L = pivotblock_L
+
+    return rrLU(
+        rowpermutation, colpermutation, L, U, leftorthogonal, k, lu.error
+    )
+
+
+def rrlu_from_function(
+    valuetype,
+    f,
+    matrixsize: Tuple[int, int],
+    I0: Sequence[int] = (),
+    J0: Sequence[int] = (),
+    pivotsearch: str = "full",
+    usebatcheval: bool = False,
+    rng: Optional[np.random.Generator] = None,
+    **kwargs,
+) -> rrLU:
+    """Function-based rrLU: sample the full matrix (:full) or rook-pivot
+    (:rook). Parity: matrixlu.jl:593-611."""
+    if pivotsearch == "rook":
+        return arrlu(
+            valuetype, f, matrixsize, I0, J0,
+            usebatcheval=usebatcheval, rng=rng, **kwargs,
+        )
+    elif pivotsearch == "full":
+        rows = list(range(matrixsize[0]))
+        cols = list(range(matrixsize[1]))
+        if usebatcheval:
+            A = np.asarray(f(rows, cols))
+        else:
+            A = np.array(
+                [[f(i, j) for j in cols] for i in rows], dtype=valuetype
+            ).reshape(matrixsize)
+        return rrlu(A, **kwargs)
+    raise ValueError(
+        f"Unknown pivot search strategy {pivotsearch}. Choose between rook and full."
+    )
+
+
+def lu_solve(lu: rrLU, b: np.ndarray) -> np.ndarray:
+    """Solve A x = b given the rrLU of A (square, full rank).
+
+    Parity: matrixlu.jl:839-905 (forward then backward substitution with the
+    row/column permutations applied)."""
+    if lu.shape[0] != lu.shape[1]:
+        raise ValueError("Matrix must be square.")
+    if lu.npivot != lu.shape[0]:
+        raise ValueError("rank-deficient matrix is not supported!")
+    b = np.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    b_perm = b[lu.rowpermutation, :]
+    y = solve_triangular(lu.L, b_perm, lower=True)
+    x_perm = solve_triangular(lu.U, y, lower=False)
+    x = np.empty_like(x_perm)
+    x[lu.colpermutation, :] = x_perm
+    return x[:, 0] if squeeze else x

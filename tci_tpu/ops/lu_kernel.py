@@ -1,0 +1,213 @@
+"""Jit-compiled complete-pivot rank-revealing LU elimination kernel.
+
+This is the TPU-native replacement for the reference's hand-written Julia loops
+(src/matrixlu.jl: submatrixargmax :46-139, addpivot! :295-322, _optimizerrlu!
+:346-396). Instead of mutating a dynamically sized matrix, the kernel runs a
+``lax.while_loop`` over a zero-padded fixed-shape buffer with index masks:
+
+- the pivot argmax is a masked reduction over the active trailing submatrix,
+  with column-major first-occurrence tie-breaking to match the reference;
+- row/column swaps are scatter updates of the buffer plus int32 permutation
+  vectors;
+- the Schur complement update is a masked rank-1 outer-product subtraction,
+  which XLA fuses into a single pass over the buffer.
+
+Shapes are bucketed (see ``bucket``) so adaptive rank growth across TCI sweeps
+hits a bounded set of compiled programs. True extents, maxrank and tolerances
+are passed as device scalars and do not trigger recompilation.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bucket(n: int) -> int:
+    """Round `n` up to a padded extent; at most ~4 buckets per octave."""
+    if n <= 8:
+        return 8
+    step = 1 << max(3, n.bit_length() - 3)
+    return ((n + step - 1) // step) * step
+
+
+def _abs2(x):
+    if jnp.iscomplexobj(x):
+        return (x * jnp.conj(x)).real
+    return x * x
+
+
+@functools.partial(jax.jit, static_argnames=("leftorthogonal",))
+def _rrlu_while(A, m_true, n_true, maxrank, reltol, abstol, *, leftorthogonal: bool):
+    """Run the complete-pivot elimination loop on a padded buffer.
+
+    Args:
+      A: (mp, np) padded matrix; entries at row >= m_true or col >= n_true are 0.
+      m_true, n_true: true extents (int32 scalars).
+      maxrank: maximum number of pivots (int32 scalar, <= min(m_true, n_true)).
+      reltol, abstol: stopping tolerances (float64 scalars). A candidate pivot
+        with |pivot| < reltol * max_so_far or |pivot| < abstol stops the loop
+        (after at least one pivot, matching matrixlu.jl:363).
+
+    Returns:
+      (A_out, rowperm, colperm, npivot, pivotmags, residual_err) where A_out
+      holds the in-place LU factors, rowperm/colperm are full permutations of
+      the padded index ranges (true rows first), pivotmags[k] = |pivot_{k}|,
+      and residual_err is the magnitude of the first rejected pivot (or the
+      last accepted one if maxrank was reached).
+    """
+    mp, npd = A.shape
+    rmax = min(mp, npd)
+    rows = jnp.arange(mp, dtype=jnp.int32)
+    cols = jnp.arange(npd, dtype=jnp.int32)
+
+    def cond(state):
+        A, rowperm, colperm, k, maxerror, err, done, mags = state
+        return (k < maxrank) & (~done)
+
+    def body(state):
+        A, rowperm, colperm, k, maxerror, err, done, mags = state
+
+        valid = (
+            (rows[:, None] >= k)
+            & (rows[:, None] < m_true)
+            & (cols[None, :] >= k)
+            & (cols[None, :] < n_true)
+        )
+        metric = jnp.where(valid, _abs2(A), -1.0)
+        # Column-major first-occurrence argmax (matrixlu.jl:70-86 iterates
+        # columns outer, rows inner, strict '>' keeps the first maximum).
+        flat = metric.T.reshape(-1)
+        p = jnp.argmax(flat)
+        pc = (p // mp).astype(jnp.int32)
+        pr = (p % mp).astype(jnp.int32)
+        newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0))
+
+        stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
+        do = ~stop
+        # Masked (branch-free) pivot step: when stopping, swap k with itself
+        # and zero out the update, so the arrays pass through unchanged.
+        pr_eff = jnp.where(do, pr, k)
+        pc_eff = jnp.where(do, pc, k)
+
+        # swap rows k <-> pr_eff
+        rk, rp = A[k, :], A[pr_eff, :]
+        A = A.at[pr_eff, :].set(rk).at[k, :].set(rp)
+        pk, pp = rowperm[k], rowperm[pr_eff]
+        rowperm = rowperm.at[pr_eff].set(pk).at[k].set(pp)
+        # swap cols k <-> pc_eff
+        ck, cp = A[:, k], A[:, pc_eff]
+        A = A.at[:, pc_eff].set(ck).at[:, k].set(cp)
+        qk, qp = colperm[k], colperm[pc_eff]
+        colperm = colperm.at[pc_eff].set(qk).at[k].set(qp)
+
+        Akk = A[k, k]
+        safe = jnp.where(do, Akk, 1)
+        if leftorthogonal:
+            colk = A[:, k]
+            colk = jnp.where((rows > k) & do, colk / safe, colk)
+            A = A.at[:, k].set(colk)
+            x = jnp.where((rows > k) & do, colk, 0)
+            y = jnp.where(cols > k, A[k, :], 0)
+        else:
+            rowk = A[k, :]
+            rowk = jnp.where((cols > k) & do, rowk / safe, rowk)
+            A = A.at[k, :].set(rowk)
+            x = jnp.where((rows > k) & do, A[:, k], 0)
+            y = jnp.where(cols > k, rowk, 0)
+        A = A - x[:, None] * y[None, :]
+
+        mags = jnp.where(
+            (jnp.arange(mags.shape[0]) == k) & do, newerr, mags
+        )
+        return (
+            A,
+            rowperm,
+            colperm,
+            k + do.astype(jnp.int32),
+            jnp.where(do, jnp.maximum(maxerror, newerr), maxerror),
+            newerr,
+            stop,
+            mags,
+        )
+
+    state0 = (
+        A,
+        rows,
+        cols,
+        jnp.int32(0),
+        jnp.float64(0.0),
+        jnp.float64(jnp.nan),
+        False,
+        jnp.zeros((rmax,), dtype=jnp.float64),
+    )
+    A, rowperm, colperm, k, maxerror, err, done, mags = jax.lax.while_loop(
+        cond, body, state0
+    )
+    return A, rowperm, colperm, k, mags, err
+
+
+def rrlu_raw(
+    A: np.ndarray,
+    maxrank: int,
+    reltol: float,
+    abstol: float,
+    leftorthogonal: bool,
+):
+    """Dispatch the padded kernel for a concrete matrix.
+
+    Returns numpy (LUmat (m,n), rowperm (m,), colperm (n,), npivot, pivotmags,
+    residual_err) restricted to the true extents.
+    """
+    m, n = A.shape
+    if m == 0 or n == 0:
+        return (
+            np.asarray(A),
+            np.arange(m, dtype=np.int32),
+            np.arange(n, dtype=np.int32),
+            0,
+            np.zeros((0,)),
+            float("nan"),
+        )
+    dtype = np.result_type(A.dtype, np.float64)
+    if np.issubdtype(dtype, np.complexfloating):
+        dtype = np.complex128
+    else:
+        dtype = np.float64
+    mp, npd = bucket(m), bucket(n)
+    Ap = jnp.zeros((mp, npd), dtype=dtype)
+    Ap = Ap.at[:m, :n].set(jnp.asarray(A, dtype=dtype))
+
+    maxrank = min(maxrank, m, n)
+    Aout, rowperm, colperm, k, mags, err = _rrlu_while(
+        Ap,
+        jnp.int32(m),
+        jnp.int32(n),
+        jnp.int32(maxrank),
+        jnp.float64(reltol),
+        jnp.float64(abstol),
+        leftorthogonal=leftorthogonal,
+    )
+    k = int(k)
+    # Padded rows/cols are never selected as pivots, so the first m entries of
+    # rowperm are a permutation of 0..m-1 (same for columns).
+    return (
+        np.asarray(Aout[:m, :n]),
+        np.asarray(rowperm[:m]),
+        np.asarray(colperm[:n]),
+        k,
+        np.asarray(mags[:k]),
+        float(err),
+    )
+
+
+def submatrixargmax_colmajor(metric: np.ndarray):
+    """First-occurrence argmax in column-major order over a 2-D metric array."""
+    flat = np.asarray(metric).T.reshape(-1)
+    p = int(np.argmax(flat))
+    m = metric.shape[0]
+    return p % m, p // m

@@ -1,0 +1,323 @@
+"""Batched evaluation protocol and adapters.
+
+Parity reference: src/batcheval.jl and the BatchEvaluator abstract type in
+src/cachedtensortrain.jl:31. The protocol: an evaluator supports
+
+- single call:  f(indexset) -> scalar
+- batch call:   f.batch_evaluate(Iset, Jset, ncent) -> array of shape
+                (|Iset|, d_{nl}, ..., d_{nl+ncent-1}, |Jset|)
+
+where each entry is f at the concatenated index [left..., center..., right...].
+Index panels are assembled host-side as int arrays; the TPU-native adapters
+(JaxBatchEvaluator) evaluate them as one vmapped/jitted program, optionally
+shard_mapped over a device mesh — this replaces the reference's threaded
+sampling loop (batcheval.jl:247-308).
+"""
+
+from __future__ import annotations
+
+import itertools
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+MultiIndex = tuple
+
+
+class BatchEvaluator:
+    """Base class for batch-evaluable functions."""
+
+    def __call__(self, *args):
+        if len(args) == 1:
+            return self.evaluate_single(args[0])
+        if len(args) in (2, 3):
+            Iset, Jset = args[0], args[1]
+            ncent = args[2] if len(args) == 3 else None
+            return self.batch_evaluate(Iset, Jset, ncent)
+        raise TypeError("BatchEvaluator takes (indexset) or (Iset, Jset[, M])")
+
+    def evaluate_single(self, indexset):
+        raise NotImplementedError
+
+    def batch_evaluate(self, Iset, Jset, ncent=None):
+        raise NotImplementedError
+
+
+def isbatchevaluable(f) -> bool:
+    """True when `f` implements the batch-evaluation protocol."""
+    return isinstance(f, BatchEvaluator) or hasattr(f, "batch_evaluate")
+
+
+def _empty_result(nl_dims, dtype):
+    return np.zeros(tuple(0 for _ in range(len(nl_dims) + 2)), dtype=dtype)
+
+
+def _assemble_indices(
+    localdims: Sequence[int],
+    leftindexset: Sequence[MultiIndex],
+    rightindexset: Sequence[MultiIndex],
+    ncent: int,
+) -> np.ndarray:
+    """Build the (|I|·Πd·|J|, L) int32 matrix of full multi-indices in C order
+    (left slowest, right fastest)."""
+    nl = len(leftindexset[0]) if leftindexset else 0
+    L = len(localdims)
+    nr = len(rightindexset[0]) if rightindexset else 0
+    assert ncent == L - nl - nr
+    left = np.asarray([tuple(x) for x in leftindexset], dtype=np.int32).reshape(
+        len(leftindexset), nl
+    )
+    right = np.asarray([tuple(x) for x in rightindexset], dtype=np.int32).reshape(
+        len(rightindexset), nr
+    )
+    centerdims = [localdims[nl + i] for i in range(ncent)]
+    ncenter = int(np.prod(centerdims)) if ncent > 0 else 1
+    if ncent > 0:
+        center = np.stack(
+            np.meshgrid(*[np.arange(d, dtype=np.int32) for d in centerdims],
+                        indexing="ij"),
+            axis=-1,
+        ).reshape(ncenter, ncent)
+    else:
+        center = np.zeros((1, 0), dtype=np.int32)
+
+    nI, nC, nJ = len(left), ncenter, len(right)
+    out = np.empty((nI, nC, nJ, L), dtype=np.int32)
+    out[:, :, :, :nl] = left[:, None, None, :]
+    out[:, :, :, nl : nl + ncent] = center[None, :, None, :]
+    out[:, :, :, nl + ncent :] = right[None, None, :, :]
+    return out.reshape(nI * nC * nJ, L)
+
+
+def _result_shape(localdims, leftindexset, rightindexset, ncent):
+    nl = len(leftindexset[0]) if leftindexset else 0
+    return (
+        len(leftindexset),
+        *[localdims[nl + i] for i in range(ncent)],
+        len(rightindexset),
+    )
+
+
+def _infer_ncent(localdims, leftindexset, rightindexset, ncent):
+    if ncent is not None:
+        return ncent
+    nl = len(leftindexset[0]) if leftindexset else 0
+    nr = len(rightindexset[0]) if rightindexset else 0
+    return len(localdims) - nl - nr
+
+
+def _batchevaluate_dispatch(
+    valuetype,
+    f,
+    localdims: Sequence[int],
+    leftindexset: Sequence[MultiIndex],
+    rightindexset: Sequence[MultiIndex],
+    ncent: Optional[int] = None,
+) -> np.ndarray:
+    """Evaluate f on the product set left x (free center dims) x right.
+
+    BatchEvaluators get one batched call (batcheval.jl:196-214); plain
+    callables are evaluated per assembled index row (batcheval.jl:131-175).
+    Returns shape (|I|, d..., |J|).
+    """
+    if len(leftindexset) * len(rightindexset) == 0:
+        nl = len(leftindexset[0]) if leftindexset else 0
+        nc = _infer_ncent(localdims, leftindexset, rightindexset, ncent)
+        return np.zeros(
+            (len(leftindexset),)
+            + tuple(localdims[nl + i] for i in range(nc))
+            + (len(rightindexset),),
+            dtype=valuetype,
+        )
+
+    ncent = _infer_ncent(localdims, leftindexset, rightindexset, ncent)
+    if isbatchevaluable(f):
+        res = f.batch_evaluate(leftindexset, rightindexset, ncent)
+        return np.asarray(res)
+
+    indices = _assemble_indices(localdims, leftindexset, rightindexset, ncent)
+    vals = np.empty(indices.shape[0], dtype=valuetype)
+    for r in range(indices.shape[0]):
+        vals[r] = f(tuple(int(x) for x in indices[r]))
+    return vals.reshape(_result_shape(localdims, leftindexset, rightindexset, ncent))
+
+
+class BatchEvaluatorAdapter(BatchEvaluator):
+    """Wrap a plain callable into the batch protocol (batcheval.jl:32-57)."""
+
+    def __init__(self, f: Callable, localdims: Sequence[int], dtype=np.float64):
+        self.f = f
+        self.localdims = list(localdims)
+        self.dtype = dtype
+
+    def evaluate_single(self, indexset):
+        return self.f(indexset)
+
+    def batch_evaluate(self, Iset, Jset, ncent=None):
+        if len(Iset) * len(Jset) == 0:
+            ncent = _infer_ncent(self.localdims, Iset, Jset, ncent)
+            nl = len(Iset[0]) if Iset else 0
+            return np.zeros(
+                (len(Iset),)
+                + tuple(self.localdims[nl + i] for i in range(ncent))
+                + (len(Jset),),
+                dtype=self.dtype,
+            )
+        ncent = _infer_ncent(self.localdims, Iset, Jset, ncent)
+        indices = _assemble_indices(self.localdims, Iset, Jset, ncent)
+        vals = np.empty(indices.shape[0], dtype=self.dtype)
+        for r in range(indices.shape[0]):
+            vals[r] = self.f(tuple(int(x) for x in indices[r]))
+        return vals.reshape(_result_shape(self.localdims, Iset, Jset, ncent))
+
+
+def makebatchevaluatable(valuetype, f, localdims) -> BatchEvaluatorAdapter:
+    return BatchEvaluatorAdapter(f, localdims, dtype=valuetype)
+
+
+class ThreadedBatchEvaluator(BatchEvaluator):
+    """Thread-pool fan-out over the sample grid (parity with the reference's
+    Threads.@threads loop, batcheval.jl:247-308). The wrapped f must be
+    thread-safe. Prefer JaxBatchEvaluator for jax-traceable functions."""
+
+    def __init__(self, f: Callable, localdims, dtype=np.float64, nthreads=None):
+        self.f = f
+        self.localdims = list(localdims)
+        self.dtype = dtype
+        self.nthreads = nthreads
+
+    def evaluate_single(self, indexset):
+        return self.f(indexset)
+
+    def batch_evaluate(self, Iset, Jset, ncent=None):
+        ncent = _infer_ncent(self.localdims, Iset, Jset, ncent)
+        if len(Iset) * len(Jset) == 0:
+            nl = len(Iset[0]) if Iset else 0
+            return np.zeros(
+                (len(Iset),)
+                + tuple(self.localdims[nl + i] for i in range(ncent))
+                + (len(Jset),),
+                dtype=self.dtype,
+            )
+        indices = _assemble_indices(self.localdims, Iset, Jset, ncent)
+        rows = [tuple(int(x) for x in indices[r]) for r in range(indices.shape[0])]
+        with ThreadPoolExecutor(max_workers=self.nthreads) as pool:
+            vals = list(pool.map(self.f, rows))
+        return np.asarray(vals, dtype=self.dtype).reshape(
+            _result_shape(self.localdims, Iset, Jset, ncent)
+        )
+
+
+class VectorizedBatchEvaluator(BatchEvaluator):
+    """Adapter for a function that consumes a whole (B, L) index matrix at
+    once (numpy-vectorized user code)."""
+
+    def __init__(self, fvec: Callable[[np.ndarray], np.ndarray], localdims,
+                 dtype=np.float64):
+        self.fvec = fvec
+        self.localdims = list(localdims)
+        self.dtype = dtype
+
+    def evaluate_single(self, indexset):
+        arr = np.asarray([tuple(indexset)], dtype=np.int32)
+        return self.fvec(arr)[0]
+
+    def batch_evaluate(self, Iset, Jset, ncent=None):
+        ncent = _infer_ncent(self.localdims, Iset, Jset, ncent)
+        if len(Iset) * len(Jset) == 0:
+            nl = len(Iset[0]) if Iset else 0
+            return np.zeros(
+                (len(Iset),)
+                + tuple(self.localdims[nl + i] for i in range(ncent))
+                + (len(Jset),),
+                dtype=self.dtype,
+            )
+        indices = _assemble_indices(self.localdims, Iset, Jset, ncent)
+        vals = np.asarray(self.fvec(indices), dtype=self.dtype)
+        return vals.reshape(_result_shape(self.localdims, Iset, Jset, ncent))
+
+
+class JaxBatchEvaluator(BatchEvaluator):
+    """TPU-native evaluator: fjax is a jax-traceable scalar function of an
+    int32 index vector; panels evaluate as one jitted vmap, padded to shape
+    buckets so repeated sweeps reuse compiled programs, and optionally
+    shard_mapped over a device mesh axis (data-parallel sampling).
+    """
+
+    def __init__(self, fjax: Callable, localdims, dtype=np.float64,
+                 mesh=None, axis: str = "batch"):
+        import jax
+        import jax.numpy as jnp
+
+        self.fjax = fjax
+        self.localdims = list(localdims)
+        self.dtype = dtype
+        self.mesh = mesh
+        self.axis = axis
+        self._nevals = 0
+
+        fn = jax.vmap(fjax)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._insharding = NamedSharding(mesh, P(axis))
+            self._outsharding = NamedSharding(mesh, P(axis))
+            self._fn = jax.jit(
+                fn, in_shardings=self._insharding, out_shardings=self._outsharding
+            )
+            self._pad_quantum = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        else:
+            self._fn = jax.jit(fn)
+            self._pad_quantum = 1
+        self._jnp = jnp
+
+    @property
+    def nevals(self) -> int:
+        """Number of f evaluations performed through this adapter."""
+        return self._nevals
+
+    def evaluate_single(self, indexset):
+        arr = np.asarray([tuple(indexset)], dtype=np.int32)
+        return complex(self.evaluate_many(arr)[0]) if np.issubdtype(
+            np.dtype(self.dtype), np.complexfloating
+        ) else float(self.evaluate_many(arr)[0])
+
+    def evaluate_many(self, indices: np.ndarray) -> np.ndarray:
+        B = indices.shape[0]
+        self._nevals += B
+        # pad the batch to a bucketed size (divisible by the mesh extent) so
+        # XLA reuses compiled programs across sweeps
+        q = self._pad_quantum
+        Bpad = max(q, 1 << (int(B - 1).bit_length())) if B > 0 else q
+        Bpad = ((Bpad + q - 1) // q) * q
+        if Bpad != B:
+            pad = np.zeros((Bpad - B, indices.shape[1]), dtype=np.int32)
+            inp = np.vstack([indices.astype(np.int32), pad])
+        else:
+            inp = indices.astype(np.int32)
+        vals = self._fn(self._jnp.asarray(inp))
+        return np.asarray(vals)[:B]
+
+    def batch_evaluate(self, Iset, Jset, ncent=None):
+        ncent = _infer_ncent(self.localdims, Iset, Jset, ncent)
+        if len(Iset) * len(Jset) == 0:
+            nl = len(Iset[0]) if Iset else 0
+            return np.zeros(
+                (len(Iset),)
+                + tuple(self.localdims[nl + i] for i in range(ncent))
+                + (len(Jset),),
+                dtype=self.dtype,
+            )
+        indices = _assemble_indices(self.localdims, Iset, Jset, ncent)
+        vals = self.evaluate_many(indices).astype(self.dtype)
+        return vals.reshape(_result_shape(self.localdims, Iset, Jset, ncent))
+
+    def __call__(self, *args):
+        if len(args) == 1 and not (
+            isinstance(args[0], (list, tuple))
+            and args[0]
+            and isinstance(args[0][0], (list, tuple))
+        ):
+            return self.evaluate_single(args[0])
+        return super().__call__(*args)

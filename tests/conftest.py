@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must run before jax initializes a backend: the environment in this container
+pins JAX_PLATFORMS=axon (a tunneled single TPU chip); tests force the CPU
+platform with 8 virtual host devices so multi-chip sharding paths are
+exercised without hardware.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
