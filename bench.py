@@ -1,0 +1,102 @@
+"""Headline benchmark: TCI2 of the 8-D Lorentzian (BASELINE.json config 1).
+
+Runs crossinterpolate2 on f(v) = 1/(1 + v·v), v ∈ {1..10}^8, tolerance 1e-8 —
+the reference README quickstart (README.md:21-29) — with function sampling
+batched through the TPU-native JaxBatchEvaluator (vmap + jit on the available
+accelerator; the driver runs this on the real TPU chip).
+
+Metric: f-evaluations/second sustained over the whole optimization (sampling
+is the hot loop of TCI — tensorci2.jl:848 filltensor — so this is the
+throughput number the reference's design centers on). vs_baseline compares
+against the reference-style scalar evaluation loop (one Python call per
+sample, measured in-process below), i.e. the single-node throughput a
+Julia/Python user gets without batched evaluation.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import os
+
+    import jax
+
+    # Persistent compilation cache: compile cost is one-off across runs
+    # (first compile over the TPU tunnel is slow; see .claude/skills/verify).
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    localdims = [10] * 8
+
+    def fjax(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    def fpy(x):
+        v = np.asarray(x, dtype=float) + 1.0
+        return 1.0 / (1.0 + v @ v)
+
+    # --- baseline: scalar per-call evaluation rate (reference-style loop) --
+    from tci_tpu.parallel.batcheval import _batchevaluate_dispatch
+
+    n_base = 20000
+    Iset = [(i % 10, (i // 10) % 10, i % 7) for i in range(40)]
+    Jset = [(i % 10, i % 3, i % 5, i % 2) for i in range(50)]
+    t0 = time.perf_counter()
+    _batchevaluate_dispatch(np.float64, fpy, localdims, Iset, Jset, 1)
+    t_base = time.perf_counter() - t0
+    base_rate = len(Iset) * 10 * len(Jset) / t_base
+
+    # --- TCI2 with batched TPU sampling -----------------------------------
+    bf = JaxBatchEvaluator(fjax, localdims, dtype=np.float64)
+    # warm up compile of the evaluator (excluded: compile time is one-off)
+    bf.evaluate_many(np.zeros((1024, 8), dtype=np.int32))
+    nevals0 = bf.nevals
+
+    t0 = time.perf_counter()
+    tciobj, ranks, errors = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-8
+    )
+    wall = time.perf_counter() - t0
+    nevals = bf.nevals - nevals0
+    rate = nevals / wall
+
+    # sanity: converged and correct
+    assert errors[-1] < 1e-8, f"did not converge: {errors}"
+    check = abs(tciobj((1, 2, 3, 4, 5, 4, 3, 2)) - fpy((1, 2, 3, 4, 5, 4, 3, 2)))
+    assert check < 1e-7, f"pointwise error {check}"
+
+    print(
+        json.dumps(
+            {
+                "metric": "tci2_8d_lorentzian_fevals_per_sec",
+                "value": round(rate, 1),
+                "unit": "evals/s",
+                "vs_baseline": round(rate / base_rate, 3),
+                "detail": {
+                    "rank": int(tciobj.rank()),
+                    "wall_s": round(wall, 3),
+                    "nevals": int(nevals),
+                    "final_error": float(errors[-1]),
+                    "baseline_scalar_evals_per_sec": round(base_rate, 1),
+                    "device": str(jax.devices()[0]),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -81,34 +81,52 @@ class DefaultGlobalPivotFinder(AbstractGlobalPivotFinder):
         verbosity: int = 0,
         rng: Optional[np.random.Generator] = None,
     ) -> List[MultiIndex]:
-        from .tensorci2 import _call_f
-        from .ttcache import TTCache
+        from ..parallel.batcheval import evaluate_rows
 
         if rng is None:
             rng = np.random.default_rng()
         L = len(input.localdims)
-        tt = TTCache(input.current_tt)
+        localdims = input.localdims
+        tt = input.current_tt
 
         initial_points = [
-            tuple(int(rng.integers(0, input.localdims[p])) for p in range(L))
+            tuple(int(rng.integers(0, localdims[p])) for p in range(L))
             for _ in range(self.nsearch)
         ]
+        if not initial_points:
+            return []
+
+        # Each start point probes every single-coordinate variant
+        # (globalpivotfinder.jl:217-252). All candidates evaluate in one
+        # batched f call and one batched TT evaluation — each coordinate
+        # probe uses `point` with one leg replaced, so the candidate set is
+        # known upfront.
+        cands = []
+        offsets = []  # (start_idx, p, v) per row
+        for s, point in enumerate(initial_points):
+            for p in range(L):
+                for v in range(localdims[p]):
+                    row = list(point)
+                    row[p] = v
+                    cands.append(row)
+                    offsets.append((s, p, v))
+        cands = np.asarray(cands, dtype=np.int32)
+        fvals = evaluate_rows(f, cands, dtype=complex)
+        ttvals = tt.evaluate_batch(cands)
+        errors = np.abs(np.asarray(fvals) - np.asarray(ttvals))
 
         found: List[MultiIndex] = []
-        for point in initial_points:
-            current = list(point)
-            best_error = 0.0
+        r = 0
+        for s, point in enumerate(initial_points):
+            nrows = sum(localdims[p] for p in range(L))
+            errs = errors[r : r + nrows]
+            # first strict maximum in (p, v) iteration order
+            best = int(np.argmax(errs))
+            best_error = float(errs[best])
+            _, p, v = offsets[r + best]
             best_point = list(point)
-            for p in range(L):
-                for v in range(input.localdims[p]):
-                    current[p] = v
-                    error = abs(
-                        _call_f(f, current) - tt.evaluate(current)
-                    )
-                    if error > best_error:
-                        best_error = error
-                        best_point = list(current)
-                current[p] = point[p]
+            best_point[p] = v
+            r += nrows
             if best_error > abstol * self.tolmarginglobalsearch:
                 found.append(tuple(best_point))
 

@@ -20,6 +20,7 @@ from ..ops.luci import MatrixLUCI
 from ..parallel.batcheval import (
     BatchEvaluator,
     _batchevaluate_dispatch,
+    evaluate_rows,
     isbatchevaluable,
 )
 from ..utils.indexset import isnested
@@ -296,9 +297,12 @@ class TensorCI2(AbstractTensorTrain):
                 abstol=abstol, maxbonddim=maxbonddim, pivotsearch=pivotsearch,
                 strictlynested=strictlynested, verbosity=verbosity,
             )
+            pivmat = np.asarray([tuple(p) for p in pivots], dtype=np.int32)
+            fvals = evaluate_rows(f, pivmat, dtype=complex)
+            ttvals = TensorTrain(self.sitetensors()).evaluate_batch(pivmat)
             newpivots = [
-                p for p in pivots
-                if abs(self.evaluate(p) - _call_f(f, p)) > abstol
+                tuple(p) for p, fv, tv in zip(pivots, fvals, ttvals)
+                if abs(tv - fv) > abstol
             ]
             if verbosity > 0:
                 print(
@@ -321,6 +325,14 @@ class TensorCI2(AbstractTensorTrain):
         """Compute site tensor b as Π_1 · P^{-1} (tensorci2.jl:599-629)."""
         if not leftorthogonal:
             raise ValueError("leftorthogonal=False is not supported!")
+        if hasattr(f, "fused_site_tensors") and b < len(self) - 1:
+            # one fused device program: sample both panels + solve on-device
+            T, maxsample = f.fused_site_tensors.compute(
+                self.Iset[b], self.localdims[b], self.Jset[b], self.Iset[b + 1]
+            )
+            self.maxsamplevalue = max(self.maxsamplevalue, maxsample)
+            self._sitetensors[b] = T
+            return T
         Is = kronecker_is(self.Iset[b], self.localdims[b])
         Js = self.Jset[b]
         Pi1 = filltensor(
@@ -469,7 +481,24 @@ class TensorCI2(AbstractTensorTrain):
             kronecker_sj(self.localdims[b + 1], self.Jset[b + 1]), extraJset
         )
 
-        if pivotsearch == "full":
+        if pivotsearch == "full" and hasattr(f, "fused_updater"):
+            # One-device-program path: Π sampling + rrLU + factor extraction
+            # fused into a single XLA call (ops/fused.py).
+            (left, right, rowind, colind, perrs, err, maxsample) = (
+                f.fused_updater.update(
+                    Icombined, Jcombined, reltol, abstol, maxbonddim,
+                    leftorthogonal,
+                )
+            )
+            self.maxsamplevalue = max(self.maxsamplevalue, maxsample)
+            self.Iset[b + 1] = [Icombined[i] for i in rowind]
+            self.Jset[b] = [Jcombined[j] for j in colind]
+            if len(extraIset) == 0 and len(extraJset) == 0:
+                self.setsitetensor(b, left)
+                self.setsitetensor(b + 1, right)
+            self.updateerrors(b, perrs)
+            return
+        elif pivotsearch == "full":
             t1 = time.time()
             Pi = filltensor(
                 self.dtype, f, self.localdims, Icombined, Jcombined, 0
@@ -668,9 +697,13 @@ class TensorCI2(AbstractTensorTrain):
                 sweepstrategy=sweepstrategy, fillsitetensors=True,
             )
             if verbosity > 0 and len(globalpivots) > 0 and it % loginterval == 0:
-                abserr = [
-                    abs(self.evaluate(p) - _call_f(f, p)) for p in globalpivots
-                ]
+                gp = np.asarray([tuple(p) for p in globalpivots], dtype=np.int32)
+                abserr = list(
+                    np.abs(
+                        TensorTrain(self.sitetensors()).evaluate_batch(gp)
+                        - evaluate_rows(f, gp, dtype=complex)
+                    )
+                )
                 nrejections = sum(e > abstol for e in abserr)
                 if nrejections > 0:
                     print(

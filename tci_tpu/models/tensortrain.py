@@ -89,6 +89,23 @@ class AbstractTensorTrain:
     def __call__(self, indexset):
         return self.evaluate(indexset)
 
+    def evaluate_batch(self, indices) -> np.ndarray:
+        """Evaluate at a whole (B, L) batch of multi-indices with vectorized
+        per-site batched matrix products (one gather + one einsum per site).
+        Single-leg sites only."""
+        indices = np.asarray(indices, dtype=np.int64)
+        tensors = self.sitetensors()
+        if indices.ndim != 2 or indices.shape[1] != len(tensors):
+            raise ValueError("indices must have shape (B, L).")
+        v = None
+        for l, T in enumerate(tensors):
+            mats = T[:, indices[:, l], :]  # (chi_l, B, chi_r)
+            if v is None:
+                v = mats[0]  # (B, chi_r); left boundary chi=1
+            else:
+                v = np.einsum("bi,ibj->bj", v, mats)
+        return v[:, 0]
+
     def sum(self):
         """Σ over all grid points via per-site reductions
         (abstracttensortrain.jl:428-441)."""

@@ -90,6 +90,12 @@ class TTCache(BatchEvaluator):
     def evaluate(self, indexset, usecache: bool = True):
         if len(indexset) != len(self):
             raise ValueError("Index length mismatch.")
+        if len(indexset) and isinstance(indexset[0], (list, tuple)):
+            # multi-leg indices: fuse in C order per site
+            indexset = [
+                int(np.ravel_multi_index(tuple(mi), tuple(self._sitedims[l])))
+                for l, mi in enumerate(indexset)
+            ]
         if usecache:
             return self.evalleft(tuple(indexset))[0]
         v = None

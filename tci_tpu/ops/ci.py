@@ -208,6 +208,11 @@ class MatrixCI:
         a = np.asarray(a)
         if a.shape != self.shape:
             raise ValueError(f"Matrix size mismatch: {a.shape} != {self.shape}.")
+        if i < 0 or i >= self.nrows() or j < 0 or j >= self.ncols():
+            raise IndexError(
+                f"Pivot ({i}, {j}) out of bounds for a "
+                f"{self.nrows()} x {self.ncols()} matrix."
+            )
         if i in self.rowindices:
             raise ValueError(f"Row {i} already has a pivot.")
         if j in self.colindices:

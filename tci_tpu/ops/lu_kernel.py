@@ -41,8 +41,7 @@ def _abs2(x):
     return x * x
 
 
-@functools.partial(jax.jit, static_argnames=("leftorthogonal",))
-def _rrlu_while(A, m_true, n_true, maxrank, reltol, abstol, *, leftorthogonal: bool):
+def _rrlu_state(A, m_true, n_true, maxrank, reltol, abstol, leftorthogonal: bool):
     """Run the complete-pivot elimination loop on a padded buffer.
 
     Args:
@@ -151,6 +150,13 @@ def _rrlu_while(A, m_true, n_true, maxrank, reltol, abstol, *, leftorthogonal: b
     return A, rowperm, colperm, k, mags, err
 
 
+@functools.partial(jax.jit, static_argnames=("leftorthogonal",))
+def _rrlu_while(A, m_true, n_true, maxrank, reltol, abstol, *, leftorthogonal: bool):
+    return _rrlu_state(
+        A, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
+    )
+
+
 def rrlu_raw(
     A: np.ndarray,
     maxrank: int,
@@ -192,13 +198,18 @@ def rrlu_raw(
         jnp.float64(abstol),
         leftorthogonal=leftorthogonal,
     )
+    # One pipelined fetch for all outputs (transfers over the TPU tunnel have
+    # significant fixed latency; see SKILL.md gotchas).
+    Aout, rowperm, colperm, k, mags, err = jax.device_get(
+        (Aout[:m, :n], rowperm[:m], colperm[:n], k, mags, err)
+    )
     k = int(k)
     # Padded rows/cols are never selected as pivots, so the first m entries of
     # rowperm are a permutation of 0..m-1 (same for columns).
     return (
-        np.asarray(Aout[:m, :n]),
-        np.asarray(rowperm[:m]),
-        np.asarray(colperm[:n]),
+        np.asarray(Aout),
+        np.asarray(rowperm),
+        np.asarray(colperm),
         k,
         np.asarray(mags[:k]),
         float(err),

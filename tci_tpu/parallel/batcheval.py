@@ -49,6 +49,23 @@ def isbatchevaluable(f) -> bool:
     return isinstance(f, BatchEvaluator) or hasattr(f, "batch_evaluate")
 
 
+def evaluate_rows(f, indices: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """Evaluate f at every row of an (B, L) index matrix with as few
+    dispatches as possible: one call when f exposes `evaluate_many`
+    (JaxBatchEvaluator and friends), otherwise a host loop."""
+    indices = np.asarray(indices, dtype=np.int32)
+    if hasattr(f, "evaluate_many"):
+        return np.asarray(f.evaluate_many(indices))
+    if hasattr(f, "evaluate_single"):
+        call = f.evaluate_single
+    else:
+        call = f
+    out = np.empty(indices.shape[0], dtype=dtype)
+    for r in range(indices.shape[0]):
+        out[r] = call(tuple(int(x) for x in indices[r]))
+    return out
+
+
 def _empty_result(nl_dims, dtype):
     return np.zeros(tuple(0 for _ in range(len(nl_dims) + 2)), dtype=dtype)
 
@@ -59,12 +76,14 @@ def _assemble_indices(
     rightindexset: Sequence[MultiIndex],
     ncent: int,
 ) -> np.ndarray:
-    """Build the (|I|·Πd·|J|, L) int32 matrix of full multi-indices in C order
-    (left slowest, right fastest)."""
+    """Build the (|I|·Πd·|J|, nl+ncent+nr) int32 matrix of full multi-indices
+    in C order (left slowest, right fastest). The total index length is
+    nl + ncent + nr, which may be shorter than len(localdims) — the reference
+    dispatch concatenates [left..., center..., right...] verbatim
+    (batcheval.jl:131-175)."""
     nl = len(leftindexset[0]) if leftindexset else 0
-    L = len(localdims)
     nr = len(rightindexset[0]) if rightindexset else 0
-    assert ncent == L - nl - nr
+    L = nl + ncent + nr
     left = np.asarray([tuple(x) for x in leftindexset], dtype=np.int32).reshape(
         len(leftindexset), nl
     )
@@ -271,11 +290,38 @@ class JaxBatchEvaluator(BatchEvaluator):
             self._fn = jax.jit(fn)
             self._pad_quantum = 1
         self._jnp = jnp
+        self._fused_updater = None
+        self._fused_site_tensors = None
+
+    @property
+    def fused_updater(self):
+        """Fused on-device bond update (Π sampling + rrLU + factor
+        extraction in one XLA program); used by TensorCI2.updatepivots
+        when pivotsearch='full'."""
+        if self._fused_updater is None:
+            from ..ops.fused import FusedBondUpdater
+
+            self._fused_updater = FusedBondUpdater(self.fjax, self.dtype)
+        return self._fused_updater
+
+    @property
+    def fused_site_tensors(self):
+        """Fused on-device site-tensor computation (see ops/fused.py)."""
+        if getattr(self, "_fused_site_tensors", None) is None:
+            from ..ops.fused import FusedSiteTensors
+
+            self._fused_site_tensors = FusedSiteTensors(self.fjax, self.dtype)
+        return self._fused_site_tensors
 
     @property
     def nevals(self) -> int:
         """Number of f evaluations performed through this adapter."""
-        return self._nevals
+        n = self._nevals
+        if self._fused_updater is not None:
+            n += self._fused_updater.nevals
+        if getattr(self, "_fused_site_tensors", None) is not None:
+            n += self._fused_site_tensors.nevals
+        return n
 
     def evaluate_single(self, indexset):
         arr = np.asarray([tuple(indexset)], dtype=np.int32)

@@ -49,9 +49,20 @@ class CachedFunction(BatchEvaluator):
     # -- key machinery ----------------------------------------------------
 
     def _key(self, indexset) -> int:
+        if len(indexset) != len(self.localdims):
+            raise ValueError(
+                f"Invalid indexset length {len(indexset)}; expected "
+                f"{len(self.localdims)}."
+            )
         return encodecachekey(self.coeffs, indexset)
 
     key = _key
+
+    def encodecachekey(self, indexset) -> int:
+        return self._key(indexset)
+
+    def decodecachekey(self, key: int):
+        return decodecachekey(self.localdims, key)
 
     @property
     def keytype_bits(self) -> int:
@@ -66,9 +77,15 @@ class CachedFunction(BatchEvaluator):
     # -- cache access -----------------------------------------------------
 
     def cacheddata(self):
+        """Raw cache dict keyed by encoded integer keys."""
         return self.cache
 
-    cachedata = cacheddata
+    def cachedata(self):
+        """Cache contents keyed by decoded multi-indices (upstream-suite API,
+        see SURVEY.md §0.1)."""
+        return {
+            decodecachekey(self.localdims, k): v for k, v in self.cache.items()
+        }
 
     def ncacheddata(self) -> int:
         return len(self.cache)

@@ -1,0 +1,114 @@
+"""Port of test/test_batcheval.jl (0-based indices)."""
+
+import numpy as np
+
+import tci_tpu as tci
+from tci_tpu import (
+    BatchEvaluator,
+    JaxBatchEvaluator,
+    ThreadedBatchEvaluator,
+    _batchevaluate_dispatch,
+    makebatchevaluatable,
+)
+
+
+def test_m1():
+    localdims = [2, 2, 2, 2, 2]
+    leftindexset = [(0, 0)] * 10
+    rightindexset = [(0, 0)] * 10
+    f = lambda x: float(sum(x))
+    result = _batchevaluate_dispatch(
+        np.float64, f, localdims, leftindexset, rightindexset, 1
+    )
+    ref = np.array(
+        [
+            [[sum(l) + c + sum(r) for r in rightindexset]
+             for c in range(localdims[2])]
+            for l in leftindexset
+        ]
+    )
+    assert np.allclose(result, ref)
+
+
+def test_m2():
+    localdims = [2, 2, 2, 2, 2]
+    leftindexset = [(0,)] * 10
+    rightindexset = [(0, 0)] * 10
+    f = lambda x: float(sum(x))
+    result = _batchevaluate_dispatch(
+        np.float64, f, localdims, leftindexset, rightindexset, 2
+    )
+    assert result.shape == (10, 2, 2, 10)
+    for c in range(2):
+        for cp in range(2):
+            assert np.allclose(result[:, c, cp, :], c + cp)
+
+
+def test_adapter():
+    f = lambda x: float(sum(x))
+    localdims = [3, 3, 3, 3]
+    bf = makebatchevaluatable(np.float64, f, localdims)
+    out = bf.batch_evaluate([(0,), (1,)], [(0,), (1,)], 1)
+    assert out.shape == (2, 3, 2)
+    assert tci.isbatchevaluable(bf)
+    assert not tci.isbatchevaluable(f)
+    assert bf((1, 2, 0, 1)) == 4.0
+
+
+def test_threaded(rng):
+    L = 12
+    localdims = [2] * L
+    f = lambda x: float(sum(x))
+    bf = ThreadedBatchEvaluator(f, localdims)
+    nl = 6
+    leftindexset = [tuple(rng.integers(0, 2, nl)) for _ in range(5)]
+    rightindexset = [tuple(rng.integers(0, 2, L - nl - 2)) for _ in range(5)]
+    result = bf.batch_evaluate(leftindexset, rightindexset, 2)
+    ref = _batchevaluate_dispatch(
+        np.float64, f, localdims, leftindexset, rightindexset, 2
+    )
+    assert np.allclose(result, ref)
+
+
+def test_threaded_full_tci(rng):
+    """ThreadedBatchEvaluator gives the same TCI as the raw function."""
+    L = 8
+    localdims = [2] * L
+    f = lambda x: 1.0 / (1.0 + float(np.sum(np.asarray(x) ** 2)))
+    parf = ThreadedBatchEvaluator(f, localdims)
+    t1, _, _ = tci.crossinterpolate2(np.float64, parf, localdims)
+    t2, _, _ = tci.crossinterpolate2(np.float64, f, localdims)
+    assert np.allclose(
+        tci.fulltensor(tci.tensortrain(t1)), tci.fulltensor(tci.tensortrain(t2))
+    )
+
+
+def test_jax_evaluator(rng):
+    """TPU-native path: jax-traceable f evaluated through vmapped jit."""
+    import jax.numpy as jnp
+
+    L = 6
+    localdims = [3] * L
+
+    def fjax(idx):
+        v = idx.astype(jnp.float64)
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    f = lambda x: 1.0 / (1.0 + float(np.sum(np.asarray(x, dtype=float) ** 2)))
+
+    leftindexset = [tuple(rng.integers(0, 3, 2)) for _ in range(4)]
+    rightindexset = [tuple(rng.integers(0, 3, 3)) for _ in range(4)]
+    result = bf.batch_evaluate(leftindexset, rightindexset, 1)
+    ref = _batchevaluate_dispatch(
+        np.float64, f, localdims, leftindexset, rightindexset, 1
+    )
+    assert np.allclose(result, ref)
+    assert bf.nevals > 0
+
+    # full TCI through the jax path equals the plain-python path
+    t1, _, _ = tci.crossinterpolate2(np.float64, bf, localdims)
+    t2, _, _ = tci.crossinterpolate2(np.float64, f, localdims)
+    assert np.allclose(
+        tci.fulltensor(tci.tensortrain(t1)), tci.fulltensor(tci.tensortrain(t2))
+    )

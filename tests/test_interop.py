@@ -1,0 +1,79 @@
+"""Interop + checkpoint tests (parity target: test_TCIITensorConversion.jl,
+plus the checkpoint/resume subsystem from SURVEY.md §5)."""
+
+import itertools
+
+import numpy as np
+
+import tci_tpu as tci
+from tci_tpu.interop import (
+    evaluate_mps,
+    from_mps_tensors,
+    from_mpo_tensors,
+    to_mps_tensors,
+    to_mpo_tensors,
+)
+from tci_tpu.utils.checkpoint import (
+    load_tci2,
+    load_tensortrain,
+    save_tci2,
+    save_tensortrain,
+)
+
+
+def test_mps_roundtrip(rng):
+    linkdims = [1, 2, 3, 1]
+    L = 3
+    tt = tci.TensorTrain(
+        [rng.random((linkdims[n], 4, linkdims[n + 1])) for n in range(L)]
+    )
+    arrays = to_mps_tensors(tt)
+    tt2 = from_mps_tensors(arrays)
+    for i in itertools.product(*[range(4)] * L):
+        assert np.isclose(tt(list(i)), tt2(list(i)))
+        assert np.isclose(tt(list(i)), evaluate_mps(arrays, i))
+
+
+def test_mpo_roundtrip(rng):
+    linkdims = [1, 2, 1]
+    L = 2
+    tt = tci.TensorTrain(
+        [rng.random((linkdims[n], 2, 3, linkdims[n + 1])) for n in range(L)]
+    )
+    arrays = to_mpo_tensors(tt)
+    tt2 = from_mpo_tensors(arrays)
+    for i in itertools.product(range(2), range(3), range(2), range(3)):
+        idx = [(i[0], i[1]), (i[2], i[3])]
+        assert np.isclose(tt(idx), tt2(idx))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    f = lambda v: 1.0 / (1.0 + sum((x - 1) ** 2 for x in v))
+    t, ranks, errors = tci.crossinterpolate2(
+        np.float64, f, [4] * 4, tolerance=1e-6
+    )
+    path = str(tmp_path / "ckpt.npz")
+    save_tci2(path, t)
+    t2 = load_tci2(path)
+    assert t2.localdims == t.localdims
+    assert t2.Iset == t.Iset
+    assert t2.Jset == t.Jset
+    assert t2.maxsamplevalue == t.maxsamplevalue
+    for v in itertools.product(*[range(4)] * 4):
+        assert np.isclose(t2.evaluate(v), t.evaluate(v))
+
+    # resume: continue optimizing the restored state to a tighter tolerance
+    t2.optimize(f, tolerance=1e-10)
+    for v in itertools.product(*[range(4)] * 4):
+        assert abs(t2.evaluate(v) - f(v)) < 1e-9
+
+
+def test_tensortrain_checkpoint(tmp_path, rng):
+    tt = tci.TensorTrain(
+        [rng.random((1, 3, 2)), rng.random((2, 3, 2)), rng.random((2, 3, 1))]
+    )
+    path = str(tmp_path / "tt.npz")
+    save_tensortrain(path, tt)
+    tt2 = load_tensortrain(path)
+    for i in itertools.product(*[range(3)] * 3):
+        assert np.isclose(tt(list(i)), tt2(list(i)))

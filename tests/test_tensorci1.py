@@ -1,0 +1,123 @@
+"""Port of test/test_tensorci1.jl (0-based indices)."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import tci_tpu as tci
+from tci_tpu import TensorCI1, crossinterpolate1
+
+
+def test_trivial_mps():
+    n = 5
+    f = lambda v: 1.0
+
+    t = TensorCI1([2] * n)
+    for i in range(n):
+        assert len(t.Iset[i]) == 0
+        assert len(t.Jset[i]) == 0
+        assert t.T[i].shape == (0, 2, 0)
+        assert t.P[i].shape == (0, 0)
+        assert len(t.PiIset[i]) == 0
+        assert len(t.PiJset[i]) == 0
+    for i in range(n - 1):
+        assert t.Pi[i].shape == (0, 0)
+        assert t.pivoterrors[i] == np.inf
+
+    t = TensorCI1.from_function(f, [2] * n, [0] * n)
+    for i in range(n):
+        assert t.Iset[i].fromint == [tuple([0] * i)]
+        assert t.Jset[i].fromint == [tuple([0] * (n - i - 1))]
+        assert np.array_equal(t.T[i], np.ones((1, 2, 1)))
+        assert np.array_equal(t.P[i], np.ones((1, 1)))
+        assert t.PiIset[i].fromint == [tuple([0] * i) + (k,) for k in range(2)]
+        assert t.PiJset[i].fromint == [
+            (k,) + tuple([0] * (n - i - 1)) for k in range(2)
+        ]
+    for i in range(n - 1):
+        assert np.array_equal(t.Pi[i], np.ones((2, 2)))
+
+    # Because the MPS is trivial, no new pivot should be added.
+    for i in range(n - 1):
+        t.addpivot(i, f, 1e-8)
+    for i in range(n):
+        assert len(t.Iset[i]) == 1
+        assert len(t.Jset[i]) == 1
+        assert np.array_equal(t.T[i], np.ones((1, 2, 1)))
+        assert np.array_equal(t.P[i], np.ones((1, 1)))
+        assert len(t.PiIset[i]) == 2
+        assert len(t.PiJset[i]) == 2
+    for i in range(n - 1):
+        assert np.array_equal(t.Pi[i], np.ones((2, 2)))
+
+
+@pytest.mark.parametrize("coeff", [1.0, 1.0j])
+def test_lorentz_mps(coeff):
+    n = 5
+    # 0-based indices shifted so values match the reference's 1-based grid
+    f = lambda v: coeff / (sum((x + 1) ** 2 for x in v) + 1)
+    dtype = np.complex128 if coeff == 1.0j else np.float64
+
+    t = TensorCI1.from_function(f, [10] * n, [0] * n, dtype=dtype)
+    assert t.linkdims() == [1] * (n - 1)
+    assert t.rank() == 1
+
+    for p in range(n - 1):
+        t.addpivot(p, f, 1e-8)
+    assert t.linkdims() == [2] * (n - 1)
+    assert t.rank() == 2
+
+    globalpivot = (1, 8, 9, 4, 6)
+    t.addglobalpivot(f, globalpivot, 1e-12)
+    assert t.linkdims() == [3] * (n - 1)
+    assert t.rank() == 3
+    assert np.isclose(t.evaluate(globalpivot), f(globalpivot))
+
+    t.addglobalpivot(f, globalpivot, 1e-12)
+    assert t.linkdims() == [3] * (n - 1)
+    assert t.rank() == 3
+    assert np.isclose(t.evaluate(globalpivot), f(globalpivot))
+
+    for it in range(4, 9):
+        for p in range(n - 1):
+            t.addpivot(p, f, 1e-8)
+        assert t.linkdims() == [it] * (n - 1)
+        assert t.rank() == it
+
+    tci2_, ranks, errors = crossinterpolate1(
+        dtype, f, [10] * n, [0] * n,
+        tolerance=1e-8, maxiter=8, sweepstrategy="forward",
+    )
+    assert t.linkdims() == tci2_.linkdims()
+    assert t.rank() == tci2_.rank()
+
+    tci3, ranks, errors = crossinterpolate1(
+        dtype, f, [10] * n, [0] * n, tolerance=1e-12, maxiter=200
+    )
+    assert np.all(tci3.pivoterrors <= 1e-12)
+    assert all(d <= 200 for d in tci3.linkdims())
+    assert tci3.rank() <= 200
+
+    tci4, ranks, errors = crossinterpolate1(
+        dtype, f, [10] * n, [0] * n,
+        tolerance=1e-12, maxiter=200,
+        additionalpivots=[
+            (9, 7, 9, 3, 3),
+            (4, 3, 7, 8, 2),
+            (6, 6, 9, 4, 8),
+            (6, 6, 9, 4, 8),
+        ],
+    )
+    assert np.all(tci4.pivoterrors <= 1e-12)
+    assert tci4.rank() <= 200
+
+    tt3 = tci.tensortrain(tci3)
+    for v in itertools.product(*[range(3)] * n):
+        value = tci3.evaluate(list(v))
+        mat = None
+        for p in range(n):
+            m = tt3[p][:, v[p], :]
+            mat = m if mat is None else mat @ m
+        assert np.isclose(value, mat[0, 0])
+        assert np.isclose(value, f(v))
