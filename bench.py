@@ -99,4 +99,11 @@ def main():
 
 
 if __name__ == "__main__":
+    import os
+    import sys
+
     main()
+    sys.stdout.flush()
+    # The tunneled TPU backend can hang at interpreter shutdown; the JSON
+    # line is already out, so exit hard.
+    os._exit(0)

@@ -1,0 +1,74 @@
+"""BASELINE config 5: complex-valued Feynman-diagram-type integrand with
+batched evaluation + global pivot search.
+
+The integrand follows the structure of the computations in PRX 12, 041018
+(cited in the reference README): an oscillatory complex product over time
+arguments with pairwise interaction kernels — evaluated on a GK grid per
+dimension, cross-interpolated with TCI2 including global pivot search, then
+summed to an integral. Implemented jax-native so sampling runs batched on the
+accelerator.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main(N: int = 6, GKorder: int = 15, tol: float = 1e-7):
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.ops.kronrod import kronrod
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    nodes1d, weights1d, _ = kronrod(GKorder // 2)
+    a, b = 0.0, 1.0
+    nodes = jnp.asarray((b - a) * (nodes1d + 1) / 2 + a)
+    weights = jnp.asarray((b - a) * weights1d / 2)
+    normalization = float(GKorder) ** N
+
+    def fjax(idx):
+        t = nodes[idx]
+        w = jnp.prod(weights[idx])
+        # oscillatory complex phase with pairwise damping
+        phase = jnp.exp(1j * 10.0 * jnp.sum(t))
+        damp = jnp.exp(-jnp.sum((t[:, None] - t[None, :]) ** 2))
+        return w * phase * damp * normalization
+
+    localdims = [len(nodes1d)] * N
+    bf = JaxBatchEvaluator(fjax, localdims, dtype=np.complex128)
+
+    t0 = time.perf_counter()
+    t, ranks, errors = tci.crossinterpolate2(
+        np.complex128, bf, localdims, tolerance=tol, nsearchglobalpivot=10
+    )
+    integral = t.sum() / normalization
+    wall = time.perf_counter() - t0
+
+    print(
+        json.dumps(
+            {
+                "metric": "feynman_6d_walltime",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": None,
+                "detail": {
+                    "rank": int(t.rank()),
+                    "integral_re": float(np.real(integral)),
+                    "integral_im": float(np.imag(integral)),
+                    "final_error": float(errors[-1]),
+                    "nevals": int(bf.nevals),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    main()
+    sys.stdout.flush()
+    os._exit(0)

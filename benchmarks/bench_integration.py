@@ -1,0 +1,45 @@
+"""BASELINE config 4: 10-D TT integration via GK quadrature
+(test_integration.jl:29-38 as a benchmark)."""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import tci_tpu as tci
+
+    def f(x):
+        x = np.asarray(x)
+        return 1000 * np.cos(10 * np.sum(x**2)) * np.exp(-np.sum(x) ** 4 / 1000)
+
+    t0 = time.perf_counter()
+    I15 = tci.integrate(
+        np.float64, f, [-1.0] * 10, [1.0] * 10, GKorder=15, tolerance=1e-8
+    )
+    wall = time.perf_counter() - t0
+    Iref = -5.4960415218049
+    print(
+        json.dumps(
+            {
+                "metric": "integration_10d_walltime",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": None,
+                "detail": {
+                    "integral": float(I15),
+                    "abs_err_vs_reference": abs(I15 - Iref),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    main()
+    sys.stdout.flush()
+    os._exit(0)

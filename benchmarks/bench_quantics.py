@@ -1,0 +1,68 @@
+"""BASELINE config 3: quantics TCI of a 1-D oscillatory function on a 2^40
+grid (localdims=2, R=40 cores; pattern of test_tensorci2.jl:55-102 at R=40).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main(R: int = 40, tol: float = 1e-10):
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    a, b = 0.0, 1.0
+    weights = jnp.asarray([2.0 ** -(r + 1) for r in range(R)])
+
+    def fjax(bits):
+        x = jnp.sum(bits.astype(jnp.float64) * weights)
+        return jnp.cos(100.0 * x) * jnp.exp(-x)
+
+    localdims = [2] * R
+    bf = JaxBatchEvaluator(fjax, localdims)
+
+    t0 = time.perf_counter()
+    t, ranks, errors = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=tol
+    )
+    wall = time.perf_counter() - t0
+
+    # accuracy spot checks against the scalar function
+    from tci_tpu.utils.quantics import DiscretizedGrid
+
+    grid = DiscretizedGrid(R, a, b)
+    maxerr = 0.0
+    for x in [0.1, 0.25, 0.5, 0.75, 0.9]:
+        bits = grid.grididx_to_quantics([int(x * 2**R)])
+        xx = grid.quantics_to_origcoord(bits)[0]
+        ref = np.cos(100 * xx) * np.exp(-xx)
+        maxerr = max(maxerr, abs(t(bits) - ref))
+
+    print(
+        json.dumps(
+            {
+                "metric": "quantics_r40_walltime",
+                "value": round(wall, 3),
+                "unit": "s",
+                "vs_baseline": None,
+                "detail": {
+                    "rank": int(t.rank()),
+                    "final_error": float(errors[-1]),
+                    "spotcheck_maxerr": float(maxerr),
+                    "nevals": int(bf.nevals),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    import os
+    import sys
+
+    main()
+    sys.stdout.flush()
+    os._exit(0)

@@ -1,0 +1,545 @@
+"""Device-resident two-site sweep: all L-1 bond updates as ONE XLA program.
+
+This is the north-star architecture of the rebuild (BASELINE.json): the
+reference's sweep2site! (tensorci2.jl:1195-1258) is a host loop doing, per
+bond, a Π sampling, an rrLU factorization and index-set bookkeeping. Here the
+whole sweep compiles into a single jit program over padded fixed-shape pivot
+buffers:
+
+- index sets live on device as (Imax, L) int32 row buffers + length scalars;
+- per bond (unrolled at trace time, shapes static) the candidate sets are
+  built by broadcasting kron products, candidates from the non-strict-nesting
+  history are appended *without dedup* — duplicated rows are linearly
+  dependent, have zero Schur residual after one copy is pivoted, and can
+  never be selected twice, so the union semantics of the reference
+  (tensorci2.jl:842-843) are preserved up to tie order;
+- valid rows are compacted to the front with a stable argsort so the masked
+  rrLU kernel (ops/lu_kernel.py) sees a contiguous panel;
+- selected pivots are gathered back into the padded buffers.
+
+Adaptive rank growth never recompiles: rank is data (length scalars), and the
+buffer capacity Imax only grows geometrically when saturated.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fused import ci_factors, panel_solve_pinv
+from ..ops.lu_kernel import _rrlu_state
+
+MultiIndex = Tuple[int, ...]
+
+
+def _panel(fjax, Ic, Jc, nl, nr, mI, mJ, dtype):
+    """Sample the Π panel f([Ic_i[:nl], Jc_j[:nr]]) with invalid rows/cols
+    masked to zero. nl/nr static; mI/mJ dynamic."""
+
+    def one_entry(ic, jc):
+        return fjax(jnp.concatenate([ic[:nl], jc[:nr]]))
+
+    Pi = jax.vmap(lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc))(
+        Ic
+    ).astype(dtype)
+    rowsP = jnp.arange(Pi.shape[0])
+    colsP = jnp.arange(Pi.shape[1])
+    return jnp.where((rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0)
+
+
+def _make_fillsitetensors(fjax: Callable, localdims: Tuple[int, ...],
+                          Imax: int, dtype):
+    """All L site tensors T_b = Π₁ P^{-1} (tensorci2.jl:599-629) in one jit."""
+    L = len(localdims)
+    dmax = max(localdims)
+
+    @jax.jit
+    def fill(Iset, Ilen, Jset, Jlen):
+        out = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        maxsample = jnp.float64(0.0)
+        for b in range(L):
+            d_b = localdims[b]
+            nl, nr = b, L - b - 1
+            # Is = kron(Iset[b], d_b): row r = (i, s) with r = i*d + s
+            kron = jnp.broadcast_to(Iset[b][:, None, :], (Imax, d_b, L))
+            kron = kron.at[:, :, b].set(
+                jnp.broadcast_to(
+                    jnp.arange(d_b, dtype=jnp.int32)[None, :], (Imax, d_b)
+                )
+            )
+            Is = kron.reshape(Imax * d_b, L)
+            mIs = Ilen[b] * d_b
+            Pi1 = _panel(fjax, Is, Jset[b], nl + 1, nr, mIs, Jlen[b], dtype)
+            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
+            if b == L - 1:
+                # boundary: T = Π₁ reshaped; Jset[L-1] = [()] so |J| = 1
+                T = Pi1[:, :1].reshape(Imax, d_b, 1)
+                out = out.at[b, :, :d_b, :1].set(T)
+                continue
+            P = _panel(
+                fjax, Iset[b + 1], Jset[b], nl + 1, nr, Ilen[b + 1], Jlen[b],
+                dtype,
+            )
+            # pad P's off-block to identity for the solve
+            n = P.shape[0]
+            ridx = jnp.arange(n)
+            padmask = (ridx[:, None] >= Ilen[b + 1]) | (
+                jnp.arange(P.shape[1])[None, :] >= Jlen[b]
+            )
+            P = jnp.where(
+                padmask,
+                jnp.eye(n, P.shape[1], dtype=dtype),
+                P,
+            )
+            T = panel_solve_pinv(Pi1, P[:, :n], Ilen[b + 1], dtype)
+            out = out.at[b, :, :d_b, :].set(
+                T[:, :Imax].reshape(Imax, d_b, Imax)
+            )
+        return out, maxsample
+
+    return fill
+
+
+def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
+                     forward: bool, dtype):
+    """One-site sweep (tensorci2.jl:659-725) as a single jit program,
+    including the site tensors (updatetensors=True path, leftorthogonal for
+    forward / rightorthogonal for backward)."""
+    L = len(localdims)
+    dmax = max(localdims)
+
+    @jax.jit
+    def sweep(Iset, Ilen, Jset, Jlen, reltol, abstol, maxbonddim):
+        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
+        perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
+        maxsample = jnp.float64(0.0)
+
+        sites = range(L - 1) if forward else range(L - 1, 0, -1)
+        for b in sites:
+            d_b = localdims[b]
+            nl, nr = b, L - b - 1
+            if forward:
+                # Is = kron(Iset[b], d_b); Js = Jset[b]
+                kron = jnp.broadcast_to(Iset[b][:, None, :], (Imax, d_b, L))
+                kron = kron.at[:, :, b].set(
+                    jnp.broadcast_to(
+                        jnp.arange(d_b, dtype=jnp.int32)[None, :], (Imax, d_b)
+                    )
+                )
+                Is = kron.reshape(Imax * d_b, L)
+                mIs = Ilen[b] * d_b
+                Js = Jset[b]
+                mJs = Jlen[b]
+                Pi = _panel(fjax, Is, Js, nl + 1, nr, mIs, mJs, dtype)
+            else:
+                # Is = Iset[b]; Js = kron(d_b, Jset[b]) (suffix from site b)
+                shifted = jnp.roll(Jset[b], 1, axis=1)
+                kronJ = jnp.broadcast_to(shifted[None, :, :], (d_b, Imax, L))
+                kronJ = kronJ.at[:, :, 0].set(
+                    jnp.broadcast_to(
+                        jnp.arange(d_b, dtype=jnp.int32)[:, None], (d_b, Imax)
+                    )
+                )
+                Js = kronJ.reshape(d_b * Imax, L)
+                mJs = Jlen[b] * d_b
+                valid_kronJ = (jnp.arange(d_b * Imax) % Imax) < Jlen[b]
+                orderJ = jnp.argsort(~valid_kronJ, stable=True)
+                Js = Js[orderJ]
+                Is = Iset[b]
+                mIs = Ilen[b]
+                Pi = _panel(fjax, Is, Js, nl, nr + 1, mIs, mJs, dtype)
+            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+
+            maxrank = jnp.minimum(
+                jnp.minimum(maxbonddim, jnp.int32(Imax)),
+                jnp.minimum(mIs, mJs),
+            )
+            A, rowperm, colperm, k, mags, err = _rrlu_state(
+                Pi, mIs, mJs, maxrank, reltol, abstol, leftorthogonal=forward
+            )
+            err_final = jnp.where(k >= jnp.minimum(mIs, mJs), 0.0, err)
+            left, right = ci_factors(A, rowperm, colperm, k, forward, dtype)
+
+            keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+            if forward:
+                selI = Is[rowperm[:Imax], :]
+                Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+                Ilen = Ilen.at[b + 1].set(k)
+                selJ = Js[colperm[:Imax], :]
+                Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+                Jlen = Jlen.at[b].set(k)
+                # T_b = left (|Is| x k) -> (Ilen[b], d, k) padded
+                T = left[: Imax * d_b, :Imax].reshape(Imax, d_b, Imax)
+                tensors = tensors.at[b, :, :d_b, :].set(T)
+                bidx = b
+            else:
+                selI = Is[rowperm[:Imax], :]
+                Iset = Iset.at[b].set(jnp.where(keep, selI, 0))
+                Ilen = Ilen.at[b].set(k)
+                selJ = Js[colperm[:Imax], :]
+                Jset = Jset.at[b - 1].set(jnp.where(keep, selJ, 0))
+                Jlen = Jlen.at[b - 1].set(k)
+                # T_b = right (k x |Js|) -> (k, d, Jlen[b]) padded; column
+                # index c = s*Imax + j after the stable compaction of the
+                # kron layout... compaction reorders columns, so map back:
+                # right columns are in compacted order; scatter to original
+                # (s, j) positions via orderJ.
+                Rfull = jnp.zeros(
+                    (Imax, d_b * Imax), dtype=dtype
+                ).at[:, orderJ].set(right[:Imax, :])
+                T = Rfull.reshape(Imax, d_b, Imax)
+                tensors = tensors.at[b, :, :d_b, :].set(
+                    jnp.transpose(T, (0, 1, 2))
+                )
+                bidx = b - 1
+            bonderrs = bonderrs.at[bidx].set(err_final)
+            pv = jnp.where(
+                jnp.arange(Imax + 1) < k,
+                jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
+                0.0,
+            )
+            pv = pv.at[k].set(err_final)
+            perrs = perrs.at[bidx].set(pv)
+
+        # final boundary tensor
+        last = L - 1 if forward else 0
+        d_l = localdims[last]
+        nl, nr = last, L - last - 1
+        kron = jnp.broadcast_to(Iset[last][:, None, :], (Imax, d_l, L))
+        kron = kron.at[:, :, last].set(
+            jnp.broadcast_to(
+                jnp.arange(d_l, dtype=jnp.int32)[None, :], (Imax, d_l)
+            )
+        )
+        Is = kron.reshape(Imax * d_l, L)
+        Pi1 = _panel(
+            fjax, Is, Jset[last], nl + 1, nr, Ilen[last] * d_l, Jlen[last],
+            dtype,
+        )
+        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
+        T = Pi1[:, :Imax].reshape(Imax, d_l, Imax)
+        tensors = tensors.at[last, :, :d_l, :].set(T)
+
+        return (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs, maxsample)
+
+    return sweep
+
+
+def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
+                forward: bool, dtype):
+    """Trace one full 2-site sweep (forward or backward) into a jit program."""
+    L = len(localdims)
+
+    @jax.jit
+    def sweep(Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
+              reltol, abstol, maxbonddim):
+        bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
+        perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
+        maxsample = jnp.float64(0.0)
+
+        bonds = range(L - 1) if forward else range(L - 2, -1, -1)
+        for b in bonds:
+            d_b = localdims[b]
+            d_b1 = localdims[b + 1]
+
+            # --- Icombined: kron(Iset[b], d_b) ++ extraI[b+1] --------------
+            kron = jnp.broadcast_to(
+                Iset[b][:, None, :], (Imax, d_b, L)
+            )
+            kron = kron.at[:, :, b].set(
+                jnp.broadcast_to(jnp.arange(d_b, dtype=jnp.int32)[None, :],
+                                 (Imax, d_b))
+            )
+            kron = kron.reshape(Imax * d_b, L)
+            valid_kron = (
+                jnp.arange(Imax * d_b) // d_b
+            ) < Ilen[b]
+            Ic_all = jnp.concatenate([kron, extraI[b + 1]], axis=0)
+            validI = jnp.concatenate(
+                [valid_kron, jnp.arange(Imax) < extraIlen[b + 1]]
+            )
+            orderI = jnp.argsort(~validI, stable=True)
+            Ic = Ic_all[orderI]
+            mI = jnp.sum(validI).astype(jnp.int32)
+
+            # --- Jcombined: kron(d_{b+1}, Jset[b+1]) ++ extraJ[b] ----------
+            # suffix rows of site b+1 start at site b+2; prepend s at slot 0
+            # by shifting right one position (suffix length <= L-2, so the
+            # last slot is always padding).
+            shifted = jnp.roll(Jset[b + 1], 1, axis=1)
+            kronJ = jnp.broadcast_to(
+                shifted[None, :, :], (d_b1, Imax, L)
+            )
+            kronJ = kronJ.at[:, :, 0].set(
+                jnp.broadcast_to(jnp.arange(d_b1, dtype=jnp.int32)[:, None],
+                                 (d_b1, Imax))
+            )
+            kronJ = kronJ.reshape(d_b1 * Imax, L)
+            valid_kronJ = (
+                jnp.arange(d_b1 * Imax) % Imax
+            ) < Jlen[b + 1]
+            Jc_all = jnp.concatenate([kronJ, extraJ[b]], axis=0)
+            validJ = jnp.concatenate(
+                [valid_kronJ, jnp.arange(Imax) < extraJlen[b]]
+            )
+            orderJ = jnp.argsort(~validJ, stable=True)
+            Jc = Jc_all[orderJ]
+            mJ = jnp.sum(validJ).astype(jnp.int32)
+
+            # --- Π panel ----------------------------------------------------
+            nl = b + 1  # prefix length of Icombined rows
+            nr = L - b - 1  # suffix length of Jcombined rows
+
+            def one_entry(ic, jc):
+                # nl/nr are static per bond (loop unrolled at trace time)
+                return fjax(jnp.concatenate([ic[:nl], jc[:nr]]))
+
+            Pi = jax.vmap(
+                lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc)
+            )(Ic).astype(dtype)
+            rowsP = jnp.arange(Pi.shape[0])
+            colsP = jnp.arange(Pi.shape[1])
+            Pi = jnp.where(
+                (rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0
+            )
+            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+
+            # --- rrLU -------------------------------------------------------
+            maxrank = jnp.minimum(
+                jnp.minimum(maxbonddim, jnp.int32(Imax)),
+                jnp.minimum(mI, mJ),
+            )
+            A, rowperm, colperm, k, mags, err = _rrlu_state(
+                Pi, mI, mJ, maxrank, reltol, abstol,
+                leftorthogonal=forward,
+            )
+            err_final = jnp.where(k >= jnp.minimum(mI, mJ), 0.0, err)
+
+            # --- write back selected pivots ---------------------------------
+            selI = Ic[rowperm[:Imax], :]
+            keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+            Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+            Ilen = Ilen.at[b + 1].set(k)
+            selJ = Jc[colperm[:Imax], :]
+            Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+            Jlen = Jlen.at[b].set(k)
+
+            bonderrs = bonderrs.at[b].set(err_final)
+            pv = jnp.where(
+                jnp.arange(Imax + 1) < k,
+                jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
+                0.0,
+            )
+            pv = pv.at[k].set(err_final)
+            perrs = perrs.at[b].set(pv)
+
+        return Iset, Ilen, Jset, Jlen, bonderrs, perrs, maxsample
+
+    return sweep
+
+
+class DeviceSweepEngine:
+    """Host wrapper: uploads TCI2 index sets into padded device buffers, runs
+    the whole-sweep jit, and writes the results back. Grows the buffer
+    capacity geometrically when the rank saturates it (recompile is then
+    amortized by the persistent compilation cache)."""
+
+    def __init__(self, fjax: Callable, localdims: Sequence[int],
+                 imax: int = 32, dtype=np.float64):
+        self.fjax = fjax
+        self.localdims = tuple(int(d) for d in localdims)
+        self.dtype = np.dtype(dtype).type
+        self._jdtype = (
+            jnp.complex128
+            if np.issubdtype(np.dtype(dtype), np.complexfloating)
+            else jnp.float64
+        )
+        self.Imax = imax
+        self._sweeps = {}
+        self.nevals = 0
+
+    def _get_sweep(self, forward: bool):
+        key = (forward, self.Imax)
+        if key not in self._sweeps:
+            self._sweeps[key] = _make_sweep(
+                self.fjax, self.localdims, self.Imax, forward, self._jdtype
+            )
+        return self._sweeps[key]
+
+    def _pack(self, sets: List[List[MultiIndex]], align: str) -> Tuple:
+        """Pack ragged index-set lists into an (L, Imax, L) buffer + lengths.
+
+        align='left' stores each multi-index in row[:len] (both prefixes and
+        suffixes are stored left-aligned)."""
+        L = len(self.localdims)
+        buf = np.zeros((L, self.Imax, L), dtype=np.int32)
+        lens = np.zeros((L,), dtype=np.int32)
+        for b, s in enumerate(sets):
+            lens[b] = len(s)
+            for r, idx in enumerate(s):
+                if len(idx) > 0:
+                    buf[b, r, : len(idx)] = idx
+        return buf, lens
+
+    def _unpack(self, buf: np.ndarray, lens: np.ndarray,
+                lengths_per_site: List[int]) -> List[List[MultiIndex]]:
+        out = []
+        for b in range(buf.shape[0]):
+            n = int(lens[b])
+            ll = lengths_per_site[b]
+            out.append([tuple(int(x) for x in buf[b, r, :ll]) for r in range(n)])
+        return out
+
+    def sweep2site(self, tci, forward: bool, reltol: float, abstol: float,
+                   maxbonddim: int,
+                   extraIset: List[List[MultiIndex]],
+                   extraJset: List[List[MultiIndex]]) -> None:
+        """Run one full 2-site sweep on device, updating tci in place."""
+        L = len(self.localdims)
+        needed = max(
+            [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
+            + [len(s) for s in extraIset] + [len(s) for s in extraJset]
+            + [1]
+        )
+        while self.Imax < needed:
+            self.Imax *= 2
+
+        Iset, Ilen = self._pack(tci.Iset, "left")
+        Jset, Jlen = self._pack(tci.Jset, "left")
+        eI, eIlen = self._pack(extraIset, "left")
+        eJ, eJlen = self._pack(extraJset, "left")
+
+        sweep = self._get_sweep(forward)
+        out = sweep(
+            jnp.asarray(Iset), jnp.asarray(Ilen),
+            jnp.asarray(Jset), jnp.asarray(Jlen),
+            jnp.asarray(eI), jnp.asarray(eIlen),
+            jnp.asarray(eJ), jnp.asarray(eJlen),
+            jnp.float64(reltol), jnp.float64(abstol),
+            jnp.int32(min(maxbonddim, 2**31 - 1)),
+        )
+        Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample = (
+            jax.device_get(out)
+        )
+        # saturation check: if any bond hit the cap and more rank is allowed,
+        # grow and re-run this sweep with larger buffers
+        if (
+            int(np.max(Ilen_b)) >= self.Imax
+            and self.Imax < maxbonddim
+        ):
+            self.Imax *= 2
+            return self.sweep2site(
+                tci, forward, reltol, abstol, maxbonddim, extraIset, extraJset
+            )
+
+        prefix_lens = list(range(L))
+        suffix_lens = [L - b - 1 for b in range(L)]
+        tci.Iset = self._unpack(Iset_b, Ilen_b, prefix_lens)
+        tci.Jset = self._unpack(Jset_b, Jlen_b, suffix_lens)
+        tci.maxsamplevalue = max(tci.maxsamplevalue, float(maxsample))
+        for b in range(L - 1):
+            tci.updateerrors(
+                b, list(perrs[b][: int(Ilen_b[b + 1]) + 1])
+            )
+        for b in range(L - 1):
+            Icap = self.Imax * self.localdims[b] + self.Imax
+            Jcap = self.localdims[b + 1] * self.Imax + self.Imax
+            self.nevals += Icap * Jcap
+
+    def _get_fill(self):
+        key = ("fill", self.Imax)
+        if key not in self._sweeps:
+            self._sweeps[key] = _make_fillsitetensors(
+                self.fjax, self.localdims, self.Imax, self._jdtype
+            )
+        return self._sweeps[key]
+
+    def _get_sweep1(self, forward: bool):
+        key = ("sweep1", forward, self.Imax)
+        if key not in self._sweeps:
+            self._sweeps[key] = _make_sweep1site(
+                self.fjax, self.localdims, self.Imax, forward, self._jdtype
+            )
+        return self._sweeps[key]
+
+    def fillsitetensors(self, tci) -> None:
+        """Compute all site tensors in one device program."""
+        L = len(self.localdims)
+        needed = max(
+            [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
+        )
+        while self.Imax < needed:
+            self.Imax *= 2
+        Iset, Ilen = self._pack(tci.Iset, "left")
+        Jset, Jlen = self._pack(tci.Jset, "left")
+        out, maxsample = jax.device_get(
+            self._get_fill()(
+                jnp.asarray(Iset), jnp.asarray(Ilen),
+                jnp.asarray(Jset), jnp.asarray(Jlen),
+            )
+        )
+        tci.maxsamplevalue = max(tci.maxsamplevalue, float(maxsample))
+        for b in range(L):
+            nr_rows = len(tci.Iset[b])
+            d_b = self.localdims[b]
+            ncols = len(tci.Iset[b + 1]) if b < L - 1 else len(tci.Jset[b])
+            T = np.asarray(out[b][:nr_rows, :d_b, :ncols])
+            tci._sitetensors[b] = T
+            self.nevals += self.Imax * d_b * self.Imax
+            if b < L - 1:
+                self.nevals += self.Imax * self.Imax
+
+    def sweep1site(self, tci, forward: bool, reltol: float, abstol: float,
+                   maxbonddim: int, updatetensors: bool = True) -> None:
+        """One-site sweep as one device program, updating tci in place."""
+        L = len(self.localdims)
+        needed = max(
+            [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
+        )
+        while self.Imax < needed:
+            self.Imax *= 2
+        Iset_h = [list(s) for s in tci.Iset]
+        Jset_h = [list(s) for s in tci.Jset]
+        while True:
+            Iset, Ilen = self._pack(Iset_h, "left")
+            Jset, Jlen = self._pack(Jset_h, "left")
+            out = self._get_sweep1(forward)(
+                jnp.asarray(Iset), jnp.asarray(Ilen),
+                jnp.asarray(Jset), jnp.asarray(Jlen),
+                jnp.float64(reltol), jnp.float64(abstol),
+                jnp.int32(min(maxbonddim, 2**31 - 1)),
+            )
+            (Iset_b, Ilen_b, Jset_b, Jlen_b, tensors, bonderrs, perrs,
+             maxsample) = jax.device_get(out)
+            if int(max(np.max(Ilen_b), np.max(Jlen_b))) >= self.Imax \
+                    and self.Imax < maxbonddim:
+                self.Imax *= 2
+                continue
+            break
+
+        prefix_lens = list(range(L))
+        suffix_lens = [L - b - 1 for b in range(L)]
+        tci.Iset = self._unpack(Iset_b, Ilen_b, prefix_lens)
+        tci.Jset = self._unpack(Jset_b, Jlen_b, suffix_lens)
+        tci.maxsamplevalue = max(tci.maxsamplevalue, float(maxsample))
+        if updatetensors:
+            for b in range(L):
+                nr_rows = len(tci.Iset[b])
+                d_b = self.localdims[b]
+                ncols = (
+                    len(tci.Iset[b + 1]) if b < L - 1 else len(tci.Jset[b])
+                )
+                T = np.asarray(tensors[b][:nr_rows, :d_b, :ncols])
+                if np.isnan(T).any():
+                    raise ValueError(f"Error: NaN in tensor T[{b}]")
+                tci._sitetensors[b] = T
+        for b in range(L - 1):
+            k = int(Ilen_b[b + 1]) if forward else int(Jlen_b[b])
+            tci.updateerrors(b, list(perrs[b][: k + 1]))
+        for b in range(L):
+            self.nevals += self.Imax * self.localdims[b] * self.Imax

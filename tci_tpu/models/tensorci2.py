@@ -357,6 +357,9 @@ class TensorCI2(AbstractTensorTrain):
         return self._sitetensors[b]
 
     def fillsitetensors(self, f) -> None:
+        if hasattr(f, "device_sweep_engine"):
+            f.device_sweep_engine.fillsitetensors(self)
+            return
         for b in range(len(self)):
             self.setsitetensor_from_f(f, b)
 
@@ -403,6 +406,12 @@ class TensorCI2(AbstractTensorTrain):
                 "choose between forward, backward."
             )
         fwd = sweepdirection == "forward"
+        if hasattr(f, "device_sweep_engine"):
+            f.device_sweep_engine.sweep1site(
+                self, fwd, reltol, abstol, maxbonddim,
+                updatetensors=updatetensors,
+            )
+            return
         n = len(self)
         brange = range(n - 1) if fwd else range(n - 1, 0, -1)
         for b in brange:
@@ -586,7 +595,16 @@ class TensorCI2(AbstractTensorTrain):
             self.Jset_history.append([list(s) for s in self.Jset])
 
             self.flushpivoterror()
-            if forwardsweep(sweepstrategy, it):
+            fwd = forwardsweep(sweepstrategy, it)
+            if pivotsearch == "full" and hasattr(f, "device_sweep_engine"):
+                # whole sweep as one jit-compiled device program
+                self.invalidatesitetensors()
+                f.device_sweep_engine.sweep2site(
+                    self, fwd, 1e-14, abstol, maxbonddim,
+                    extraIset, extraJset,
+                )
+                continue
+            if fwd:
                 brange = range(n - 1)
                 leftorth = True
                 direction = "forward"
@@ -680,8 +698,21 @@ class TensorCI2(AbstractTensorTrain):
             tolmarginglobalsearch=tolmarginglobalsearch,
         )
 
+        # tracing/observability (SURVEY.md §5): per-iteration time series
+        # returned alongside ranks/errors, replacing the reference's
+        # verbosity println timings (tensorci2.jl:1092-1143)
+        self.stats = {
+            "iteration_walltime": [],
+            "sweep_walltime": [],
+            "globalsearch_walltime": [],
+            "ranks": [],
+            "errors": [],
+            "nglobalpivots": [],
+        }
+
         globalpivots: List[MultiIndex] = []
         for it in range(1, maxiter + 1):
+            titer = time.time()
             errornormalization = self.maxsamplevalue if normalizeerror else 1.0
             abstol = tol * errornormalization
 
@@ -690,12 +721,14 @@ class TensorCI2(AbstractTensorTrain):
                     f"  Walltime {time.time() - tstart:.3f} sec: "
                     "starting 2site sweep"
                 )
+            tsweep = time.time()
             self.sweep2site(
                 f, 2, iter1=1,
                 abstol=abstol, maxbonddim=maxbonddim, pivotsearch=pivotsearch,
                 strictlynested=strictlynested, verbosity=verbosity,
                 sweepstrategy=sweepstrategy, fillsitetensors=True,
             )
+            self.stats["sweep_walltime"].append(time.time() - tsweep)
             if verbosity > 0 and len(globalpivots) > 0 and it % loginterval == 0:
                 gp = np.asarray([tuple(p) for p in globalpivots], dtype=np.int32)
                 abserr = list(
@@ -717,10 +750,12 @@ class TensorCI2(AbstractTensorTrain):
                     f"  Walltime {time.time() - tstart:.3f} sec: "
                     "start searching global pivots"
                 )
+            tsearch = time.time()
             input_ = GlobalPivotSearchInput.from_tci(self)
             globalpivots = finder(input_, f, abstol, verbosity=verbosity, rng=rng)
             self.addglobalpivots(globalpivots)
             nglobalpivots.append(len(globalpivots))
+            self.stats["globalsearch_walltime"].append(time.time() - tsearch)
             if verbosity > 1:
                 print(
                     f"  Walltime {time.time() - tstart:.3f} sec: "
@@ -728,6 +763,10 @@ class TensorCI2(AbstractTensorTrain):
                 )
 
             ranks.append(self.rank())
+            self.stats["iteration_walltime"].append(time.time() - titer)
+            self.stats["ranks"].append(self.rank())
+            self.stats["errors"].append(errors[-1])
+            self.stats["nglobalpivots"].append(len(globalpivots))
             if verbosity > 0 and it % loginterval == 0:
                 print(
                     f"iteration = {it}, rank = {ranks[-1]}, "

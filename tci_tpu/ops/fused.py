@@ -24,6 +24,64 @@ from jax.scipy.linalg import solve_triangular
 from .lu_kernel import _rrlu_state, bucket
 
 
+def ci_factors(A, rowperm, colperm, k, leftorthogonal: bool, dtype):
+    """CI factors from padded in-place LU output (device-side).
+
+    Mirrors matrixluci.jl:194-283 with dynamic rank handled by masking: the
+    k x k pivot block of the triangular solve matrix is padded to identity so
+    the solve stays benign; columns/rows beyond k of the outputs are garbage
+    and must be sliced away by the caller. Returns (left (mp, rmax),
+    right (rmax, np)) in ORIGINAL row/column order."""
+    mp = A.shape[0]
+    npd = A.shape[1]
+    rmax = min(mp, npd)
+    ridx = jnp.arange(rmax)
+    eye = jnp.eye(rmax, dtype=dtype)
+    inblock = (ridx[:, None] < k) & (ridx[None, :] < k)
+
+    if leftorthogonal:
+        L_all = jnp.tril(A[:, :rmax])
+        L_all = L_all.at[ridx, ridx].set(1.0)
+        U_all = jnp.triu(A[:rmax, :])
+        Lb = L_all[:rmax, :rmax]
+        M = jnp.where(inblock, Lb, eye)
+        X = solve_triangular(M.T, L_all.T, lower=False).T
+        left = jnp.zeros_like(X).at[rowperm, :].set(X)
+        R = Lb @ U_all
+        right = jnp.zeros_like(R).at[:, colperm].set(R)
+    else:
+        U_all = jnp.triu(A[:rmax, :])
+        U_all = U_all.at[ridx, ridx].set(1.0)
+        L_all = jnp.tril(A[:, :rmax])
+        Ub = U_all[:rmax, :rmax]
+        M = jnp.where(inblock, Ub, eye)
+        X = solve_triangular(M, U_all, lower=False)
+        right = jnp.zeros_like(X).at[:, colperm].set(X)
+        C = L_all @ Ub
+        left = jnp.zeros_like(C).at[rowperm, :].set(C)
+    return left, right
+
+
+def panel_solve_pinv(Pi1, P, n_ip, dtype):
+    """T = Π₁ · P^{-1} on device, with P padded to identity outside its true
+    n_ip x n_ip block (complete-pivot rrLU + two triangular solves; XLA's
+    LuDecomposition has no f64 TPU lowering)."""
+    n = P.shape[0]
+    A, rowperm, colperm, k, _, _ = _rrlu_state(
+        P, n_ip, n_ip, n_ip, jnp.float64(0.0), jnp.float64(0.0), True
+    )
+    ridx = jnp.arange(n)
+    L = jnp.tril(A).at[ridx, ridx].set(1.0)
+    U = jnp.triu(A)
+    pad = ridx >= n_ip
+    L = jnp.where(pad[:, None] | pad[None, :], jnp.eye(n, dtype=dtype), L)
+    U = jnp.where(pad[:, None] | pad[None, :], jnp.eye(n, dtype=dtype), U)
+    Qp = Pi1[:, colperm]
+    Y = solve_triangular(U.T, Qp.T, lower=True).T  # Y · U = Qp
+    Y = solve_triangular(L.T, Y.T, lower=False).T  # Y' · L = Y
+    return jnp.zeros_like(Y).at[:, rowperm].set(Y)
+
+
 def make_fused_bond_update(fjax: Callable, dtype=jnp.float64):
     """Build the jitted fused bond-update for a jax-traceable integrand.
 
@@ -53,37 +111,7 @@ def make_fused_bond_update(fjax: Callable, dtype=jnp.float64):
         A, rowperm, colperm, k, mags, err = _rrlu_state(
             Pi, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
         )
-
-        eye = jnp.eye(rmax, dtype=dtype)
-        inblock = (ridx[:, None] < k) & (ridx[None, :] < k)
-
-        if leftorthogonal:
-            # L has unit diagonal; U carries the pivots.
-            L_all = jnp.tril(A[:, :rmax])
-            L_all = L_all.at[ridx, ridx].set(1.0)
-            U_all = jnp.triu(A[:rmax, :])
-            Lb = L_all[:rmax, :rmax]
-            M = jnp.where(inblock, Lb, eye)
-            # left = [I_k; L2 L1^{-1}] = L_all · M^{-1}, then scatter rows
-            X = solve_triangular(M.T, L_all.T, lower=False).T
-            left = jnp.zeros_like(X).at[rowperm, :].set(X)
-            # right = rowmatrix = L1 · U (permuted to original columns)
-            R = Lb @ U_all
-            right = jnp.zeros_like(R).at[:, colperm].set(R)
-        else:
-            # U has unit diagonal; L carries the pivots.
-            U_all = jnp.triu(A[:rmax, :])
-            U_all = U_all.at[ridx, ridx].set(1.0)
-            L_all = jnp.tril(A[:, :rmax])
-            Ub = U_all[:rmax, :rmax]
-            M = jnp.where(inblock, Ub, eye)
-            # right = [I_k, U1^{-1} U2] = M^{-1} · U_all, scatter columns
-            X = solve_triangular(M, U_all, lower=False)
-            right = jnp.zeros_like(X).at[:, colperm].set(X)
-            # left = colmatrix = L · U1, scatter rows
-            C = L_all @ Ub
-            left = jnp.zeros_like(C).at[rowperm, :].set(C)
-
+        left, right = ci_factors(A, rowperm, colperm, k, leftorthogonal, dtype)
         return left, right, rowperm, colperm, k, mags, err, maxsample
 
     return fused
@@ -130,26 +158,7 @@ def make_fused_site_tensor(fjax: Callable, dtype=jnp.float64):
             ))),
             jnp.max(jnp.abs(jnp.where(maskP, P, 0))),
         )
-        # T = Pi1 · P^{-1} via our complete-pivot rrLU (XLA's LuDecomposition
-        # has no f64 lowering on TPU): P[rp[i], cp[j]] = (L U)[i, j], so
-        # T = Pi1[:, cp] · U^{-1} · L^{-1}, scattered back to columns rp.
-        n = P.shape[0]
-        A, rowperm, colperm, k, _, _ = _rrlu_state(
-            P, n_ip, n_ip, n_ip, jnp.float64(0.0), jnp.float64(0.0), True,
-        )
-        ridx = jnp.arange(n)
-        L = jnp.tril(A).at[ridx, ridx].set(1.0)
-        U = jnp.triu(A)
-        # keep the padded block exactly identity
-        pad = ridx >= n_ip
-        L = jnp.where(pad[:, None] | pad[None, :],
-                      jnp.eye(n, dtype=dtype), L)
-        U = jnp.where(pad[:, None] | pad[None, :],
-                      jnp.eye(n, dtype=dtype), U)
-        Qp = Pi1[:, colperm]
-        Y = solve_triangular(U.T, Qp.T, lower=True).T  # Y · U = Qp
-        Y = solve_triangular(L.T, Y.T, lower=False).T  # Y' · L = Y
-        T = jnp.zeros_like(Y).at[:, rowperm].set(Y)
+        T = panel_solve_pinv(Pi1, P, n_ip, dtype)
         return T, maxsample
 
     return fused

@@ -84,7 +84,7 @@ def _rrlu_state(A, m_true, n_true, maxrank, reltol, abstol, leftorthogonal: bool
         p = jnp.argmax(flat)
         pc = (p // mp).astype(jnp.int32)
         pr = (p % mp).astype(jnp.int32)
-        newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0))
+        newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0)).astype(jnp.float64)
 
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
         do = ~stop

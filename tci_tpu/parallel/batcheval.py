@@ -305,6 +305,18 @@ class JaxBatchEvaluator(BatchEvaluator):
         return self._fused_updater
 
     @property
+    def device_sweep_engine(self):
+        """Whole-sweep device engine: all bond updates of a 2-site sweep run
+        as one XLA program (models/device_sweep.py)."""
+        if getattr(self, "_device_sweep_engine", None) is None:
+            from ..models.device_sweep import DeviceSweepEngine
+
+            self._device_sweep_engine = DeviceSweepEngine(
+                self.fjax, self.localdims, dtype=self.dtype
+            )
+        return self._device_sweep_engine
+
+    @property
     def fused_site_tensors(self):
         """Fused on-device site-tensor computation (see ops/fused.py)."""
         if getattr(self, "_fused_site_tensors", None) is None:
@@ -321,6 +333,8 @@ class JaxBatchEvaluator(BatchEvaluator):
             n += self._fused_updater.nevals
         if getattr(self, "_fused_site_tensors", None) is not None:
             n += self._fused_site_tensors.nevals
+        if getattr(self, "_device_sweep_engine", None) is not None:
+            n += self._device_sweep_engine.nevals
         return n
 
     def evaluate_single(self, indexset):
