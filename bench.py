@@ -101,9 +101,19 @@ def main():
 if __name__ == "__main__":
     import os
     import sys
+    import threading
 
     main()
     sys.stdout.flush()
-    # The tunneled TPU backend can hang at interpreter shutdown; the JSON
-    # line is already out, so exit hard.
+    # Release the TPU client gracefully (frees the tunnel's chip grant for
+    # the next process), but don't let a wedged shutdown hang forever: a
+    # watchdog hard-exits after 30s. The JSON line is already out.
+    threading.Timer(30.0, lambda: os._exit(0)).start()
+    try:
+        import jax
+
+        jax.clear_caches()
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
     os._exit(0)
