@@ -1,0 +1,30 @@
+"""Shared benchmark plumbing: persistent compile cache + clean TPU release."""
+
+import os
+import sys
+import threading
+
+
+def setup_cache():
+    import jax
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def finish():
+    """Release the TPU client gracefully, hard-exit on a wedged shutdown."""
+    sys.stdout.flush()
+    threading.Timer(30.0, lambda: os._exit(0)).start()
+    try:
+        import jax
+
+        jax.clear_caches()
+        jax.extend.backend.clear_backends()
+    except Exception:
+        pass
+    os._exit(0)

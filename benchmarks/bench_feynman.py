@@ -69,6 +69,9 @@ if __name__ == "__main__":
     import os
     import sys
 
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _common import finish, setup_cache
+
+    setup_cache()
     main()
-    sys.stdout.flush()
-    os._exit(0)
+    finish()
