@@ -4,6 +4,11 @@ import os
 import sys
 import threading
 
+# allow running from anywhere: repo root on sys.path
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _ROOT not in sys.path:
+    sys.path.insert(0, _ROOT)
+
 
 def setup_cache():
     import jax

@@ -8,15 +8,19 @@ import numpy as np
 
 
 def main():
+    import jax.numpy as jnp
+
     import tci_tpu as tci
 
-    def f(x):
-        x = np.asarray(x)
-        return 1000 * np.cos(10 * np.sum(x**2)) * np.exp(-np.sum(x) ** 4 / 1000)
+    def fjax(x):
+        return 1000 * jnp.cos(10 * jnp.sum(x**2)) * jnp.exp(
+            -jnp.sum(x) ** 4 / 1000
+        )
 
     t0 = time.perf_counter()
     I15 = tci.integrate(
-        np.float64, f, [-1.0] * 10, [1.0] * 10, GKorder=15, tolerance=1e-8
+        np.float64, fjax, [-1.0] * 10, [1.0] * 10, GKorder=15,
+        tolerance=1e-8, jax_native=True,
     )
     wall = time.perf_counter() - t0
     Iref = -5.4960415218049

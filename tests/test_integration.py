@@ -50,3 +50,16 @@ def test_integrate_10d():
     )
     Iref = -5.4960415218049
     assert abs(I15 - Iref) < 1e-3
+
+
+def test_integrate_jax_native():
+    """jax_native path samples the weighted integrand on-device."""
+    import jax.numpy as jnp
+    import tci_tpu as tci
+
+    fjax = lambda x: jnp.prod(x) + 1.0
+    N = 3
+    val = tci.integrate(np.float64, fjax, [0.0] * N, [1.0] * N,
+                        jax_native=True, tolerance=1e-10)
+    exact = 0.5**N + 1.0
+    assert np.isclose(val, exact)
