@@ -484,11 +484,7 @@ class DeviceSweepEngine:
         self.fjax = fjax
         self.localdims = tuple(int(d) for d in localdims)
         self.dtype = np.dtype(dtype).type
-        self._jdtype = (
-            jnp.complex128
-            if np.issubdtype(np.dtype(dtype), np.complexfloating)
-            else jnp.float64
-        )
+        self._jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
         self.Imax = imax
         self._sweeps = {}
         self.nevals = 0

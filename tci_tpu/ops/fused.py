@@ -169,9 +169,7 @@ class FusedSiteTensors:
     TensorCI2.setsitetensor_from_f)."""
 
     def __init__(self, fjax: Callable, dtype=np.float64):
-        jdtype = jnp.complex128 if np.issubdtype(
-            np.dtype(dtype), np.complexfloating
-        ) else jnp.float64
+        jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving (c64 on TPU)
         self._fused = make_fused_site_tensor(fjax, dtype=jdtype)
         self.nevals = 0
 
@@ -224,9 +222,7 @@ class FusedBondUpdater:
     """
 
     def __init__(self, fjax: Callable, dtype=np.float64):
-        jdtype = jnp.complex128 if np.issubdtype(
-            np.dtype(dtype), np.complexfloating
-        ) else jnp.float64
+        jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving (c64 on TPU)
         self._fused = make_fused_bond_update(fjax, dtype=jdtype)
         self.nevals = 0
 
