@@ -36,6 +36,18 @@ from ..ops.lu_kernel import _rrlu_state
 MultiIndex = Tuple[int, ...]
 
 
+_PANEL_ROW_CHUNK = 128
+
+
+def _mapped_rows(row_fn, Ic):
+    """vmap over panel rows, chunked with lax.map so the (rows, cols, L)
+    index-assembly intermediates stay bounded (large padded panels would
+    otherwise OOM HBM)."""
+    if Ic.shape[0] <= _PANEL_ROW_CHUNK:
+        return jax.vmap(row_fn)(Ic)
+    return jax.lax.map(row_fn, Ic, batch_size=_PANEL_ROW_CHUNK)
+
+
 def _panel(fjax, Ic, Jc, nl, nr, mI, mJ, dtype):
     """Sample the Π panel f([Ic_i[:nl], Jc_j[:nr]]) with invalid rows/cols
     masked to zero. nl/nr static; mI/mJ dynamic."""
@@ -43,8 +55,8 @@ def _panel(fjax, Ic, Jc, nl, nr, mI, mJ, dtype):
     def one_entry(ic, jc):
         return fjax(jnp.concatenate([ic[:nl], jc[:nr]]))
 
-    Pi = jax.vmap(lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc))(
-        Ic
+    Pi = _mapped_rows(
+        lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
     ).astype(dtype)
     rowsP = jnp.arange(Pi.shape[0])
     colsP = jnp.arange(Pi.shape[1])
@@ -414,9 +426,9 @@ def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             full = jnp.where(pos < nl, ic, jc_shift)
             return fjax(full)
 
-        Pi = jax.vmap(
-            lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc)
-        )(Ic).astype(dtype)
+        Pi = _mapped_rows(
+            lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
+        ).astype(dtype)
         rowsP = jnp.arange(Pi.shape[0])
         colsP = jnp.arange(Pi.shape[1])
         Pi = jnp.where((rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0)

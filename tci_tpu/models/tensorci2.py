@@ -325,9 +325,10 @@ class TensorCI2(AbstractTensorTrain):
         """Compute site tensor b as Π_1 · P^{-1} (tensorci2.jl:599-629)."""
         if not leftorthogonal:
             raise ValueError("leftorthogonal=False is not supported!")
-        if hasattr(f, "fused_site_tensors") and b < len(self) - 1:
+        fst = getattr(f, "fused_site_tensors", None)
+        if fst is not None and b < len(self) - 1:
             # one fused device program: sample both panels + solve on-device
-            T, maxsample = f.fused_site_tensors.compute(
+            T, maxsample = fst.compute(
                 self.Iset[b], self.localdims[b], self.Jset[b], self.Iset[b + 1]
             )
             self.maxsamplevalue = max(self.maxsamplevalue, maxsample)
@@ -357,8 +358,8 @@ class TensorCI2(AbstractTensorTrain):
         return self._sitetensors[b]
 
     def fillsitetensors(self, f) -> None:
-        if hasattr(f, "device_sweep_engine") and \
-                f.device_sweep_engine.fillsitetensors(self):
+        engine = getattr(f, "device_sweep_engine", None)
+        if engine is not None and engine.fillsitetensors(self):
             return
         for b in range(len(self)):
             self.setsitetensor_from_f(f, b)
@@ -406,7 +407,8 @@ class TensorCI2(AbstractTensorTrain):
                 "choose between forward, backward."
             )
         fwd = sweepdirection == "forward"
-        if hasattr(f, "device_sweep_engine") and f.device_sweep_engine.sweep1site(
+        engine = getattr(f, "device_sweep_engine", None)
+        if engine is not None and engine.sweep1site(
             self, fwd, reltol, abstol, maxbonddim, updatetensors=updatetensors
         ):
             return
@@ -488,7 +490,7 @@ class TensorCI2(AbstractTensorTrain):
             kronecker_sj(self.localdims[b + 1], self.Jset[b + 1]), extraJset
         )
 
-        if pivotsearch == "full" and hasattr(f, "fused_updater"):
+        if pivotsearch == "full" and getattr(f, "fused_updater", None) is not None:
             # One-device-program path: Π sampling + rrLU + factor extraction
             # fused into a single XLA call (ops/fused.py).
             (left, right, rowind, colind, perrs, err, maxsample) = (
@@ -594,10 +596,11 @@ class TensorCI2(AbstractTensorTrain):
 
             self.flushpivoterror()
             fwd = forwardsweep(sweepstrategy, it)
-            if pivotsearch == "full" and hasattr(f, "device_sweep_engine"):
+            engine = getattr(f, "device_sweep_engine", None)
+            if pivotsearch == "full" and engine is not None:
                 # whole sweep as one jit-compiled device program
                 self.invalidatesitetensors()
-                f.device_sweep_engine.sweep2site(
+                engine.sweep2site(
                     self, fwd, 1e-14, abstol, maxbonddim,
                     extraIset, extraJset,
                 )

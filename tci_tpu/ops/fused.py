@@ -103,7 +103,11 @@ def make_fused_bond_update(fjax: Callable, dtype=jnp.float64):
         def one_row(ic):
             return jax.vmap(lambda jc: fjax(jnp.concatenate([ic, jc])))(Jc)
 
-        Pi = jax.vmap(one_row)(Ic).astype(dtype)
+        if mp <= 128:
+            Pi = jax.vmap(one_row)(Ic).astype(dtype)
+        else:
+            # chunk rows so index-assembly intermediates stay bounded
+            Pi = jax.lax.map(one_row, Ic, batch_size=128).astype(dtype)
         valid = (rows[:, None] < m_true) & (cols[None, :] < n_true)
         Pi = jnp.where(valid, Pi, 0)
         maxsample = jnp.max(jnp.abs(Pi))

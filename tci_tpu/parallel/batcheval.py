@@ -257,6 +257,28 @@ class VectorizedBatchEvaluator(BatchEvaluator):
         return vals.reshape(_result_shape(self.localdims, Iset, Jset, ncent))
 
 
+_COMPLEX_SUPPORT_CACHE = {}
+
+
+def platform_supports_complex() -> bool:
+    """Probe (once) whether the default jax backend can compute AND transfer
+    complex arrays. The axon-tunneled TPU backend supports neither c64 nor
+    c128; real TPUs support c64; CPU supports both."""
+    import jax
+
+    backend = jax.default_backend()
+    if backend not in _COMPLEX_SUPPORT_CACHE:
+        try:
+            import jax.numpy as jnp
+
+            z = jnp.asarray(np.ones(2, dtype=np.complex64)) * (1 + 1j)
+            np.asarray(z)
+            _COMPLEX_SUPPORT_CACHE[backend] = True
+        except Exception:
+            _COMPLEX_SUPPORT_CACHE[backend] = False
+    return _COMPLEX_SUPPORT_CACHE[backend]
+
+
 class JaxBatchEvaluator(BatchEvaluator):
     """TPU-native evaluator: fjax is a jax-traceable scalar function of an
     int32 index vector; panels evaluate as one jitted vmap, padded to shape
@@ -276,7 +298,21 @@ class JaxBatchEvaluator(BatchEvaluator):
         self.axis = axis
         self._nevals = 0
 
-        fn = jax.vmap(fjax)
+        self._iscomplex = np.issubdtype(np.dtype(dtype), np.complexfloating)
+        # Backends without complex support (the axon-tunneled TPU) still
+        # sample complex integrands on-device: f returns (re, im) pairs and
+        # the host recombines. The on-device algebra tiers are gated off.
+        self._complex_as_pair = (
+            self._iscomplex and not platform_supports_complex()
+        )
+        if self._complex_as_pair:
+            def _pairf(idx):
+                z = fjax(idx)
+                return jnp.stack([jnp.real(z), jnp.imag(z)])
+
+            fn = jax.vmap(_pairf)
+        else:
+            fn = jax.vmap(fjax)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -297,7 +333,10 @@ class JaxBatchEvaluator(BatchEvaluator):
     def fused_updater(self):
         """Fused on-device bond update (Π sampling + rrLU + factor
         extraction in one XLA program); used by TensorCI2.updatepivots
-        when pivotsearch='full'."""
+        when pivotsearch='full'. None when the backend cannot hold the
+        panel dtype (complex on the tunneled TPU)."""
+        if self._complex_as_pair:
+            return None
         if self._fused_updater is None:
             from ..ops.fused import FusedBondUpdater
 
@@ -307,7 +346,9 @@ class JaxBatchEvaluator(BatchEvaluator):
     @property
     def device_sweep_engine(self):
         """Whole-sweep device engine: all bond updates of a 2-site sweep run
-        as one XLA program (models/device_sweep.py)."""
+        as one XLA program (models/device_sweep.py). None when gated off."""
+        if self._complex_as_pair:
+            return None
         if getattr(self, "_device_sweep_engine", None) is None:
             from ..models.device_sweep import DeviceSweepEngine
 
@@ -318,7 +359,10 @@ class JaxBatchEvaluator(BatchEvaluator):
 
     @property
     def fused_site_tensors(self):
-        """Fused on-device site-tensor computation (see ops/fused.py)."""
+        """Fused on-device site-tensor computation (see ops/fused.py).
+        None when gated off."""
+        if self._complex_as_pair:
+            return None
         if getattr(self, "_fused_site_tensors", None) is None:
             from ..ops.fused import FusedSiteTensors
 
@@ -357,6 +401,9 @@ class JaxBatchEvaluator(BatchEvaluator):
         else:
             inp = indices.astype(np.int32)
         vals = self._fn(self._jnp.asarray(inp))
+        if self._complex_as_pair:
+            pair = np.asarray(vals)[:B]
+            return (pair[:, 0] + 1j * pair[:, 1]).astype(self.dtype)
         return np.asarray(vals)[:B]
 
     def batch_evaluate(self, Iset, Jset, ncent=None):

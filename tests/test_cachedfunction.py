@@ -119,3 +119,33 @@ def test_clearcache():
     assert (1, 2) in cf
     cf.clearcache()
     assert cf.ncacheddata() == 0
+
+
+def test_cache_memory_overhead():
+    """Memory-overhead bound (parity: test_cachedfunction.jl:116-133, which
+    asserts the int-keyed cache stays within a small multiple of the raw data
+    bytes). Python dicts carry more per-entry overhead than Julia's; the
+    documented bound here is <64x raw complex128 bytes for small-int keys,
+    still far below a naive tuple-keyed dict."""
+    import sys
+
+    nbit = 20
+    nsample = 10**4
+    cf = CachedFunction(lambda x: 1.0 + 0j, [2] * nbit, dtype=np.complex128)
+    d_naive = {}
+    for i in range(nsample):
+        x = _tobins(i, nbit)
+        d_naive[x] = cf(x)
+    assert cf.ncacheddata() == nsample
+
+    databytes = 16 * nsample
+    cache_bytes = sys.getsizeof(cf.cache) + sum(
+        sys.getsizeof(k) + sys.getsizeof(v) for k, v in cf.cache.items()
+    )
+    naive_bytes = sys.getsizeof(d_naive) + sum(
+        sys.getsizeof(k) + sum(sys.getsizeof(e) for e in k) + sys.getsizeof(v)
+        for k, v in d_naive.items()
+    )
+    assert cache_bytes / databytes < 64
+    # int keys must be much cheaper than tuple keys
+    assert cache_bytes < 0.25 * naive_bytes
