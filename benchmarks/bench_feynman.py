@@ -15,7 +15,7 @@ import time
 import numpy as np
 
 
-def main(N: int = 6, GKorder: int = 15, tol: float = 1e-5):
+def main(N: int = 6, GKorder: int = 15, tol: float = 1e-7):
     import jax.numpy as jnp
 
     import tci_tpu as tci
@@ -24,26 +24,28 @@ def main(N: int = 6, GKorder: int = 15, tol: float = 1e-5):
 
     nodes1d, weights1d, _ = kronrod(GKorder // 2)
     a, b = 0.0, 1.0
-    # complex64 on device: the TPU has no C128 lowering; sampling runs in
-    # c64 (f32 parts) which supports tolerances down to ~1e-6
-    nodes = jnp.asarray((b - a) * (nodes1d + 1) / 2 + a, dtype=jnp.float32)
-    weights = jnp.asarray((b - a) * weights1d / 2, dtype=jnp.float32)
+    nodes = jnp.asarray((b - a) * (nodes1d + 1) / 2 + a)
+    weights = jnp.asarray((b - a) * weights1d / 2)
     normalization = float(GKorder) ** N
 
-    def fjax(idx):
+    # pair-valued integrand: the TPU backend has no complex lowering, so the
+    # oscillatory phase is written as (cos, sin) in pure f64 real arithmetic
+    # and the complex-pair device kernels (ops/complex_pair.py) do the rest.
+    def fpair(idx):
         t = nodes[idx]
         w = jnp.prod(weights[idx])
-        # oscillatory complex phase with pairwise damping
-        phase = jnp.exp(1j * 10.0 * jnp.sum(t))
+        s = 10.0 * jnp.sum(t)
         damp = jnp.exp(-jnp.sum((t[:, None] - t[None, :]) ** 2))
-        return (w * phase * damp * normalization).astype(jnp.complex64)
+        amp = w * damp * normalization
+        return jnp.stack([amp * jnp.cos(s), amp * jnp.sin(s)])
 
     localdims = [len(nodes1d)] * N
-    bf = JaxBatchEvaluator(fjax, localdims, dtype=np.complex64)
+    bf = JaxBatchEvaluator(fpair, localdims, dtype=np.complex128,
+                           pair_output=True)
 
     t0 = time.perf_counter()
     t, ranks, errors = tci.crossinterpolate2(
-        np.complex64, bf, localdims, tolerance=tol, nsearchglobalpivot=10
+        np.complex128, bf, localdims, tolerance=tol, nsearchglobalpivot=10
     )
     integral = t.sum() / normalization
     wall = time.perf_counter() - t0

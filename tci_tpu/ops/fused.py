@@ -121,6 +121,45 @@ def make_fused_bond_update(fjax: Callable, dtype=jnp.float64):
     return fused
 
 
+def make_fused_bond_update_pair(fjax_pair: Callable):
+    """Pair-mode fused bond update for complex-free backends: fjax_pair
+    returns a shape-(2,) real (re, im) array; all algebra runs on
+    (re, im) f64 pairs (ops/complex_pair.py)."""
+    from .complex_pair import ci_factors_pair, rrlu_state_pair
+
+    @functools.partial(jax.jit, static_argnames=("leftorthogonal",))
+    def fused(Ic, Jc, m_true, n_true, maxrank, reltol, abstol,
+              *, leftorthogonal: bool):
+        mp = Ic.shape[0]
+        npd = Jc.shape[0]
+        rows = jnp.arange(mp)
+        cols = jnp.arange(npd)
+
+        def one_row(ic):
+            return jax.vmap(
+                lambda jc: fjax_pair(jnp.concatenate([ic, jc]))
+            )(Jc)  # (npd, 2)
+
+        if mp <= 128:
+            panel = jax.vmap(one_row)(Ic)
+        else:
+            panel = jax.lax.map(one_row, Ic, batch_size=128)
+        valid = (rows[:, None] < m_true) & (cols[None, :] < n_true)
+        Pr = jnp.where(valid, panel[..., 0].astype(jnp.float64), 0.0)
+        Pi_ = jnp.where(valid, panel[..., 1].astype(jnp.float64), 0.0)
+        maxsample = jnp.sqrt(jnp.max(Pr * Pr + Pi_ * Pi_))
+
+        Ar, Ai, rowperm, colperm, k, mags, err = rrlu_state_pair(
+            Pr, Pi_, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
+        )
+        lr, li, rr, ri = ci_factors_pair(
+            Ar, Ai, rowperm, colperm, k, leftorthogonal
+        )
+        return lr, li, rr, ri, rowperm, colperm, k, mags, err, maxsample
+
+    return fused
+
+
 def pad_index_panels(
     Ic: np.ndarray, Jc: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, int, int]:
@@ -225,9 +264,14 @@ class FusedBondUpdater:
     metadata, one device round trip per bond.
     """
 
-    def __init__(self, fjax: Callable, dtype=np.float64):
-        jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving (c64 on TPU)
-        self._fused = make_fused_bond_update(fjax, dtype=jdtype)
+    def __init__(self, fjax: Callable, dtype=np.float64, pair: bool = False):
+        self.pair = pair
+        self.dtype = np.dtype(dtype)
+        if pair:
+            self._fused = make_fused_bond_update_pair(fjax)
+        else:
+            jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
+            self._fused = make_fused_bond_update(fjax, dtype=jdtype)
         self.nevals = 0
 
     def update(
@@ -254,7 +298,16 @@ class FusedBondUpdater:
             jnp.float64(abstol),
             leftorthogonal=leftorthogonal,
         )
-        left, right, rowperm, colperm, k, mags, err, maxsample = jax.device_get(out)
+        if self.pair:
+            (lr, li, rr, ri, rowperm, colperm, k, mags, err, maxsample) = (
+                jax.device_get(out)
+            )
+            left = (np.asarray(lr) + 1j * np.asarray(li)).astype(self.dtype)
+            right = (np.asarray(rr) + 1j * np.asarray(ri)).astype(self.dtype)
+        else:
+            left, right, rowperm, colperm, k, mags, err, maxsample = (
+                jax.device_get(out)
+            )
         k = int(k)
         err_final = 0.0 if k >= min(nI, nJ) else float(err)
         return (

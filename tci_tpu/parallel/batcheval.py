@@ -287,7 +287,7 @@ class JaxBatchEvaluator(BatchEvaluator):
     """
 
     def __init__(self, fjax: Callable, localdims, dtype=np.float64,
-                 mesh=None, axis: str = "batch"):
+                 mesh=None, axis: str = "batch", pair_output: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -296,23 +296,23 @@ class JaxBatchEvaluator(BatchEvaluator):
         self.dtype = dtype
         self.mesh = mesh
         self.axis = axis
+        self.pair_output = pair_output
         self._nevals = 0
 
         self._iscomplex = np.issubdtype(np.dtype(dtype), np.complexfloating)
-        # Backends without complex support (the axon-tunneled TPU) still
-        # sample complex integrands on-device: f returns (re, im) pairs and
-        # the host recombines. The on-device algebra tiers are gated off.
-        self._complex_as_pair = (
-            self._iscomplex and not platform_supports_complex()
-        )
-        if self._complex_as_pair:
-            def _pairf(idx):
-                z = fjax(idx)
-                return jnp.stack([jnp.real(z), jnp.imag(z)])
-
-            fn = jax.vmap(_pairf)
-        else:
-            fn = jax.vmap(fjax)
+        complex_ok = platform_supports_complex() if self._iscomplex else True
+        if self._iscomplex and not complex_ok and not pair_output:
+            raise ValueError(
+                "This jax backend has no complex support (the tunneled TPU "
+                "rejects complex dtypes and intermediates). Write the "
+                "integrand pair-valued — fjax(idx) returning "
+                "jnp.stack([re, im]) with real arithmetic only — and pass "
+                "pair_output=True."
+            )
+        # pair mode: sampling and the fused bond algebra run on (re, im)
+        # f64 pairs; the host recombines to complex.
+        self._complex_as_pair = self._iscomplex and pair_output
+        fn = jax.vmap(fjax)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -333,20 +333,22 @@ class JaxBatchEvaluator(BatchEvaluator):
     def fused_updater(self):
         """Fused on-device bond update (Π sampling + rrLU + factor
         extraction in one XLA program); used by TensorCI2.updatepivots
-        when pivotsearch='full'. None when the backend cannot hold the
-        panel dtype (complex on the tunneled TPU)."""
-        if self._complex_as_pair:
-            return None
+        when pivotsearch='full'. Pair-valued integrands use the complex-pair
+        algebra kernels (ops/complex_pair.py)."""
         if self._fused_updater is None:
             from ..ops.fused import FusedBondUpdater
 
-            self._fused_updater = FusedBondUpdater(self.fjax, self.dtype)
+            self._fused_updater = FusedBondUpdater(
+                self.fjax, self.dtype, pair=self._complex_as_pair
+            )
         return self._fused_updater
 
     @property
     def device_sweep_engine(self):
         """Whole-sweep device engine: all bond updates of a 2-site sweep run
-        as one XLA program (models/device_sweep.py). None when gated off."""
+        as one XLA program (models/device_sweep.py). None in pair mode —
+        complex whole-sweep programs are a known gap; pair-mode bonds go
+        through fused_updater instead."""
         if self._complex_as_pair:
             return None
         if getattr(self, "_device_sweep_engine", None) is None:
