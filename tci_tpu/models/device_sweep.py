@@ -492,12 +492,16 @@ class DeviceSweepEngine:
     amortized by the persistent compilation cache)."""
 
     def __init__(self, fjax: Callable, localdims: Sequence[int],
-                 imax: int = 32, dtype=np.float64):
+                 imax: int = 32, imax_cap: int = 256, dtype=np.float64):
         self.fjax = fjax
         self.localdims = tuple(int(d) for d in localdims)
         self.dtype = np.dtype(dtype).type
         self._jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
         self.Imax = imax
+        # beyond this capacity the padded whole-sweep panels get wasteful
+        # (and large fused programs stress the backend); callers fall back
+        # to the per-bond fused tier
+        self.imax_cap = imax_cap
         self._sweeps = {}
         self.nevals = 0
 
@@ -540,14 +544,18 @@ class DeviceSweepEngine:
     def sweep2site(self, tci, forward: bool, reltol: float, abstol: float,
                    maxbonddim: int,
                    extraIset: List[List[MultiIndex]],
-                   extraJset: List[List[MultiIndex]]) -> None:
-        """Run one full 2-site sweep on device, updating tci in place."""
+                   extraJset: List[List[MultiIndex]]) -> bool:
+        """Run one full 2-site sweep on device, updating tci in place.
+        Returns False when the required capacity exceeds imax_cap (caller
+        falls back to the per-bond path)."""
         L = len(self.localdims)
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
             + [len(s) for s in extraIset] + [len(s) for s in extraJset]
             + [1]
         )
+        if needed > self.imax_cap:
+            return False
         while self.Imax < needed:
             self.Imax *= 2
 
@@ -569,11 +577,14 @@ class DeviceSweepEngine:
             jax.device_get(out)
         )
         # saturation check: if any bond hit the cap and more rank is allowed,
-        # grow and re-run this sweep with larger buffers
+        # grow and re-run this sweep with larger buffers (until imax_cap,
+        # then hand back to the per-bond path)
         if (
             int(np.max(Ilen_b)) >= self.Imax
             and self.Imax < maxbonddim
         ):
+            if self.Imax * 2 > self.imax_cap:
+                return False
             self.Imax *= 2
             return self.sweep2site(
                 tci, forward, reltol, abstol, maxbonddim, extraIset, extraJset
@@ -592,6 +603,7 @@ class DeviceSweepEngine:
             Icap = self.Imax * self.localdims[b] + self.Imax
             Jcap = self.localdims[b + 1] * self.Imax + self.Imax
             self.nevals += Icap * Jcap
+        return True
 
     def _get_fill(self):
         key = ("fill", self.Imax)

@@ -598,13 +598,14 @@ class TensorCI2(AbstractTensorTrain):
             fwd = forwardsweep(sweepstrategy, it)
             engine = getattr(f, "device_sweep_engine", None)
             if pivotsearch == "full" and engine is not None:
-                # whole sweep as one jit-compiled device program
+                # whole sweep as one jit-compiled device program; falls back
+                # to the per-bond path when the rank exceeds the engine cap
                 self.invalidatesitetensors()
-                engine.sweep2site(
+                if engine.sweep2site(
                     self, fwd, 1e-14, abstol, maxbonddim,
                     extraIset, extraJset,
-                )
-                continue
+                ):
+                    continue
             if fwd:
                 brange = range(n - 1)
                 leftorth = True
