@@ -20,7 +20,7 @@ def main():
     t0 = time.perf_counter()
     I15 = tci.integrate(
         np.float64, fjax, [-1.0] * 10, [1.0] * 10, GKorder=15,
-        tolerance=1e-8, jax_native=True,
+        tolerance=1e-8, jax_native=True, maxbonddim=128,
     )
     wall = time.perf_counter() - t0
     Iref = -5.4960415218049

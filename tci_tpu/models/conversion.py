@@ -5,7 +5,7 @@ Parity reference: src/conversion.jl.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

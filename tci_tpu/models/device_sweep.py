@@ -23,8 +23,7 @@ buffer capacity Imax only grows geometrically when saturated.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

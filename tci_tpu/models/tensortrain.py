@@ -14,8 +14,7 @@ jitted MXU einsum chain.
 
 from __future__ import annotations
 
-import copy as _copy
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -11,7 +11,6 @@ index prefixes/suffixes.
 
 from __future__ import annotations
 
-import itertools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -20,7 +20,6 @@ are passed as device scalars and do not trigger recompilation.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ sampling loop (batcheval.jl:247-308).
 
 from __future__ import annotations
 
-import itertools
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Optional, Sequence
 

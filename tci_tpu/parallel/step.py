@@ -17,7 +17,6 @@ __graft_entry__.py executes it on an N-virtual-device CPU mesh.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -11,8 +11,6 @@ test/test_conversion.jl:67, ctor from Iset/Jset src/tensorci2.jl:123-137).
 from __future__ import annotations
 
 import json
-from typing import Union
-
 import numpy as np
 
 from ..models.tensorci2 import TensorCI2
