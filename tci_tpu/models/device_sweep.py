@@ -510,7 +510,12 @@ class DeviceSweepEngine:
             # Long chains use the scan-based sweep (compile time constant in
             # L); short chains use the unrolled variant (slightly cheaper at
             # runtime, exact static shapes per bond).
-            maker = _make_sweep_scan if len(self.localdims) >= 10 else _make_sweep
+            # The scan variant is required for long chains (compile time
+            # constant in L) and is hardware-proven for small local dims
+            # (quantics d=2); mid-length chains use the unrolled variant —
+            # the dynamic-index assembly in the scan body has triggered TPU
+            # kernel faults for large odd local dims (d=15, L=10).
+            maker = _make_sweep_scan if len(self.localdims) >= 16 else _make_sweep
             self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward, self._jdtype
             )
@@ -626,7 +631,7 @@ class DeviceSweepEngine:
         per-site fused kernel, whose compiled programs are shared across
         sites for uniform local dimensions)."""
         L = len(self.localdims)
-        if L >= 10:
+        if L >= 16:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
@@ -659,7 +664,7 @@ class DeviceSweepEngine:
         Returns False for long chains (unrolled program; caller falls back
         to the host-driven per-site path)."""
         L = len(self.localdims)
-        if L >= 10:
+        if L >= 16:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
