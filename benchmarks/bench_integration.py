@@ -18,9 +18,12 @@ def main():
         )
 
     t0 = time.perf_counter()
+    # per-bond fused tier: panels sized to actual rank (the padded
+    # whole-sweep programs exceed HBM for d=15 at high rank)
     I15 = tci.integrate(
         np.float64, fjax, [-1.0] * 10, [1.0] * 10, GKorder=15,
         tolerance=1e-8, jax_native=True, maxbonddim=128,
+        enable_device_sweep=False,
     )
     wall = time.perf_counter() - t0
     Iref = -5.4960415218049

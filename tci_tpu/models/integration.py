@@ -21,6 +21,7 @@ def integrate(
     b: Sequence[float],
     GKorder: int = 15,
     jax_native: bool = False,
+    enable_device_sweep: bool = True,
     **kwargs,
 ):
     """∫_a^b f(x) d^N x via TCI2 over a tensor-product GK grid
@@ -69,7 +70,10 @@ def integrate(
             )
             return w * f(x) * normalization
 
-        F = JaxBatchEvaluator(Fjax, localdims, dtype=valuetype)
+        F = JaxBatchEvaluator(
+            Fjax, localdims, dtype=valuetype,
+            enable_device_sweep=enable_device_sweep,
+        )
     else:
         def F(indices):
             x = [nodes[n, i] for n, i in enumerate(indices)]

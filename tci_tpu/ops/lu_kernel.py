@@ -156,6 +156,16 @@ def _rrlu_while(A, m_true, n_true, maxrank, reltol, abstol, *, leftorthogonal: b
     )
 
 
+@functools.partial(jax.jit, static_argnames=("leftorthogonal",))
+def _rrlu_pair_jit(Ar, Ai, m_true, n_true, maxrank, reltol, abstol,
+                   *, leftorthogonal: bool):
+    from .complex_pair import rrlu_state_pair
+
+    return rrlu_state_pair(
+        Ar, Ai, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
+    )
+
+
 def rrlu_raw(
     A: np.ndarray,
     maxrank: int,
@@ -179,15 +189,39 @@ def rrlu_raw(
             float("nan"),
         )
     dtype = np.result_type(A.dtype, np.float64)
-    if np.issubdtype(dtype, np.complexfloating):
-        dtype = np.complex128
-    else:
-        dtype = np.float64
+    iscomplex = np.issubdtype(dtype, np.complexfloating)
+    dtype = np.complex128 if iscomplex else np.float64
     mp, npd = bucket(m), bucket(n)
+    maxrank = min(maxrank, m, n)
+
+    if iscomplex:
+        from ..parallel.batcheval import platform_supports_complex
+
+        if not platform_supports_complex():
+            # complex-free backend (the tunneled TPU): run the elimination on
+            # explicit (re, im) f64 pairs (ops/complex_pair.py)
+            An = np.zeros((mp, npd), dtype=np.complex128)
+            An[:m, :n] = A
+            out = _rrlu_pair_jit(
+                jnp.asarray(An.real), jnp.asarray(An.imag),
+                jnp.int32(m), jnp.int32(n), jnp.int32(maxrank),
+                jnp.float64(reltol), jnp.float64(abstol),
+                leftorthogonal=leftorthogonal,
+            )
+            Ar, Ai, rowperm, colperm, k, mags, err = jax.device_get(out)
+            k = int(k)
+            return (
+                (np.asarray(Ar) + 1j * np.asarray(Ai))[:m, :n],
+                np.asarray(rowperm)[:m],
+                np.asarray(colperm)[:n],
+                k,
+                np.asarray(mags)[:k],
+                float(err),
+            )
+
     Ap = jnp.zeros((mp, npd), dtype=dtype)
     Ap = Ap.at[:m, :n].set(jnp.asarray(A, dtype=dtype))
 
-    maxrank = min(maxrank, m, n)
     Aout, rowperm, colperm, k, mags, err = _rrlu_while(
         Ap,
         jnp.int32(m),

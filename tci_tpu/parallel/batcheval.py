@@ -270,8 +270,13 @@ def platform_supports_complex() -> bool:
         try:
             import jax.numpy as jnp
 
-            z = jnp.asarray(np.ones(2, dtype=np.complex64)) * (1 + 1j)
-            np.asarray(z)
+            # Compile-only probe (executing an unsupported op can poison the
+            # remote backend's state) for complex128: no TPU lowers C128, so
+            # every TPU routes complex work through the f64 pair kernels —
+            # which is also higher precision than the C64 a real TPU offers.
+            jax.jit(lambda x: x * (1 + 1j)).lower(
+                jax.ShapeDtypeStruct((2,), jnp.complex128)
+            ).compile()
             _COMPLEX_SUPPORT_CACHE[backend] = True
         except Exception:
             _COMPLEX_SUPPORT_CACHE[backend] = False
@@ -286,7 +291,8 @@ class JaxBatchEvaluator(BatchEvaluator):
     """
 
     def __init__(self, fjax: Callable, localdims, dtype=np.float64,
-                 mesh=None, axis: str = "batch", pair_output: bool = False):
+                 mesh=None, axis: str = "batch", pair_output: bool = False,
+                 enable_device_sweep: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -296,6 +302,10 @@ class JaxBatchEvaluator(BatchEvaluator):
         self.mesh = mesh
         self.axis = axis
         self.pair_output = pair_output
+        # whole-sweep programs pad panels to Imax buckets; workloads with
+        # large local dims and high rank may prefer the per-bond fused tier
+        # (panels sized to the actual rank)
+        self.enable_device_sweep = enable_device_sweep
         self._nevals = 0
 
         self._iscomplex = np.issubdtype(np.dtype(dtype), np.complexfloating)
@@ -348,7 +358,7 @@ class JaxBatchEvaluator(BatchEvaluator):
         as one XLA program (models/device_sweep.py). None in pair mode —
         complex whole-sweep programs are a known gap; pair-mode bonds go
         through fused_updater instead."""
-        if self._complex_as_pair:
+        if self._complex_as_pair or not self.enable_device_sweep:
             return None
         if getattr(self, "_device_sweep_engine", None) is None:
             from ..models.device_sweep import DeviceSweepEngine
