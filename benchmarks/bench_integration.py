@@ -7,22 +7,26 @@ import time
 import numpy as np
 
 
-def main():
-    import jax.numpy as jnp
-
+def main(jax_native: bool = False):
     import tci_tpu as tci
 
-    def fjax(x):
-        return 1000 * jnp.cos(10 * jnp.sum(x**2)) * jnp.exp(
+    if jax_native:
+        import jax.numpy as jnp
+
+        f = lambda x: 1000 * jnp.cos(10 * jnp.sum(x**2)) * jnp.exp(
             -jnp.sum(x) ** 4 / 1000
+        )
+    else:
+        # host-sampled integrand (reference-style); the d=15 high-rank
+        # device path stresses this backend — pass --jax-native to use it
+        f = lambda x: 1000 * np.cos(10 * np.sum(np.asarray(x) ** 2)) * np.exp(
+            -np.sum(np.asarray(x)) ** 4 / 1000
         )
 
     t0 = time.perf_counter()
-    # per-bond fused tier: panels sized to actual rank (the padded
-    # whole-sweep programs exceed HBM for d=15 at high rank)
     I15 = tci.integrate(
-        np.float64, fjax, [-1.0] * 10, [1.0] * 10, GKorder=15,
-        tolerance=1e-8, jax_native=True, maxbonddim=128,
+        np.float64, f, [-1.0] * 10, [1.0] * 10, GKorder=15,
+        tolerance=1e-8, jax_native=jax_native, maxbonddim=128,
         enable_device_sweep=False,
     )
     wall = time.perf_counter() - t0
@@ -51,5 +55,5 @@ if __name__ == "__main__":
     from _common import finish, setup_cache
 
     setup_cache()
-    main()
+    main(jax_native="--jax-native" in sys.argv)
     finish()
