@@ -207,13 +207,60 @@ def make_fused_site_tensor(fjax: Callable, dtype=jnp.float64):
     return fused
 
 
+def make_fused_site_tensor_pair(fjax_pair: Callable):
+    """Pair-mode site-tensor kernel: fjax_pair returns (re, im); the solve
+    T = Π₁ P^{-1} runs on f64 pairs (ops/complex_pair.py)."""
+    from .complex_pair import panel_solve_pinv_pair
+
+    @jax.jit
+    def fused(Is, Js, Ip, Jp, n_is, n_js, n_ip):
+        def one_row(ic, J):
+            return jax.vmap(
+                lambda jc: fjax_pair(jnp.concatenate([ic, jc]))
+            )(J)  # (|J|, 2)
+
+        Pi1 = jax.vmap(lambda ic: one_row(ic, Js))(Is)
+        P = jax.vmap(lambda ic: one_row(ic, Jp))(Ip)
+        P1r = Pi1[..., 0].astype(jnp.float64)
+        P1i = Pi1[..., 1].astype(jnp.float64)
+        Pr = P[..., 0].astype(jnp.float64)
+        Pi_ = P[..., 1].astype(jnp.float64)
+        rowsP = jnp.arange(Pr.shape[0])
+        colsP = jnp.arange(Pr.shape[1])
+        maskP = (rowsP[:, None] < n_ip) & (colsP[None, :] < n_js)
+        eye = jnp.eye(Pr.shape[0], Pr.shape[1])
+        Pr = jnp.where(maskP, Pr, eye)
+        Pi_ = jnp.where(maskP, Pi_, 0.0)
+        mask1 = (
+            (jnp.arange(P1r.shape[0])[:, None] < n_is)
+            & (jnp.arange(P1r.shape[1])[None, :] < n_js)
+        )
+        P1r = jnp.where(mask1, P1r, 0.0)
+        P1i = jnp.where(mask1, P1i, 0.0)
+        maxsample = jnp.sqrt(
+            jnp.maximum(
+                jnp.max(P1r * P1r + P1i * P1i),
+                jnp.max(jnp.where(maskP, Pr * Pr + Pi_ * Pi_, 0.0)),
+            )
+        )
+        Tr, Ti = panel_solve_pinv_pair(P1r, P1i, Pr, Pi_, n_ip)
+        return Tr, Ti, maxsample
+
+    return fused
+
+
 class FusedSiteTensors:
     """Host wrapper for the fused site-tensor kernel (see
     TensorCI2.setsitetensor_from_f)."""
 
-    def __init__(self, fjax: Callable, dtype=np.float64):
-        jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving (c64 on TPU)
-        self._fused = make_fused_site_tensor(fjax, dtype=jdtype)
+    def __init__(self, fjax: Callable, dtype=np.float64, pair: bool = False):
+        self.pair = pair
+        self.dtype = np.dtype(dtype)
+        if pair:
+            self._fused = make_fused_site_tensor_pair(fjax)
+        else:
+            jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
+            self._fused = make_fused_site_tensor(fjax, dtype=jdtype)
         self.nevals = 0
 
     def compute(self, Iset_b, localdim: int, Jset_b, Iset_b1):
@@ -242,13 +289,18 @@ class FusedSiteTensors:
             Ip = np.vstack([Ip, np.zeros((mP - n_ip, Ip.shape[1]), np.int32)])
         # n_ip == n_js, so the P panel pads to a square (mP == mJ) bucket
         self.nevals += Is.shape[0] * Js.shape[0] + Ip.shape[0] * Js.shape[0]
-        T, maxsample = jax.device_get(
+        out = jax.device_get(
             self._fused(
                 jnp.asarray(Is), jnp.asarray(Js), jnp.asarray(Ip),
                 jnp.asarray(Js), jnp.int32(n_is), jnp.int32(n_js),
                 jnp.int32(n_ip),
             )
         )
+        if self.pair:
+            Tr, Ti, maxsample = out
+            T = (np.asarray(Tr) + 1j * np.asarray(Ti)).astype(self.dtype)
+        else:
+            T, maxsample = out
         T = np.asarray(T)[:n_is, :n_ip]
         return (
             T.reshape(len(Iset_b), localdim, len(Iset_b1)),

@@ -370,14 +370,13 @@ class JaxBatchEvaluator(BatchEvaluator):
 
     @property
     def fused_site_tensors(self):
-        """Fused on-device site-tensor computation (see ops/fused.py).
-        None when gated off."""
-        if self._complex_as_pair:
-            return None
+        """Fused on-device site-tensor computation (see ops/fused.py)."""
         if getattr(self, "_fused_site_tensors", None) is None:
             from ..ops.fused import FusedSiteTensors
 
-            self._fused_site_tensors = FusedSiteTensors(self.fjax, self.dtype)
+            self._fused_site_tensors = FusedSiteTensors(
+                self.fjax, self.dtype, pair=self._complex_as_pair
+            )
         return self._fused_site_tensors
 
     @property
