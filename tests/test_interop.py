@@ -77,3 +77,14 @@ def test_tensortrain_checkpoint(tmp_path, rng):
     tt2 = load_tensortrain(path)
     for i in itertools.product(*[range(3)] * 3):
         assert np.isclose(tt(list(i)), tt2(list(i)))
+
+
+def test_checkpoint_complex(tmp_path):
+    f = lambda v: np.exp(1j * sum(v)) / (1.0 + sum((x - 1) ** 2 for x in v))
+    t, _, _ = tci.crossinterpolate2(np.complex128, f, [3] * 4, tolerance=1e-8)
+    path = str(tmp_path / "c.npz")
+    save_tci2(path, t)
+    t2 = load_tci2(path)
+    assert t2.dtype == t.dtype
+    for v in itertools.product(*[range(3)] * 4):
+        assert np.isclose(t2.evaluate(v), t.evaluate(v))

@@ -376,3 +376,34 @@ def test_convergencecriterion():
     assert convergencecriterion(
         [1, 2, 2, 2], [1e-2, 1e-2, 1e-2, 1e-2], [0, 1, 1, 1], 1e-4, 2, 3
     )
+
+
+def test_sweep0site_removes_bad_pivots():
+    """sweep0site prunes numerically bad pivots (tensorci2.jl:559-586)."""
+    f = lambda v: 1.0 / (1.0 + sum((x + 1) ** 2 for x in v))
+    t, _, _ = crossinterpolate2(np.float64, f, [6] * 4, tolerance=1e-10)
+    r_before = t.rank()
+    for b in range(len(t) - 1):
+        t.sweep0site(f, b, reltol=1e-14)
+    assert t.rank() <= r_before
+    # pivot matrices stay square
+    for b in range(len(t) - 1):
+        assert len(t.Iset[b + 1]) == len(t.Jset[b])
+
+
+def test_printnestinginfo(capsys):
+    f = lambda v: 1.0 / (1.0 + sum((x + 1) ** 2 for x in v))
+    t, _, _ = crossinterpolate2(np.float64, f, [4] * 4, tolerance=1e-8)
+    t.printnestinginfo()
+    out = capsys.readouterr().out
+    assert "Nesting info: Iset" in out
+    assert "Nesting info: Jset" in out
+
+
+def test_stats_recorded():
+    f = lambda v: 1.0 / (1.0 + sum((x + 1) ** 2 for x in v))
+    t, ranks, errors = crossinterpolate2(np.float64, f, [4] * 4,
+                                         tolerance=1e-8)
+    assert len(t.stats["iteration_walltime"]) == len(ranks)
+    assert len(t.stats["sweep_walltime"]) == len(ranks)
+    assert all(w > 0 for w in t.stats["iteration_walltime"])
