@@ -241,10 +241,32 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
     return sweep
 
 
+def _panel_pair(fjax_pair, Ic, Jc, nl, nr, mI, mJ):
+    """Pair-valued panel: (Pr, Pi) f64 with invalid entries zeroed."""
+
+    def one_entry(ic, jc):
+        return fjax_pair(jnp.concatenate([ic[:nl], jc[:nr]]))
+
+    panel = _mapped_rows(
+        lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
+    )
+    rowsP = jnp.arange(panel.shape[0])
+    colsP = jnp.arange(panel.shape[1])
+    valid = (rowsP[:, None] < mI) & (colsP[None, :] < mJ)
+    Pr = jnp.where(valid, panel[..., 0].astype(jnp.float64), 0.0)
+    Pi_ = jnp.where(valid, panel[..., 1].astype(jnp.float64), 0.0)
+    return Pr, Pi_
+
+
 def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
-                forward: bool, dtype):
-    """Trace one full 2-site sweep (forward or backward) into a jit program."""
+                forward: bool, dtype, pair: bool = False):
+    """Trace one full 2-site sweep (forward or backward) into a jit program.
+
+    pair=True: fjax is pair-valued (returns stacked (re, im)); panels and the
+    elimination run on f64 pairs (ops/complex_pair.py)."""
     L = len(localdims)
+    if pair:
+        from ..ops.complex_pair import rrlu_state_pair
 
     @jax.jit
     def sweep(Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
@@ -302,33 +324,28 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             Jc = Jc_all[orderJ]
             mJ = jnp.sum(validJ).astype(jnp.int32)
 
-            # --- Π panel ----------------------------------------------------
+            # --- Π panel + rrLU ---------------------------------------------
             nl = b + 1  # prefix length of Icombined rows
             nr = L - b - 1  # suffix length of Jcombined rows
-
-            def one_entry(ic, jc):
-                # nl/nr are static per bond (loop unrolled at trace time)
-                return fjax(jnp.concatenate([ic[:nl], jc[:nr]]))
-
-            Pi = jax.vmap(
-                lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc)
-            )(Ic).astype(dtype)
-            rowsP = jnp.arange(Pi.shape[0])
-            colsP = jnp.arange(Pi.shape[1])
-            Pi = jnp.where(
-                (rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0
-            )
-            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
-
-            # --- rrLU -------------------------------------------------------
             maxrank = jnp.minimum(
                 jnp.minimum(maxbonddim, jnp.int32(Imax)),
                 jnp.minimum(mI, mJ),
             )
-            A, rowperm, colperm, k, mags, err = _rrlu_state(
-                Pi, mI, mJ, maxrank, reltol, abstol,
-                leftorthogonal=forward,
-            )
+            if pair:
+                Pr, Pim = _panel_pair(fjax, Ic, Jc, nl, nr, mI, mJ)
+                maxsample = jnp.maximum(
+                    maxsample, jnp.sqrt(jnp.max(Pr * Pr + Pim * Pim))
+                )
+                _, _, rowperm, colperm, k, mags, err = rrlu_state_pair(
+                    Pr, Pim, mI, mJ, maxrank, reltol, abstol, forward
+                )
+            else:
+                Pi = _panel(fjax, Ic, Jc, nl, nr, mI, mJ, dtype)
+                maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+                A, rowperm, colperm, k, mags, err = _rrlu_state(
+                    Pi, mI, mJ, maxrank, reltol, abstol,
+                    leftorthogonal=forward,
+                )
             err_final = jnp.where(k >= jnp.minimum(mI, mJ), 0.0, err)
 
             # --- write back selected pivots ---------------------------------
@@ -491,10 +508,12 @@ class DeviceSweepEngine:
     amortized by the persistent compilation cache)."""
 
     def __init__(self, fjax: Callable, localdims: Sequence[int],
-                 imax: int = 32, imax_cap: int = 256, dtype=np.float64):
+                 imax: int = 32, imax_cap: int = 256, dtype=np.float64,
+                 pair: bool = False):
         self.fjax = fjax
         self.localdims = tuple(int(d) for d in localdims)
         self.dtype = np.dtype(dtype).type
+        self.pair = pair
         self._jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
         self.Imax = imax
         # beyond this capacity the padded whole-sweep panels get wasteful
@@ -515,10 +534,20 @@ class DeviceSweepEngine:
             # (quantics d=2); mid-length chains use the unrolled variant —
             # the dynamic-index assembly in the scan body has triggered TPU
             # kernel faults for large odd local dims (d=15, L=10).
-            maker = _make_sweep_scan if len(self.localdims) >= 16 else _make_sweep
-            self._sweeps[key] = maker(
-                self.fjax, self.localdims, self.Imax, forward, self._jdtype
-            )
+            if self.pair:
+                self._sweeps[key] = _make_sweep(
+                    self.fjax, self.localdims, self.Imax, forward,
+                    self._jdtype, pair=True,
+                )
+            else:
+                maker = (
+                    _make_sweep_scan if len(self.localdims) >= 16
+                    else _make_sweep
+                )
+                self._sweeps[key] = maker(
+                    self.fjax, self.localdims, self.Imax, forward,
+                    self._jdtype,
+                )
         return self._sweeps[key]
 
     def _pack(self, sets: List[List[MultiIndex]], align: str) -> Tuple:
@@ -559,6 +588,10 @@ class DeviceSweepEngine:
             + [1]
         )
         if needed > self.imax_cap:
+            return False
+        if self.pair and len(self.localdims) >= 16:
+            # scan-based pair sweep not implemented; long pair chains use
+            # the per-bond fused tier
             return False
         while self.Imax < needed:
             self.Imax *= 2
@@ -631,7 +664,7 @@ class DeviceSweepEngine:
         per-site fused kernel, whose compiled programs are shared across
         sites for uniform local dimensions)."""
         L = len(self.localdims)
-        if L >= 16:
+        if L >= 16 or self.pair:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
@@ -664,7 +697,7 @@ class DeviceSweepEngine:
         Returns False for long chains (unrolled program; caller falls back
         to the host-driven per-site path)."""
         L = len(self.localdims)
-        if L >= 16:
+        if L >= 16 or self.pair:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]

@@ -355,16 +355,16 @@ class JaxBatchEvaluator(BatchEvaluator):
     @property
     def device_sweep_engine(self):
         """Whole-sweep device engine: all bond updates of a 2-site sweep run
-        as one XLA program (models/device_sweep.py). None in pair mode —
-        complex whole-sweep programs are a known gap; pair-mode bonds go
-        through fused_updater instead."""
-        if self._complex_as_pair or not self.enable_device_sweep:
+        as one XLA program (models/device_sweep.py); pair mode runs the
+        (re, im) f64 pair kernels."""
+        if not self.enable_device_sweep:
             return None
         if getattr(self, "_device_sweep_engine", None) is None:
             from ..models.device_sweep import DeviceSweepEngine
 
             self._device_sweep_engine = DeviceSweepEngine(
-                self.fjax, self.localdims, dtype=self.dtype
+                self.fjax, self.localdims, dtype=self.dtype,
+                pair=self._complex_as_pair,
             )
         return self._device_sweep_engine
 

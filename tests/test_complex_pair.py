@@ -100,7 +100,8 @@ def test_pair_full_tci_matches():
     bg = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
                            pair_output=True)
     assert bg.fused_updater is not None
-    assert bg.device_sweep_engine is None  # documented gap in pair mode
+    assert bg.device_sweep_engine is not None
+    assert bg.device_sweep_engine.pair
     t1, _, _ = tci.crossinterpolate2(np.complex128, bg, localdims,
                                      tolerance=1e-10)
     t2, _, _ = tci.crossinterpolate2(np.complex128, gpy, localdims,
