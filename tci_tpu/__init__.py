@@ -96,6 +96,7 @@ from .models.globalpivotfinder import (  # noqa: E402
 from .models.globalsearch import estimatetrueerror  # noqa: E402
 from .models import conversion  # noqa: E402
 from .models.contraction import Contraction, contract  # noqa: E402
+from .models.contraction_device import contract_zipup_device  # noqa: E402
 from .models.integration import integrate  # noqa: E402
 
 __version__ = "0.1.0"
@@ -124,5 +125,5 @@ __all__ = [
     "AbstractGlobalPivotFinder", "DefaultGlobalPivotFinder", "estimatetrueerror",
     "conversion",
     # L5 applications
-    "Contraction", "contract", "integrate",
+    "Contraction", "contract", "contract_zipup_device", "integrate",
 ]

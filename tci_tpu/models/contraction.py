@@ -361,8 +361,23 @@ def contract_zipup(
     A: TensorTrain, B: TensorTrain,
     tolerance: float = 1e-12, method: str = "SVD",
     maxbonddim: int = _INTMAX,
+    jax_native: bool = False,
 ) -> TensorTrain:
-    """Streaming contract+factorize (contraction.jl:751-788)."""
+    """Streaming contract+factorize (contraction.jl:751-788).
+
+    With ``jax_native=True`` (real dtypes, method="LU") each bond runs as one
+    fused einsum+rrLU XLA program on device (models/contraction_device.py).
+    """
+    if jax_native:
+        if method != "LU":
+            raise ValueError(
+                "jax_native zip-up uses rrLU truncation; pass method='LU'."
+            )
+        from .contraction_device import contract_zipup_device
+
+        return contract_zipup_device(
+            A, B, tolerance=tolerance, maxbonddim=maxbonddim
+        )
     if len(A) != len(B):
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
@@ -406,6 +421,7 @@ def contract(
     maxbonddim: int = _INTMAX,
     f=None,
     method: str = "SVD",
+    jax_native: bool = False,
     **kwargs,
 ) -> TensorTrain:
     """Contract two tensor trains (contraction.jl:832-891).
@@ -419,14 +435,16 @@ def contract(
     if A_is_mps and not B_is_mps:
         A4 = _promote_mps_to_mpo(A, "up")
         tt = contract(A4, B, algorithm=algorithm, tolerance=tolerance,
-                      maxbonddim=maxbonddim, f=f, method=method, **kwargs)
+                      maxbonddim=maxbonddim, f=f, method=method,
+                      jax_native=jax_native, **kwargs)
         return TensorTrain(
             [t.reshape(t.shape[0], -1, t.shape[-1]) for t in tt.sitetensors()]
         )
     if B_is_mps and not A_is_mps:
         B4 = _promote_mps_to_mpo(B, "down")
         tt = contract(A, B4, algorithm=algorithm, tolerance=tolerance,
-                      maxbonddim=maxbonddim, f=f, method=method, **kwargs)
+                      maxbonddim=maxbonddim, f=f, method=method,
+                      jax_native=jax_native, **kwargs)
         return TensorTrain(
             [t.reshape(t.shape[0], -1, t.shape[-1]) for t in tt.sitetensors()]
         )
@@ -446,5 +464,5 @@ def contract(
                 "Use algorithm='TCI' instead."
             )
         return contract_zipup(A, B, tolerance=tolerance, method=method,
-                              maxbonddim=maxbonddim)
+                              maxbonddim=maxbonddim, jax_native=jax_native)
     raise ValueError(f"Unknown algorithm {algorithm}.")

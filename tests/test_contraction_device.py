@@ -1,0 +1,91 @@
+"""Device-resident zip-up contraction (models/contraction_device.py) vs the
+host zip-up (reference: src/contraction.jl:751-788) on the virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+from tci_tpu.models.contraction import contract, contract_zipup
+from tci_tpu.models.tensortrain import TensorTrain, fulltensor
+
+
+def _rand_mpo(rng, L, chi, d1, d2):
+    bonds = [1] + [chi] * (L - 1) + [1]
+    return TensorTrain(
+        [
+            rng.standard_normal((bonds[n], d1, d2, bonds[n + 1]))
+            for n in range(L)
+        ]
+    )
+
+
+def _lowrank_mpo(rng, L, chi, d1, d2, r):
+    bonds = [1] + [chi] * (L - 1) + [1]
+    ts = []
+    for n in range(L):
+        u = rng.standard_normal((bonds[n], d1, d2, r))
+        v = rng.standard_normal((r, bonds[n + 1]))
+        ts.append((u @ v) / np.sqrt(r))
+    return TensorTrain(ts)
+
+
+def test_device_zipup_matches_host(rng):
+    A = _rand_mpo(rng, 5, 4, 3, 3)
+    B = _rand_mpo(rng, 5, 5, 3, 2)
+    host = contract_zipup(A, B, tolerance=1e-10, method="LU")
+    dev = contract_zipup(A, B, tolerance=1e-10, method="LU", jax_native=True)
+    assert host.linkdims() == dev.linkdims()
+    fh, fd = fulltensor(host), fulltensor(dev)
+    assert np.allclose(fh, fd, atol=1e-9 * np.abs(fh).max())
+    # and both reproduce the exact product
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    assert np.allclose(fd, exact, atol=1e-9 * np.abs(exact).max())
+
+
+def test_device_zipup_maxbonddim_matches_host(rng):
+    A = _rand_mpo(rng, 5, 4, 3, 3)
+    B = _rand_mpo(rng, 5, 5, 3, 2)
+    host = contract_zipup(A, B, tolerance=1e-10, method="LU", maxbonddim=6)
+    dev = contract_zipup(
+        A, B, tolerance=1e-10, method="LU", maxbonddim=6, jax_native=True
+    )
+    assert host.linkdims() == dev.linkdims() == [6, 6, 6, 6]
+    fh, fd = fulltensor(host), fulltensor(dev)
+    assert np.allclose(fh, fd, atol=1e-9 * np.abs(fh).max())
+
+
+def test_device_zipup_tolerance_truncates(rng):
+    A = _lowrank_mpo(rng, 5, 8, 3, 3, 2)
+    B = _lowrank_mpo(rng, 5, 8, 3, 2, 2)
+    host = contract_zipup(A, B, tolerance=1e-8, method="LU")
+    dev = contract_zipup(A, B, tolerance=1e-8, method="LU", jax_native=True)
+    assert dev.linkdims() == host.linkdims()
+    assert max(dev.linkdims()) < 64  # genuinely truncated
+    fh, fd = fulltensor(host), fulltensor(dev)
+    assert np.allclose(fh, fd, atol=1e-7 * np.abs(fh).max())
+
+
+def test_device_zipup_via_contract_mps(rng):
+    B = _rand_mpo(rng, 4, 5, 3, 2)
+    mps = TensorTrain(
+        [
+            rng.standard_normal((b1, 2, b2))
+            for b1, b2 in zip([1, 3, 3, 3], [3, 3, 3, 1])
+        ]
+    )
+    c_host = contract(B, mps, algorithm="zipup", method="LU", tolerance=1e-10)
+    c_dev = contract(
+        B, mps, algorithm="zipup", method="LU", tolerance=1e-10,
+        jax_native=True,
+    )
+    assert all(t.ndim == 3 for t in c_dev.sitetensors())
+    assert np.allclose(fulltensor(c_host), fulltensor(c_dev), atol=1e-8)
+
+
+def test_device_zipup_rejects_complex_and_nonlu(rng):
+    A = _rand_mpo(rng, 3, 2, 2, 2)
+    B = _rand_mpo(rng, 3, 2, 2, 2)
+    with pytest.raises(ValueError, match="method='LU'"):
+        contract_zipup(A, B, method="SVD", jax_native=True)
+    Ac = TensorTrain([t.astype(np.complex128) for t in A.sitetensors()])
+    with pytest.raises(ValueError, match="real dtypes"):
+        contract_zipup(Ac, B, method="LU", jax_native=True)
