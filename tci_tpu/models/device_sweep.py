@@ -501,6 +501,225 @@ def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
     return sweep
 
 
+def _panel_dyn(fjax, Ic, Jc, nl, mI, mJ, dtype):
+    """Π panel with a *dynamic* prefix length nl: row indices Ic hold the
+    first nl slots, suffix indices Jc are left-aligned and rolled into
+    position. Invalid rows/cols masked to zero."""
+    pos = jnp.arange(Ic.shape[1], dtype=jnp.int32)
+
+    def one_entry(ic, jc):
+        full = jnp.where(pos < nl, ic, jnp.roll(jc, nl))
+        return fjax(full)
+
+    Pi = _mapped_rows(
+        lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
+    ).astype(dtype)
+    rowsP = jnp.arange(Pi.shape[0])
+    colsP = jnp.arange(Pi.shape[1])
+    return jnp.where((rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0)
+
+
+def _kron_is_scan(Iset_b, b, Imax, dmax, L):
+    """kron(Iset[b], dmax) rows with the site index written at dynamic
+    position b. Row r = i*dmax + s; slots s >= d_b and i >= Ilen[b] are
+    masked by the caller's valid predicate."""
+    pos = jnp.arange(L, dtype=jnp.int32)
+    kron = jnp.broadcast_to(Iset_b[:, None, :], (Imax, dmax, L))
+    svals = jnp.broadcast_to(
+        jnp.arange(dmax, dtype=jnp.int32)[None, :], (Imax, dmax)
+    )
+    kron = jnp.where(pos[None, None, :] == b, svals[:, :, None], kron)
+    return kron.reshape(Imax * dmax, L)
+
+
+def _make_fillsitetensors_scan(fjax: Callable, localdims: Tuple[int, ...],
+                               Imax: int, dtype):
+    """All L site tensors T_b = Π₁ P^{-1} (tensorci2.jl:599-629) with a
+    lax.scan over bonds: compile time constant in L, for long (quantics)
+    chains where the unrolled variant is gated off."""
+    L = len(localdims)
+    dmax = max(localdims)
+    dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+
+    @jax.jit
+    def fill(Iset, Ilen, Jset, Jlen):
+        def body(carry, b):
+            tensors, maxsample = carry
+            d_b = dims_arr[b]
+            kron = _kron_is_scan(Iset[b], b, Imax, dmax, L)
+            ridk = jnp.arange(Imax * dmax)
+            valid = ((ridk // dmax) < Ilen[b]) & ((ridk % dmax) < d_b)
+            orderI = jnp.argsort(~valid, stable=True)
+            Ic = kron[orderI]
+            mIs = jnp.sum(valid).astype(jnp.int32)
+            nl = b + 1
+            Pi1 = _panel_dyn(fjax, Ic, Jset[b], nl, mIs, Jlen[b], dtype)
+            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
+            P = _panel_dyn(
+                fjax, Iset[b + 1], Jset[b], nl, Ilen[b + 1], Jlen[b], dtype
+            )
+            padmask = (
+                jnp.arange(Imax)[:, None] >= Ilen[b + 1]
+            ) | (jnp.arange(Imax)[None, :] >= Jlen[b])
+            P = jnp.where(padmask, jnp.eye(Imax, dtype=dtype), P)
+            T = panel_solve_pinv(Pi1, P, Ilen[b + 1], dtype)
+            Tfull = jnp.zeros_like(T).at[orderI].set(T)
+            tensors = tensors.at[b].set(Tfull.reshape(Imax, dmax, Imax))
+            return (tensors, maxsample), None
+
+        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        (tensors, maxsample), _ = jax.lax.scan(
+            body, (tensors, jnp.float64(0.0)),
+            jnp.arange(L - 1, dtype=jnp.int32),
+        )
+        # boundary site L-1 (static): T = Π₁ reshaped; Jset[L-1] = [()]
+        last = L - 1
+        d_l = localdims[last]
+        kron = jnp.broadcast_to(Iset[last][:, None, :], (Imax, d_l, L))
+        kron = kron.at[:, :, last].set(
+            jnp.broadcast_to(
+                jnp.arange(d_l, dtype=jnp.int32)[None, :], (Imax, d_l)
+            )
+        )
+        Is = kron.reshape(Imax * d_l, L)
+        Pi1 = _panel(
+            fjax, Is, Jset[last], last + 1, 0, Ilen[last] * d_l, Jlen[last],
+            dtype,
+        )
+        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
+        T = Pi1[:, :1].reshape(Imax, d_l, 1)
+        tensors = tensors.at[last, :, :d_l, :1].set(T)
+        return tensors, maxsample
+
+    return fill
+
+
+def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
+                          Imax: int, forward: bool, dtype):
+    """Scan-based one-site sweep (tensorci2.jl:659-725): one traced bond
+    body + lax.scan, compile time constant in L. Semantics identical to
+    _make_sweep1site (same outputs), for long chains."""
+    L = len(localdims)
+    dmax = max(localdims)
+    dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+
+    def body(carry, b):
+        (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs, maxsample,
+         reltol, abstol, maxbonddim) = carry
+        d_b = dims_arr[b]
+
+        if forward:
+            kron = _kron_is_scan(Iset[b], b, Imax, dmax, L)
+            ridk = jnp.arange(Imax * dmax)
+            valid = ((ridk // dmax) < Ilen[b]) & ((ridk % dmax) < d_b)
+            orderI = jnp.argsort(~valid, stable=True)
+            Is = kron[orderI]
+            mIs = jnp.sum(valid).astype(jnp.int32)
+            Js, mJs = Jset[b], Jlen[b]
+            Pi = _panel_dyn(fjax, Is, Js, b + 1, mIs, mJs, dtype)
+        else:
+            shifted = jnp.roll(Jset[b], 1, axis=1)
+            kronJ = jnp.broadcast_to(shifted[None, :, :], (dmax, Imax, L))
+            svalsJ = jnp.broadcast_to(
+                jnp.arange(dmax, dtype=jnp.int32)[:, None], (dmax, Imax)
+            )
+            pos = jnp.arange(L, dtype=jnp.int32)
+            kronJ = jnp.where(pos[None, None, :] == 0,
+                              svalsJ[:, :, None], kronJ)
+            kronJ = kronJ.reshape(dmax * Imax, L)
+            ridj = jnp.arange(dmax * Imax)
+            validJ = ((ridj % Imax) < Jlen[b]) & ((ridj // Imax) < d_b)
+            orderJ = jnp.argsort(~validJ, stable=True)
+            Js = kronJ[orderJ]
+            mJs = jnp.sum(validJ).astype(jnp.int32)
+            Is, mIs = Iset[b], Ilen[b]
+            Pi = _panel_dyn(fjax, Is, Js, b, mIs, mJs, dtype)
+        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+
+        maxrank = jnp.minimum(
+            jnp.minimum(maxbonddim, jnp.int32(Imax)), jnp.minimum(mIs, mJs)
+        )
+        A, rowperm, colperm, k, mags, err = _rrlu_state(
+            Pi, mIs, mJs, maxrank, reltol, abstol, leftorthogonal=forward
+        )
+        err_final = jnp.where(k >= jnp.minimum(mIs, mJs), 0.0, err)
+        left, right = ci_factors(A, rowperm, colperm, k, forward, dtype)
+
+        keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+        selI = Is[rowperm[:Imax], :]
+        selJ = Js[colperm[:Imax], :]
+        if forward:
+            Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+            Ilen = Ilen.at[b + 1].set(k)
+            Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+            Jlen = Jlen.at[b].set(k)
+            Lfull = jnp.zeros(
+                (Imax * dmax, Imax), dtype=dtype
+            ).at[orderI].set(left[:, :Imax])
+            tensors = tensors.at[b].set(Lfull.reshape(Imax, dmax, Imax))
+            bidx = b
+        else:
+            Iset = Iset.at[b].set(jnp.where(keep, selI, 0))
+            Ilen = Ilen.at[b].set(k)
+            Jset = Jset.at[b - 1].set(jnp.where(keep, selJ, 0))
+            Jlen = Jlen.at[b - 1].set(k)
+            Rfull = jnp.zeros(
+                (Imax, dmax * Imax), dtype=dtype
+            ).at[:, orderJ].set(right[:Imax, :])
+            tensors = tensors.at[b].set(Rfull.reshape(Imax, dmax, Imax))
+            bidx = b - 1
+        bonderrs = bonderrs.at[bidx].set(err_final)
+        pv = jnp.where(
+            jnp.arange(Imax + 1) < k,
+            jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
+            0.0,
+        )
+        pv = pv.at[k].set(err_final)
+        perrs = perrs.at[bidx].set(pv)
+
+        carry = (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs,
+                 maxsample, reltol, abstol, maxbonddim)
+        return carry, None
+
+    @jax.jit
+    def sweep(Iset, Ilen, Jset, Jlen, reltol, abstol, maxbonddim):
+        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
+        perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
+        bonds = (
+            jnp.arange(L - 1, dtype=jnp.int32)
+            if forward
+            else jnp.arange(L - 1, 0, -1, dtype=jnp.int32)
+        )
+        carry = (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs,
+                 jnp.float64(0.0), reltol, abstol, maxbonddim)
+        carry, _ = jax.lax.scan(body, carry, bonds)
+        (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs, maxsample,
+         _, _, _) = carry
+
+        # final boundary tensor (static site index)
+        last = L - 1 if forward else 0
+        d_l = localdims[last]
+        kron = jnp.broadcast_to(Iset[last][:, None, :], (Imax, d_l, L))
+        kron = kron.at[:, :, last].set(
+            jnp.broadcast_to(
+                jnp.arange(d_l, dtype=jnp.int32)[None, :], (Imax, d_l)
+            )
+        )
+        Is = kron.reshape(Imax * d_l, L)
+        Pi1 = _panel(
+            fjax, Is, Jset[last], last + 1, L - last - 1,
+            Ilen[last] * d_l, Jlen[last], dtype,
+        )
+        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
+        T = Pi1[:, :Imax].reshape(Imax, d_l, Imax)
+        tensors = tensors.at[last, :, :d_l, :].set(T)
+
+        return (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs, maxsample)
+
+    return sweep
+
+
 class DeviceSweepEngine:
     """Host wrapper: uploads TCI2 index sets into padded device buffers, runs
     the whole-sweep jit, and writes the results back. Grows the buffer
@@ -645,7 +864,11 @@ class DeviceSweepEngine:
     def _get_fill(self):
         key = ("fill", self.Imax)
         if key not in self._sweeps:
-            self._sweeps[key] = _make_fillsitetensors(
+            maker = (
+                _make_fillsitetensors_scan if len(self.localdims) >= 16
+                else _make_fillsitetensors
+            )
+            self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, self._jdtype
             )
         return self._sweeps[key]
@@ -653,22 +876,26 @@ class DeviceSweepEngine:
     def _get_sweep1(self, forward: bool):
         key = ("sweep1", forward, self.Imax)
         if key not in self._sweeps:
-            self._sweeps[key] = _make_sweep1site(
+            maker = (
+                _make_sweep1site_scan if len(self.localdims) >= 16
+                else _make_sweep1site
+            )
+            self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward, self._jdtype
             )
         return self._sweeps[key]
 
     def fillsitetensors(self, tci) -> bool:
-        """Compute all site tensors in one device program. Returns False for
-        long chains (the all-sites program is unrolled; callers then use the
-        per-site fused kernel, whose compiled programs are shared across
-        sites for uniform local dimensions)."""
+        """Compute all site tensors in one device program (unrolled for
+        short chains, lax.scan over bonds for long ones)."""
         L = len(self.localdims)
-        if L >= 16 or self.pair:
+        if self.pair:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
         )
+        if needed > self.imax_cap:
+            return False
         while self.Imax < needed:
             self.Imax *= 2
         Iset, Ilen = self._pack(tci.Iset, "left")
@@ -693,15 +920,16 @@ class DeviceSweepEngine:
 
     def sweep1site(self, tci, forward: bool, reltol: float, abstol: float,
                    maxbonddim: int, updatetensors: bool = True) -> bool:
-        """One-site sweep as one device program, updating tci in place.
-        Returns False for long chains (unrolled program; caller falls back
-        to the host-driven per-site path)."""
+        """One-site sweep as one device program (unrolled for short chains,
+        lax.scan over bonds for long ones), updating tci in place."""
         L = len(self.localdims)
-        if L >= 16 or self.pair:
+        if self.pair:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
         )
+        if needed > self.imax_cap:
+            return False
         while self.Imax < needed:
             self.Imax *= 2
         Iset_h = [list(s) for s in tci.Iset]
@@ -719,6 +947,8 @@ class DeviceSweepEngine:
              maxsample) = jax.device_get(out)
             if int(max(np.max(Ilen_b), np.max(Jlen_b))) >= self.Imax \
                     and self.Imax < maxbonddim:
+                if self.Imax * 2 > self.imax_cap:
+                    return False
                 self.Imax *= 2
                 continue
             break

@@ -95,3 +95,131 @@ def test_device_engine_buffer_growth():
         tci.fulltensor(tci.tensortrain(t1)), tci.fulltensor(tci.tensortrain(t2))
     )
     assert bf._device_sweep_engine.Imax > 2
+
+
+def _hjax(idx):
+    import jax.numpy as jnp
+
+    L = idx.shape[0]
+    v = idx.astype(jnp.float64)
+    w = 1.0 + 0.5 * jnp.arange(L, dtype=jnp.float64)
+    return 1.0 / (1.0 + jnp.sum(v * w) + 0.3 * jnp.sum(v) ** 2)
+
+
+def test_scan_fill_and_sweep1site_match_unrolled():
+    """The lax.scan variants (long chains) must be bit-identical to the
+    unrolled programs on the same padded buffers."""
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import (
+        _make_fillsitetensors,
+        _make_fillsitetensors_scan,
+        _make_sweep1site,
+        _make_sweep1site_scan,
+    )
+
+    L, Imax = 10, 16
+    localdims = tuple([2] * L)
+    bf = JaxBatchEvaluator(_hjax, list(localdims))
+    t, _, _ = tci.crossinterpolate2(np.float64, bf, list(localdims),
+                                    tolerance=1e-10)
+    assert max(t.linkdims()) <= Imax
+
+    Iset = np.zeros((L, Imax, L), dtype=np.int32)
+    Ilen = np.zeros(L, np.int32)
+    Jset = np.zeros((L, Imax, L), dtype=np.int32)
+    Jlen = np.zeros(L, np.int32)
+    for b in range(L):
+        Ilen[b], Jlen[b] = len(t.Iset[b]), len(t.Jset[b])
+        for r, idx in enumerate(t.Iset[b]):
+            if idx:
+                Iset[b, r, : len(idx)] = idx
+        for r, idx in enumerate(t.Jset[b]):
+            if idx:
+                Jset[b, r, : len(idx)] = idx
+    args = tuple(jnp.asarray(x) for x in (Iset, Ilen, Jset, Jlen))
+
+    out_u, ms_u = _make_fillsitetensors(_hjax, localdims, Imax, jnp.float64)(
+        *args
+    )
+    out_s, ms_s = _make_fillsitetensors_scan(
+        _hjax, localdims, Imax, jnp.float64
+    )(*args)
+    assert np.isclose(float(ms_u), float(ms_s))
+    for b in range(L):
+        nr, d = int(Ilen[b]), localdims[b]
+        nc = int(Ilen[b + 1]) if b < L - 1 else int(Jlen[b])
+        assert np.allclose(
+            np.asarray(out_u[b][:nr, :d, :nc]),
+            np.asarray(out_s[b][:nr, :d, :nc]),
+            atol=1e-12,
+        ), f"fill mismatch at site {b}"
+
+    extra = (jnp.float64(1e-10), jnp.float64(0.0), jnp.int32(2**31 - 1))
+    for fwd in (True, False):
+        ru = _make_sweep1site(_hjax, localdims, Imax, fwd, jnp.float64)(
+            *args, *extra
+        )
+        rs = _make_sweep1site_scan(_hjax, localdims, Imax, fwd, jnp.float64)(
+            *args, *extra
+        )
+        Il, Jl = np.asarray(ru[1]), np.asarray(ru[3])
+        assert np.array_equal(Il, np.asarray(rs[1]))
+        assert np.array_equal(Jl, np.asarray(rs[3]))
+        for b in range(L):
+            assert np.array_equal(
+                np.asarray(ru[0])[b][: Il[b]], np.asarray(rs[0])[b][: Il[b]]
+            )
+            assert np.array_equal(
+                np.asarray(ru[2])[b][: Jl[b]], np.asarray(rs[2])[b][: Jl[b]]
+            )
+            nr = int(Il[b])
+            nc = int(Il[b + 1]) if b < L - 1 else int(Jl[b])
+            assert np.allclose(
+                np.asarray(ru[4])[b][:nr, :2, :nc],
+                np.asarray(rs[4])[b][:nr, :2, :nc],
+                atol=1e-12,
+            )
+        for i in (5, 6, 7):  # bonderrs, perrs, maxsample
+            assert np.allclose(np.asarray(ru[i]), np.asarray(rs[i]))
+
+
+def test_long_chain_engine_fill_and_sweep1():
+    """L >= 16 routes fill/1-site through the scan programs; results must
+    agree with the host path to the optimization tolerance."""
+    L = 18
+    localdims = [2] * L
+
+    def fjax(idx):
+        import jax.numpy as jnp
+
+        v = idx.astype(jnp.float64)
+        w = 1.0 + 0.5 * jnp.arange(L, dtype=jnp.float64)
+        return jnp.cos(jnp.sum(v * w) / 7.0) / (1.0 + jnp.sum(v))
+
+    def fpy(x):
+        v = np.asarray(x, float)
+        w = 1.0 + 0.5 * np.arange(L)
+        return np.cos((v * w).sum() / 7.0) / (1.0 + v.sum())
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    t1, _, _ = tci.crossinterpolate2(np.float64, bf, localdims,
+                                     tolerance=1e-8)
+    t2, _, _ = tci.crossinterpolate2(np.float64, fpy, localdims,
+                                     tolerance=1e-8)
+    assert t1.linkdims() == t2.linkdims()
+    f2 = tci.fulltensor(tci.tensortrain(t2))
+
+    eng = bf.device_sweep_engine
+    t1.invalidatesitetensors()
+    assert eng.fillsitetensors(t1)  # scan fill used, not the fallback
+    f1 = tci.fulltensor(tci.tensortrain(t1))
+    assert np.abs(f1 - f2).max() < 1e-7
+
+    assert eng.sweep1site(t1, True, 0.0, 0.0, 2**31 - 1)
+    t2.sweep1site(fpy, "forward", reltol=0.0, abstol=0.0,
+                  maxbonddim=2**31 - 1)
+    assert t1.linkdims() == t2.linkdims()
+    s1 = tci.fulltensor(tci.tensortrain(t1))
+    s2 = tci.fulltensor(tci.tensortrain(t2))
+    assert np.abs(s1 - s2).max() < 1e-7
