@@ -7,7 +7,7 @@ import time
 import numpy as np
 
 
-def main(jax_native: bool = False):
+def main(jax_native: bool = False, scalar: bool = False):
     import tci_tpu as tci
 
     if jax_native:
@@ -16,17 +16,24 @@ def main(jax_native: bool = False):
         f = lambda x: 1000 * jnp.cos(10 * jnp.sum(x**2)) * jnp.exp(
             -jnp.sum(x) ** 4 / 1000
         )
-    else:
-        # host-sampled integrand (reference-style); the d=15 high-rank
-        # device path stresses this backend — pass --jax-native to use it
+    elif scalar:
+        # per-point host integrand (--scalar; reference-style Python loop)
         f = lambda x: 1000 * np.cos(10 * np.sum(np.asarray(x) ** 2)) * np.exp(
             -np.sum(np.asarray(x)) ** 4 / 1000
+        )
+    else:
+        # default: vectorized host sampling — each Π panel is one numpy call
+        # over the (B, 10) coordinate batch. The d=15 high-rank device path
+        # stresses this backend; pass --jax-native to use it anyway.
+        f = lambda X: 1000 * np.cos(10 * np.sum(X**2, axis=1)) * np.exp(
+            -np.sum(X, axis=1) ** 4 / 1000
         )
 
     t0 = time.perf_counter()
     I15 = tci.integrate(
         np.float64, f, [-1.0] * 10, [1.0] * 10, GKorder=15,
-        tolerance=1e-8, jax_native=jax_native, maxbonddim=128,
+        tolerance=1e-8, jax_native=jax_native,
+        vectorized=not (jax_native or scalar), maxbonddim=128,
         enable_device_sweep=False,
     )
     wall = time.perf_counter() - t0
@@ -55,5 +62,8 @@ if __name__ == "__main__":
     from _common import finish, setup_cache
 
     setup_cache()
-    main(jax_native="--jax-native" in sys.argv)
+    main(
+        jax_native="--jax-native" in sys.argv,
+        scalar="--scalar" in sys.argv,
+    )
     finish()

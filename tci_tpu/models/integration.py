@@ -21,6 +21,7 @@ def integrate(
     b: Sequence[float],
     GKorder: int = 15,
     jax_native: bool = False,
+    vectorized: bool = False,
     enable_device_sweep: bool = True,
     **kwargs,
 ):
@@ -33,6 +34,10 @@ def integrate(
     With jax_native=True, `f` must be jax-traceable on a coordinate vector;
     the weighted integrand then samples on the accelerator through the
     batched evaluation runtime and device-resident sweeps.
+
+    With vectorized=True (host sampling), `f` must accept a (B, N) coordinate
+    matrix and return (B,) values; each Π panel is then one numpy call
+    instead of B Python-level point evaluations.
     """
     if GKorder % 2 == 0:
         raise ValueError("Gauss--Kronrod order must be odd, e.g. 15 or 61.")
@@ -74,6 +79,24 @@ def integrate(
             Fjax, localdims, dtype=valuetype,
             enable_device_sweep=enable_device_sweep,
         )
+    elif vectorized:
+        from ..parallel.batcheval import VectorizedBatchEvaluator
+
+        dims = np.arange(len(a))
+
+        def Fvec(idx):
+            X = nodes[dims[None, :], idx]  # (B, N) coordinates
+            W = np.prod(weights[dims[None, :], idx], axis=1)
+            y = np.asarray(f(X))
+            if y.shape != (X.shape[0],):
+                raise ValueError(
+                    f"vectorized integrand must map a (B, N) coordinate "
+                    f"matrix to shape (B,) = ({X.shape[0]},); got {y.shape}. "
+                    f"Pass vectorized=False for a per-point integrand."
+                )
+            return W * y * normalization
+
+        F = VectorizedBatchEvaluator(Fvec, localdims, dtype=valuetype)
     else:
         def F(indices):
             x = [nodes[n, i] for n, i in enumerate(indices)]

@@ -166,6 +166,26 @@ def _rrlu_pair_jit(Ar, Ai, m_true, n_true, maxrank, reltol, abstol,
     )
 
 
+# Where rrlu_raw runs the kernel for HOST-provided matrices. "cpu" (default)
+# keeps the panel in host RAM — factorizing a matrix that already lives on
+# the host would otherwise pay a full round trip of the panel plus factors
+# over the accelerator link, which dominates the kernel time on tunneled
+# TPUs (e.g. ~3.3 s of a 3.6 s 1920x1920 call). The device-resident tiers
+# (ops/fused.py, models/device_sweep.py) generate their panels ON device and
+# are unaffected. Set to "default" to run host-tier factorizations on the
+# accelerator anyway (e.g. local-PCIe chips with cheap transfers).
+HOST_RRLU_BACKEND = "cpu"
+
+
+def _host_compute_device():
+    if HOST_RRLU_BACKEND == "cpu":
+        try:
+            return jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            return None
+    return None
+
+
 def rrlu_raw(
     A: np.ndarray,
     maxrank: int,
@@ -178,6 +198,20 @@ def rrlu_raw(
     Returns numpy (LUmat (m,n), rowperm (m,), colperm (n,), npivot, pivotmags,
     residual_err) restricted to the true extents.
     """
+    dev = _host_compute_device()
+    if dev is not None:
+        with jax.default_device(dev):
+            return _rrlu_raw_impl(A, maxrank, reltol, abstol, leftorthogonal)
+    return _rrlu_raw_impl(A, maxrank, reltol, abstol, leftorthogonal)
+
+
+def _rrlu_raw_impl(
+    A: np.ndarray,
+    maxrank: int,
+    reltol: float,
+    abstol: float,
+    leftorthogonal: bool,
+):
     m, n = A.shape
     if m == 0 or n == 0:
         return (
