@@ -372,19 +372,25 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
 
 
 def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
-                     forward: bool, dtype):
+                     forward: bool, dtype, pair: bool = False):
     """Scan-based 2-site sweep: one traced bond body + lax.scan over bonds.
 
     Compile time is constant in the chain length L (vs linear for the
     unrolled variant), which matters for quantics chains (L = 40+,
     BASELINE config 3). Requires padding every site to dmax; validity masks
     handle non-uniform local dimensions. Semantics identical to _make_sweep.
+
+    pair=True: fjax is pair-valued (returns stacked (re, im)); the panel and
+    the elimination run on f64 pairs (ops/complex_pair.py) so long complex
+    chains get whole-sweep programs too.
     """
     L = len(localdims)
     dmax = max(localdims)
     dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
     Icap = Imax * dmax + Imax
     Jcap = dmax * Imax + Imax
+    if pair:
+        from ..ops.complex_pair import rrlu_state_pair
 
     def bond_update(carry, b):
         Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen, \
@@ -442,20 +448,33 @@ def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             full = jnp.where(pos < nl, ic, jc_shift)
             return fjax(full)
 
-        Pi = _mapped_rows(
-            lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
-        ).astype(dtype)
-        rowsP = jnp.arange(Pi.shape[0])
-        colsP = jnp.arange(Pi.shape[1])
-        Pi = jnp.where((rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0)
-        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
-
         maxrank = jnp.minimum(
             jnp.minimum(maxbonddim, jnp.int32(Imax)), jnp.minimum(mI, mJ)
         )
-        A, rowperm, colperm, k, mags, err = _rrlu_state(
-            Pi, mI, mJ, maxrank, reltol, abstol, leftorthogonal=forward
-        )
+        rowsP = jnp.arange(Ic.shape[0])
+        colsP = jnp.arange(Jc.shape[0])
+        validP = (rowsP[:, None] < mI) & (colsP[None, :] < mJ)
+        if pair:
+            panel = _mapped_rows(
+                lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
+            )
+            Pr = jnp.where(validP, panel[..., 0].astype(jnp.float64), 0.0)
+            Pim = jnp.where(validP, panel[..., 1].astype(jnp.float64), 0.0)
+            maxsample = jnp.maximum(
+                maxsample, jnp.sqrt(jnp.max(Pr * Pr + Pim * Pim))
+            )
+            _, _, rowperm, colperm, k, mags, err = rrlu_state_pair(
+                Pr, Pim, mI, mJ, maxrank, reltol, abstol, forward
+            )
+        else:
+            Pi = _mapped_rows(
+                lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
+            ).astype(dtype)
+            Pi = jnp.where(validP, Pi, 0)
+            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+            A, rowperm, colperm, k, mags, err = _rrlu_state(
+                Pi, mI, mJ, maxrank, reltol, abstol, leftorthogonal=forward
+            )
         err_final = jnp.where(k >= jnp.minimum(mI, mJ), 0.0, err)
 
         selI = Ic[rowperm[:Imax], :]
@@ -753,20 +772,14 @@ class DeviceSweepEngine:
             # (quantics d=2); mid-length chains use the unrolled variant —
             # the dynamic-index assembly in the scan body has triggered TPU
             # kernel faults for large odd local dims (d=15, L=10).
-            if self.pair:
-                self._sweeps[key] = _make_sweep(
-                    self.fjax, self.localdims, self.Imax, forward,
-                    self._jdtype, pair=True,
-                )
-            else:
-                maker = (
-                    _make_sweep_scan if len(self.localdims) >= 16
-                    else _make_sweep
-                )
-                self._sweeps[key] = maker(
-                    self.fjax, self.localdims, self.Imax, forward,
-                    self._jdtype,
-                )
+            maker = (
+                _make_sweep_scan if len(self.localdims) >= 16
+                else _make_sweep
+            )
+            self._sweeps[key] = maker(
+                self.fjax, self.localdims, self.Imax, forward,
+                self._jdtype, pair=self.pair,
+            )
         return self._sweeps[key]
 
     def _pack(self, sets: List[List[MultiIndex]], align: str) -> Tuple:
@@ -807,10 +820,6 @@ class DeviceSweepEngine:
             + [1]
         )
         if needed > self.imax_cap:
-            return False
-        if self.pair and len(self.localdims) >= 16:
-            # scan-based pair sweep not implemented; long pair chains use
-            # the per-bond fused tier
             return False
         while self.Imax < needed:
             self.Imax *= 2

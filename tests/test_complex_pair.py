@@ -110,3 +110,40 @@ def test_pair_full_tci_matches():
     assert np.allclose(
         tci.fulltensor(tci.tensortrain(t1)), tci.fulltensor(tci.tensortrain(t2))
     )
+
+
+def test_pair_scan_sweep_long_chain():
+    """L >= 16 pair chains run the scan-based whole-sweep program
+    (device_sweep._make_sweep_scan(pair=True)); must match the host complex
+    path to tolerance."""
+    L = 16
+    localdims = [2] * L
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64)
+        wj = 1.0 + 0.3 * jnp.arange(L, dtype=jnp.float64)
+        s = jnp.sum(v * wj) / 5.0
+        den = 1.0 + jnp.sum(v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    def gpy(x):
+        v = np.asarray(x, float)
+        w = 1.0 + 0.3 * np.arange(L)
+        return np.exp(1j * (v * w).sum() / 5.0) / (1.0 + v.sum())
+
+    bg = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                           pair_output=True)
+    assert bg.device_sweep_engine is not None and bg.device_sweep_engine.pair
+    t1, _, _ = tci.crossinterpolate2(np.complex128, bg, localdims,
+                                     tolerance=1e-8)
+    # a direct whole-sweep call must use the engine (not fall back)
+    assert bg.device_sweep_engine.sweep2site(
+        t1, True, 1e-14, 1e-8, 2**31 - 1,
+        [[] for _ in range(L)], [[] for _ in range(L)],
+    )
+    t2, _, _ = tci.crossinterpolate2(np.complex128, gpy, localdims,
+                                     tolerance=1e-8)
+    assert t1.linkdims() == t2.linkdims()
+    f1 = tci.fulltensor(tci.tensortrain(t1))
+    f2 = tci.fulltensor(tci.tensortrain(t2))
+    assert np.abs(f1 - f2).max() < 1e-7
