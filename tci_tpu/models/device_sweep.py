@@ -63,14 +63,21 @@ def _panel(fjax, Ic, Jc, nl, nr, mI, mJ, dtype):
 
 
 def _make_fillsitetensors(fjax: Callable, localdims: Tuple[int, ...],
-                          Imax: int, dtype):
-    """All L site tensors T_b = Π₁ P^{-1} (tensorci2.jl:599-629) in one jit."""
+                          Imax: int, dtype, pair: bool = False):
+    """All L site tensors T_b = Π₁ P^{-1} (tensorci2.jl:599-629) in one jit.
+
+    pair=True: fjax is pair-valued; panels and solves run on f64 (re, im)
+    pairs and the program returns (out_re, out_im, maxsample)."""
     L = len(localdims)
     dmax = max(localdims)
+    if pair:
+        from ..ops.complex_pair import panel_solve_pinv_pair
 
     @jax.jit
     def fill(Iset, Ilen, Jset, Jlen):
-        out = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        rdtype = jnp.float64 if pair else dtype
+        out = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
+        outi = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
         maxsample = jnp.float64(0.0)
         for b in range(L):
             d_b = localdims[b]
@@ -84,6 +91,43 @@ def _make_fillsitetensors(fjax: Callable, localdims: Tuple[int, ...],
             )
             Is = kron.reshape(Imax * d_b, L)
             mIs = Ilen[b] * d_b
+            if pair:
+                P1r, P1i = _panel_pair(
+                    fjax, Is, Jset[b], nl + 1, nr, mIs, Jlen[b]
+                )
+                maxsample = jnp.maximum(
+                    maxsample, jnp.sqrt(jnp.max(P1r * P1r + P1i * P1i))
+                )
+                if b == L - 1:
+                    out = out.at[b, :, :d_b, :1].set(
+                        P1r[:, :1].reshape(Imax, d_b, 1)
+                    )
+                    outi = outi.at[b, :, :d_b, :1].set(
+                        P1i[:, :1].reshape(Imax, d_b, 1)
+                    )
+                    continue
+                Pr, Pi_ = _panel_pair(
+                    fjax, Iset[b + 1], Jset[b], nl + 1, nr,
+                    Ilen[b + 1], Jlen[b],
+                )
+                n = Pr.shape[0]
+                ridx = jnp.arange(n)
+                padmask = (ridx[:, None] >= Ilen[b + 1]) | (
+                    jnp.arange(Pr.shape[1])[None, :] >= Jlen[b]
+                )
+                eye = jnp.eye(n, Pr.shape[1], dtype=jnp.float64)
+                Pr = jnp.where(padmask, eye, Pr)
+                Pi_ = jnp.where(padmask, 0.0, Pi_)
+                Tr, Ti = panel_solve_pinv_pair(
+                    P1r, P1i, Pr[:, :n], Pi_[:, :n], Ilen[b + 1]
+                )
+                out = out.at[b, :, :d_b, :].set(
+                    Tr[:, :Imax].reshape(Imax, d_b, Imax)
+                )
+                outi = outi.at[b, :, :d_b, :].set(
+                    Ti[:, :Imax].reshape(Imax, d_b, Imax)
+                )
+                continue
             Pi1 = _panel(fjax, Is, Jset[b], nl + 1, nr, mIs, Jlen[b], dtype)
             maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
             if b == L - 1:
@@ -110,6 +154,8 @@ def _make_fillsitetensors(fjax: Callable, localdims: Tuple[int, ...],
             out = out.at[b, :, :d_b, :].set(
                 T[:, :Imax].reshape(Imax, d_b, Imax)
             )
+        if pair:
+            return out, outi, maxsample
         return out, maxsample
 
     return fill
@@ -538,6 +584,25 @@ def _panel_dyn(fjax, Ic, Jc, nl, mI, mJ, dtype):
     return jnp.where((rowsP[:, None] < mI) & (colsP[None, :] < mJ), Pi, 0)
 
 
+def _panel_pair_dyn(fjax_pair, Ic, Jc, nl, mI, mJ):
+    """Pair-valued Π panel with a dynamic prefix length nl (scan bodies)."""
+    pos = jnp.arange(Ic.shape[1], dtype=jnp.int32)
+
+    def one_entry(ic, jc):
+        full = jnp.where(pos < nl, ic, jnp.roll(jc, nl))
+        return fjax_pair(full)
+
+    panel = _mapped_rows(
+        lambda ic: jax.vmap(lambda jc: one_entry(ic, jc))(Jc), Ic
+    )
+    rowsP = jnp.arange(panel.shape[0])
+    colsP = jnp.arange(panel.shape[1])
+    valid = (rowsP[:, None] < mI) & (colsP[None, :] < mJ)
+    Pr = jnp.where(valid, panel[..., 0].astype(jnp.float64), 0.0)
+    Pi_ = jnp.where(valid, panel[..., 1].astype(jnp.float64), 0.0)
+    return Pr, Pi_
+
+
 def _kron_is_scan(Iset_b, b, Imax, dmax, L):
     """kron(Iset[b], dmax) rows with the site index written at dynamic
     position b. Row r = i*dmax + s; slots s >= d_b and i >= Ilen[b] are
@@ -552,18 +617,23 @@ def _kron_is_scan(Iset_b, b, Imax, dmax, L):
 
 
 def _make_fillsitetensors_scan(fjax: Callable, localdims: Tuple[int, ...],
-                               Imax: int, dtype):
+                               Imax: int, dtype, pair: bool = False):
     """All L site tensors T_b = Π₁ P^{-1} (tensorci2.jl:599-629) with a
     lax.scan over bonds: compile time constant in L, for long (quantics)
-    chains where the unrolled variant is gated off."""
+    chains where the unrolled variant is gated off. pair=True returns
+    (out_re, out_im, maxsample)."""
     L = len(localdims)
     dmax = max(localdims)
     dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+    if pair:
+        from ..ops.complex_pair import panel_solve_pinv_pair
 
     @jax.jit
     def fill(Iset, Ilen, Jset, Jlen):
+        rdtype = jnp.float64 if pair else dtype
+
         def body(carry, b):
-            tensors, maxsample = carry
+            tensors, tensorsi, maxsample = carry
             d_b = dims_arr[b]
             kron = _kron_is_scan(Iset[b], b, Imax, dmax, L)
             ridk = jnp.arange(Imax * dmax)
@@ -572,6 +642,28 @@ def _make_fillsitetensors_scan(fjax: Callable, localdims: Tuple[int, ...],
             Ic = kron[orderI]
             mIs = jnp.sum(valid).astype(jnp.int32)
             nl = b + 1
+            if pair:
+                P1r, P1i = _panel_pair_dyn(
+                    fjax, Ic, Jset[b], nl, mIs, Jlen[b]
+                )
+                maxsample = jnp.maximum(
+                    maxsample, jnp.sqrt(jnp.max(P1r * P1r + P1i * P1i))
+                )
+                Pr, Pi_ = _panel_pair_dyn(
+                    fjax, Iset[b + 1], Jset[b], nl, Ilen[b + 1], Jlen[b]
+                )
+                padmask = (
+                    jnp.arange(Imax)[:, None] >= Ilen[b + 1]
+                ) | (jnp.arange(Imax)[None, :] >= Jlen[b])
+                Pr = jnp.where(padmask, jnp.eye(Imax, dtype=rdtype), Pr)
+                Pi_ = jnp.where(padmask, 0.0, Pi_)
+                Tr, Ti = panel_solve_pinv_pair(P1r, P1i, Pr, Pi_,
+                                               Ilen[b + 1])
+                Trf = jnp.zeros_like(Tr).at[orderI].set(Tr)
+                Tif = jnp.zeros_like(Ti).at[orderI].set(Ti)
+                tensors = tensors.at[b].set(Trf.reshape(Imax, dmax, Imax))
+                tensorsi = tensorsi.at[b].set(Tif.reshape(Imax, dmax, Imax))
+                return (tensors, tensorsi, maxsample), None
             Pi1 = _panel_dyn(fjax, Ic, Jset[b], nl, mIs, Jlen[b], dtype)
             maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi1)))
             P = _panel_dyn(
@@ -584,11 +676,12 @@ def _make_fillsitetensors_scan(fjax: Callable, localdims: Tuple[int, ...],
             T = panel_solve_pinv(Pi1, P, Ilen[b + 1], dtype)
             Tfull = jnp.zeros_like(T).at[orderI].set(T)
             tensors = tensors.at[b].set(Tfull.reshape(Imax, dmax, Imax))
-            return (tensors, maxsample), None
+            return (tensors, tensorsi, maxsample), None
 
-        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
-        (tensors, maxsample), _ = jax.lax.scan(
-            body, (tensors, jnp.float64(0.0)),
+        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
+        tensorsi = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
+        (tensors, tensorsi, maxsample), _ = jax.lax.scan(
+            body, (tensors, tensorsi, jnp.float64(0.0)),
             jnp.arange(L - 1, dtype=jnp.int32),
         )
         # boundary site L-1 (static): T = Π₁ reshaped; Jset[L-1] = [()]
@@ -601,6 +694,21 @@ def _make_fillsitetensors_scan(fjax: Callable, localdims: Tuple[int, ...],
             )
         )
         Is = kron.reshape(Imax * d_l, L)
+        if pair:
+            P1r, P1i = _panel_pair(
+                fjax, Is, Jset[last], last + 1, 0,
+                Ilen[last] * d_l, Jlen[last],
+            )
+            maxsample = jnp.maximum(
+                maxsample, jnp.sqrt(jnp.max(P1r * P1r + P1i * P1i))
+            )
+            tensors = tensors.at[last, :, :d_l, :1].set(
+                P1r[:, :1].reshape(Imax, d_l, 1)
+            )
+            tensorsi = tensorsi.at[last, :, :d_l, :1].set(
+                P1i[:, :1].reshape(Imax, d_l, 1)
+            )
+            return tensors, tensorsi, maxsample
         Pi1 = _panel(
             fjax, Is, Jset[last], last + 1, 0, Ilen[last] * d_l, Jlen[last],
             dtype,
@@ -878,7 +986,8 @@ class DeviceSweepEngine:
                 else _make_fillsitetensors
             )
             self._sweeps[key] = maker(
-                self.fjax, self.localdims, self.Imax, self._jdtype
+                self.fjax, self.localdims, self.Imax, self._jdtype,
+                pair=self.pair,
             )
         return self._sweeps[key]
 
@@ -896,10 +1005,9 @@ class DeviceSweepEngine:
 
     def fillsitetensors(self, tci) -> bool:
         """Compute all site tensors in one device program (unrolled for
-        short chains, lax.scan over bonds for long ones)."""
+        short chains, lax.scan over bonds for long ones; complex via the
+        (re, im) pair program)."""
         L = len(self.localdims)
-        if self.pair:
-            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
         )
@@ -909,12 +1017,17 @@ class DeviceSweepEngine:
             self.Imax *= 2
         Iset, Ilen = self._pack(tci.Iset, "left")
         Jset, Jlen = self._pack(tci.Jset, "left")
-        out, maxsample = jax.device_get(
+        res = jax.device_get(
             self._get_fill()(
                 jnp.asarray(Iset), jnp.asarray(Ilen),
                 jnp.asarray(Jset), jnp.asarray(Jlen),
             )
         )
+        if self.pair:
+            outr, outi, maxsample = res
+            out = np.asarray(outr) + 1j * np.asarray(outi)
+        else:
+            out, maxsample = res
         tci.maxsamplevalue = max(tci.maxsamplevalue, float(maxsample))
         for b in range(L):
             nr_rows = len(tci.Iset[b])
