@@ -162,16 +162,21 @@ def _make_fillsitetensors(fjax: Callable, localdims: Tuple[int, ...],
 
 
 def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
-                     forward: bool, dtype):
+                     forward: bool, dtype, pair: bool = False):
     """One-site sweep (tensorci2.jl:659-725) as a single jit program,
     including the site tensors (updatetensors=True path, leftorthogonal for
-    forward / rightorthogonal for backward)."""
+    forward / rightorthogonal for backward). pair=True runs on (re, im)
+    pairs and returns an extra imaginary tensor buffer."""
     L = len(localdims)
     dmax = max(localdims)
+    if pair:
+        from ..ops.complex_pair import ci_factors_pair, rrlu_state_pair
 
     @jax.jit
     def sweep(Iset, Ilen, Jset, Jlen, reltol, abstol, maxbonddim):
-        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        rdtype = jnp.float64 if pair else dtype
+        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
+        tensorsi = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
         bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
         perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
         maxsample = jnp.float64(0.0)
@@ -192,7 +197,10 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 mIs = Ilen[b] * d_b
                 Js = Jset[b]
                 mJs = Jlen[b]
-                Pi = _panel(fjax, Is, Js, nl + 1, nr, mIs, mJs, dtype)
+                if pair:
+                    Pr, Pim = _panel_pair(fjax, Is, Js, nl + 1, nr, mIs, mJs)
+                else:
+                    Pi = _panel(fjax, Is, Js, nl + 1, nr, mIs, mJs, dtype)
             else:
                 # Is = Iset[b]; Js = kron(d_b, Jset[b]) (suffix from site b)
                 shifted = jnp.roll(Jset[b], 1, axis=1)
@@ -209,18 +217,34 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 Js = Js[orderJ]
                 Is = Iset[b]
                 mIs = Ilen[b]
-                Pi = _panel(fjax, Is, Js, nl, nr + 1, mIs, mJs, dtype)
-            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+                if pair:
+                    Pr, Pim = _panel_pair(fjax, Is, Js, nl, nr + 1, mIs, mJs)
+                else:
+                    Pi = _panel(fjax, Is, Js, nl, nr + 1, mIs, mJs, dtype)
 
             maxrank = jnp.minimum(
                 jnp.minimum(maxbonddim, jnp.int32(Imax)),
                 jnp.minimum(mIs, mJs),
             )
-            A, rowperm, colperm, k, mags, err = _rrlu_state(
-                Pi, mIs, mJs, maxrank, reltol, abstol, leftorthogonal=forward
-            )
+            if pair:
+                maxsample = jnp.maximum(
+                    maxsample, jnp.sqrt(jnp.max(Pr * Pr + Pim * Pim))
+                )
+                Ar, Ai, rowperm, colperm, k, mags, err = rrlu_state_pair(
+                    Pr, Pim, mIs, mJs, maxrank, reltol, abstol, forward
+                )
+                lr, li, rr, ri = ci_factors_pair(
+                    Ar, Ai, rowperm, colperm, k, forward
+                )
+            else:
+                maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+                A, rowperm, colperm, k, mags, err = _rrlu_state(
+                    Pi, mIs, mJs, maxrank, reltol, abstol,
+                    leftorthogonal=forward,
+                )
+                left, right = ci_factors(A, rowperm, colperm, k, forward,
+                                         dtype)
             err_final = jnp.where(k >= jnp.minimum(mIs, mJs), 0.0, err)
-            left, right = ci_factors(A, rowperm, colperm, k, forward, dtype)
 
             keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
             if forward:
@@ -231,8 +255,16 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
                 Jlen = Jlen.at[b].set(k)
                 # T_b = left (|Is| x k) -> (Ilen[b], d, k) padded
-                T = left[: Imax * d_b, :Imax].reshape(Imax, d_b, Imax)
-                tensors = tensors.at[b, :, :d_b, :].set(T)
+                if pair:
+                    tensors = tensors.at[b, :, :d_b, :].set(
+                        lr[: Imax * d_b, :Imax].reshape(Imax, d_b, Imax)
+                    )
+                    tensorsi = tensorsi.at[b, :, :d_b, :].set(
+                        li[: Imax * d_b, :Imax].reshape(Imax, d_b, Imax)
+                    )
+                else:
+                    T = left[: Imax * d_b, :Imax].reshape(Imax, d_b, Imax)
+                    tensors = tensors.at[b, :, :d_b, :].set(T)
                 bidx = b
             else:
                 selI = Is[rowperm[:Imax], :]
@@ -246,13 +278,27 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 # kron layout... compaction reorders columns, so map back:
                 # right columns are in compacted order; scatter to original
                 # (s, j) positions via orderJ.
-                Rfull = jnp.zeros(
-                    (Imax, d_b * Imax), dtype=dtype
-                ).at[:, orderJ].set(right[:Imax, :])
-                T = Rfull.reshape(Imax, d_b, Imax)
-                tensors = tensors.at[b, :, :d_b, :].set(
-                    jnp.transpose(T, (0, 1, 2))
-                )
+                if pair:
+                    Rr = jnp.zeros(
+                        (Imax, d_b * Imax), dtype=rdtype
+                    ).at[:, orderJ].set(rr[:Imax, :])
+                    Ri = jnp.zeros(
+                        (Imax, d_b * Imax), dtype=rdtype
+                    ).at[:, orderJ].set(ri[:Imax, :])
+                    tensors = tensors.at[b, :, :d_b, :].set(
+                        Rr.reshape(Imax, d_b, Imax)
+                    )
+                    tensorsi = tensorsi.at[b, :, :d_b, :].set(
+                        Ri.reshape(Imax, d_b, Imax)
+                    )
+                else:
+                    Rfull = jnp.zeros(
+                        (Imax, d_b * Imax), dtype=dtype
+                    ).at[:, orderJ].set(right[:Imax, :])
+                    T = Rfull.reshape(Imax, d_b, Imax)
+                    tensors = tensors.at[b, :, :d_b, :].set(
+                        jnp.transpose(T, (0, 1, 2))
+                    )
                 bidx = b - 1
             bonderrs = bonderrs.at[bidx].set(err_final)
             pv = jnp.where(
@@ -274,6 +320,22 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             )
         )
         Is = kron.reshape(Imax * d_l, L)
+        if pair:
+            P1r, P1i = _panel_pair(
+                fjax, Is, Jset[last], nl + 1, nr,
+                Ilen[last] * d_l, Jlen[last],
+            )
+            maxsample = jnp.maximum(
+                maxsample, jnp.sqrt(jnp.max(P1r * P1r + P1i * P1i))
+            )
+            tensors = tensors.at[last, :, :d_l, :].set(
+                P1r[:, :Imax].reshape(Imax, d_l, Imax)
+            )
+            tensorsi = tensorsi.at[last, :, :d_l, :].set(
+                P1i[:, :Imax].reshape(Imax, d_l, Imax)
+            )
+            return (Iset, Ilen, Jset, Jlen, tensors, tensorsi, bonderrs,
+                    perrs, maxsample)
         Pi1 = _panel(
             fjax, Is, Jset[last], nl + 1, nr, Ilen[last] * d_l, Jlen[last],
             dtype,
@@ -722,17 +784,22 @@ def _make_fillsitetensors_scan(fjax: Callable, localdims: Tuple[int, ...],
 
 
 def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
-                          Imax: int, forward: bool, dtype):
+                          Imax: int, forward: bool, dtype,
+                          pair: bool = False):
     """Scan-based one-site sweep (tensorci2.jl:659-725): one traced bond
     body + lax.scan, compile time constant in L. Semantics identical to
-    _make_sweep1site (same outputs), for long chains."""
+    _make_sweep1site (same outputs), for long chains. pair=True returns an
+    extra imaginary tensor buffer."""
     L = len(localdims)
     dmax = max(localdims)
     dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+    rdtype = jnp.float64 if pair else dtype
+    if pair:
+        from ..ops.complex_pair import ci_factors_pair, rrlu_state_pair
 
     def body(carry, b):
-        (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs, maxsample,
-         reltol, abstol, maxbonddim) = carry
+        (Iset, Ilen, Jset, Jlen, tensors, tensorsi, bonderrs, perrs,
+         maxsample, reltol, abstol, maxbonddim) = carry
         d_b = dims_arr[b]
 
         if forward:
@@ -743,7 +810,10 @@ def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
             Is = kron[orderI]
             mIs = jnp.sum(valid).astype(jnp.int32)
             Js, mJs = Jset[b], Jlen[b]
-            Pi = _panel_dyn(fjax, Is, Js, b + 1, mIs, mJs, dtype)
+            if pair:
+                Pr, Pim = _panel_pair_dyn(fjax, Is, Js, b + 1, mIs, mJs)
+            else:
+                Pi = _panel_dyn(fjax, Is, Js, b + 1, mIs, mJs, dtype)
         else:
             shifted = jnp.roll(Jset[b], 1, axis=1)
             kronJ = jnp.broadcast_to(shifted[None, :, :], (dmax, Imax, L))
@@ -760,17 +830,31 @@ def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
             Js = kronJ[orderJ]
             mJs = jnp.sum(validJ).astype(jnp.int32)
             Is, mIs = Iset[b], Ilen[b]
-            Pi = _panel_dyn(fjax, Is, Js, b, mIs, mJs, dtype)
-        maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+            if pair:
+                Pr, Pim = _panel_pair_dyn(fjax, Is, Js, b, mIs, mJs)
+            else:
+                Pi = _panel_dyn(fjax, Is, Js, b, mIs, mJs, dtype)
 
         maxrank = jnp.minimum(
             jnp.minimum(maxbonddim, jnp.int32(Imax)), jnp.minimum(mIs, mJs)
         )
-        A, rowperm, colperm, k, mags, err = _rrlu_state(
-            Pi, mIs, mJs, maxrank, reltol, abstol, leftorthogonal=forward
-        )
+        if pair:
+            maxsample = jnp.maximum(
+                maxsample, jnp.sqrt(jnp.max(Pr * Pr + Pim * Pim))
+            )
+            Ar, Ai, rowperm, colperm, k, mags, err = rrlu_state_pair(
+                Pr, Pim, mIs, mJs, maxrank, reltol, abstol, forward
+            )
+            lr, li, rr, ri = ci_factors_pair(
+                Ar, Ai, rowperm, colperm, k, forward
+            )
+        else:
+            maxsample = jnp.maximum(maxsample, jnp.max(jnp.abs(Pi)))
+            A, rowperm, colperm, k, mags, err = _rrlu_state(
+                Pi, mIs, mJs, maxrank, reltol, abstol, leftorthogonal=forward
+            )
+            left, right = ci_factors(A, rowperm, colperm, k, forward, dtype)
         err_final = jnp.where(k >= jnp.minimum(mIs, mJs), 0.0, err)
-        left, right = ci_factors(A, rowperm, colperm, k, forward, dtype)
 
         keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
         selI = Is[rowperm[:Imax], :]
@@ -780,20 +864,40 @@ def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
             Ilen = Ilen.at[b + 1].set(k)
             Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
             Jlen = Jlen.at[b].set(k)
-            Lfull = jnp.zeros(
-                (Imax * dmax, Imax), dtype=dtype
-            ).at[orderI].set(left[:, :Imax])
-            tensors = tensors.at[b].set(Lfull.reshape(Imax, dmax, Imax))
+            if pair:
+                Lr = jnp.zeros(
+                    (Imax * dmax, Imax), dtype=rdtype
+                ).at[orderI].set(lr[:, :Imax])
+                Li = jnp.zeros(
+                    (Imax * dmax, Imax), dtype=rdtype
+                ).at[orderI].set(li[:, :Imax])
+                tensors = tensors.at[b].set(Lr.reshape(Imax, dmax, Imax))
+                tensorsi = tensorsi.at[b].set(Li.reshape(Imax, dmax, Imax))
+            else:
+                Lfull = jnp.zeros(
+                    (Imax * dmax, Imax), dtype=dtype
+                ).at[orderI].set(left[:, :Imax])
+                tensors = tensors.at[b].set(Lfull.reshape(Imax, dmax, Imax))
             bidx = b
         else:
             Iset = Iset.at[b].set(jnp.where(keep, selI, 0))
             Ilen = Ilen.at[b].set(k)
             Jset = Jset.at[b - 1].set(jnp.where(keep, selJ, 0))
             Jlen = Jlen.at[b - 1].set(k)
-            Rfull = jnp.zeros(
-                (Imax, dmax * Imax), dtype=dtype
-            ).at[:, orderJ].set(right[:Imax, :])
-            tensors = tensors.at[b].set(Rfull.reshape(Imax, dmax, Imax))
+            if pair:
+                Rr = jnp.zeros(
+                    (Imax, dmax * Imax), dtype=rdtype
+                ).at[:, orderJ].set(rr[:Imax, :])
+                Ri = jnp.zeros(
+                    (Imax, dmax * Imax), dtype=rdtype
+                ).at[:, orderJ].set(ri[:Imax, :])
+                tensors = tensors.at[b].set(Rr.reshape(Imax, dmax, Imax))
+                tensorsi = tensorsi.at[b].set(Ri.reshape(Imax, dmax, Imax))
+            else:
+                Rfull = jnp.zeros(
+                    (Imax, dmax * Imax), dtype=dtype
+                ).at[:, orderJ].set(right[:Imax, :])
+                tensors = tensors.at[b].set(Rfull.reshape(Imax, dmax, Imax))
             bidx = b - 1
         bonderrs = bonderrs.at[bidx].set(err_final)
         pv = jnp.where(
@@ -804,13 +908,18 @@ def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
         pv = pv.at[k].set(err_final)
         perrs = perrs.at[bidx].set(pv)
 
-        carry = (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs,
+        carry = (Iset, Ilen, Jset, Jlen, tensors, tensorsi, bonderrs, perrs,
                  maxsample, reltol, abstol, maxbonddim)
         return carry, None
 
     @jax.jit
     def sweep(Iset, Ilen, Jset, Jlen, reltol, abstol, maxbonddim):
-        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=dtype)
+        tensors = jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
+        # non-pair sweeps carry a 0-d dummy so the extra buffer costs nothing
+        tensorsi = (
+            jnp.zeros((L, Imax, dmax, Imax), dtype=rdtype)
+            if pair else jnp.zeros((), dtype=rdtype)
+        )
         bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
         perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
         bonds = (
@@ -818,11 +927,11 @@ def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
             if forward
             else jnp.arange(L - 1, 0, -1, dtype=jnp.int32)
         )
-        carry = (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs,
+        carry = (Iset, Ilen, Jset, Jlen, tensors, tensorsi, bonderrs, perrs,
                  jnp.float64(0.0), reltol, abstol, maxbonddim)
         carry, _ = jax.lax.scan(body, carry, bonds)
-        (Iset, Ilen, Jset, Jlen, tensors, bonderrs, perrs, maxsample,
-         _, _, _) = carry
+        (Iset, Ilen, Jset, Jlen, tensors, tensorsi, bonderrs, perrs,
+         maxsample, _, _, _) = carry
 
         # final boundary tensor (static site index)
         last = L - 1 if forward else 0
@@ -834,6 +943,22 @@ def _make_sweep1site_scan(fjax: Callable, localdims: Tuple[int, ...],
             )
         )
         Is = kron.reshape(Imax * d_l, L)
+        if pair:
+            P1r, P1i = _panel_pair(
+                fjax, Is, Jset[last], last + 1, L - last - 1,
+                Ilen[last] * d_l, Jlen[last],
+            )
+            maxsample = jnp.maximum(
+                maxsample, jnp.sqrt(jnp.max(P1r * P1r + P1i * P1i))
+            )
+            tensors = tensors.at[last, :, :d_l, :].set(
+                P1r[:, :Imax].reshape(Imax, d_l, Imax)
+            )
+            tensorsi = tensorsi.at[last, :, :d_l, :].set(
+                P1i[:, :Imax].reshape(Imax, d_l, Imax)
+            )
+            return (Iset, Ilen, Jset, Jlen, tensors, tensorsi, bonderrs,
+                    perrs, maxsample)
         Pi1 = _panel(
             fjax, Is, Jset[last], last + 1, L - last - 1,
             Ilen[last] * d_l, Jlen[last], dtype,
@@ -999,7 +1124,8 @@ class DeviceSweepEngine:
                 else _make_sweep1site
             )
             self._sweeps[key] = maker(
-                self.fjax, self.localdims, self.Imax, forward, self._jdtype
+                self.fjax, self.localdims, self.Imax, forward, self._jdtype,
+                pair=self.pair,
             )
         return self._sweeps[key]
 
@@ -1043,10 +1169,9 @@ class DeviceSweepEngine:
     def sweep1site(self, tci, forward: bool, reltol: float, abstol: float,
                    maxbonddim: int, updatetensors: bool = True) -> bool:
         """One-site sweep as one device program (unrolled for short chains,
-        lax.scan over bonds for long ones), updating tci in place."""
+        lax.scan over bonds for long ones; complex via the (re, im) pair
+        program), updating tci in place."""
         L = len(self.localdims)
-        if self.pair:
-            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset] + [1]
         )
@@ -1065,8 +1190,13 @@ class DeviceSweepEngine:
                 jnp.float64(reltol), jnp.float64(abstol),
                 jnp.int32(min(maxbonddim, 2**31 - 1)),
             )
-            (Iset_b, Ilen_b, Jset_b, Jlen_b, tensors, bonderrs, perrs,
-             maxsample) = jax.device_get(out)
+            if self.pair:
+                (Iset_b, Ilen_b, Jset_b, Jlen_b, tr, ti, bonderrs, perrs,
+                 maxsample) = jax.device_get(out)
+                tensors = np.asarray(tr) + 1j * np.asarray(ti)
+            else:
+                (Iset_b, Ilen_b, Jset_b, Jlen_b, tensors, bonderrs, perrs,
+                 maxsample) = jax.device_get(out)
             if int(max(np.max(Ilen_b), np.max(Jlen_b))) >= self.Imax \
                     and self.Imax < maxbonddim:
                 if self.Imax * 2 > self.imax_cap:

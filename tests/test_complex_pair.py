@@ -147,3 +147,47 @@ def test_pair_scan_sweep_long_chain():
     f1 = tci.fulltensor(tci.tensortrain(t1))
     f2 = tci.fulltensor(tci.tensortrain(t2))
     assert np.abs(f1 - f2).max() < 1e-7
+
+
+@pytest.mark.parametrize("L", [8, 16])
+def test_pair_sweep1site_and_fill(L):
+    """Pair 1-site sweeps and fills run as whole-device programs (unrolled
+    for L < 16, lax.scan for L >= 16) and match the host complex path."""
+    localdims = [2] * L
+    w = 1.0 + 0.3 * np.arange(L)
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64)
+        wj = 1.0 + 0.3 * jnp.arange(L, dtype=jnp.float64)
+        s = jnp.sum(v * wj) / 5.0
+        den = 1.0 + jnp.sum(v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    def gpy(x):
+        v = np.asarray(x, float)
+        return np.exp(1j * (v * w).sum() / 5.0) / (1.0 + v.sum())
+
+    bg = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                           pair_output=True)
+    t1, _, _ = tci.crossinterpolate2(np.complex128, bg, localdims,
+                                     tolerance=1e-8)
+    t2, _, _ = tci.crossinterpolate2(np.complex128, gpy, localdims,
+                                     tolerance=1e-8)
+    eng = bg.device_sweep_engine
+    t1.invalidatesitetensors()
+    assert eng.fillsitetensors(t1)
+    t2.fillsitetensors(gpy)
+    f1 = tci.fulltensor(tci.tensortrain(t1))
+    f2 = tci.fulltensor(tci.tensortrain(t2))
+    assert np.abs(f1 - f2).max() < 1e-10
+
+    assert eng.sweep1site(t1, True, 0.0, 0.0, 2**31 - 1)
+    t2.sweep1site(gpy, "forward", reltol=0.0, abstol=0.0,
+                  maxbonddim=2**31 - 1)
+    assert eng.sweep1site(t1, False, 1e-8, 0.0, 2**31 - 1)
+    t2.sweep1site(gpy, "backward", reltol=1e-8, abstol=0.0,
+                  maxbonddim=2**31 - 1)
+    assert t1.linkdims() == t2.linkdims()
+    s1 = tci.fulltensor(tci.tensortrain(t1))
+    s2 = tci.fulltensor(tci.tensortrain(t2))
+    assert np.abs(s1 - s2).max() < 1e-10
