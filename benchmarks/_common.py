@@ -19,6 +19,12 @@ def setup_cache():
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # Warm-up dispatch: TPU chip-grant acquisition on the tunneled backend
+    # is a per-process lottery (observed 1-200 s) — absorb it here so the
+    # benchmark's timed region measures the workload, not the grant.
+    import jax.numpy as jnp
+
+    float(jnp.sum(jnp.ones((8, 8))))
 
 
 def finish():

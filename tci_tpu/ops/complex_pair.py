@@ -50,10 +50,18 @@ def rrlu_state_pair(Ar, Ai, m_true, n_true, maxrank, reltol, abstol,
             & (cols[None, :] >= k) & (cols[None, :] < n_true)
         )
         metric = jnp.where(valid, Ar * Ar + Ai * Ai, -1.0)
-        flat = metric.T.reshape(-1)
-        p = jnp.argmax(flat)
-        pc = (p // mp).astype(jnp.int32)
-        pr = (p % mp).astype(jnp.int32)
+        # column-major first-occurrence argmax, transpose-free for large
+        # panels only (see lu_kernel._rrlu_state for the size rationale)
+        if mp * npd >= 1 << 16:
+            colvals = jnp.max(metric, axis=0)
+            colrows = jnp.argmax(metric, axis=0).astype(jnp.int32)
+            pc = jnp.argmax(colvals).astype(jnp.int32)
+            pr = colrows[pc]
+        else:
+            flat = metric.T.reshape(-1)
+            p = jnp.argmax(flat)
+            pc = (p // mp).astype(jnp.int32)
+            pr = (p % mp).astype(jnp.int32)
         newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0)).astype(jnp.float64)
 
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
