@@ -38,6 +38,23 @@ MultiIndex = Tuple[int, ...]
 _PANEL_ROW_CHUNK = 128
 
 
+def _make_shard_rows(mesh, axis: str = "batch"):
+    """Sharding constraint pinning the candidate-row axis of a panel to the
+    mesh's batch axis: XLA's SPMD partitioner then distributes the Π-panel
+    sampling (the hot vmap over assembled index rows) across devices and
+    all-gathers the small panel for the replicated rrLU elimination —
+    the multi-chip layout of SURVEY.md §2.5."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shard_rows(x):
+        spec = P(axis, *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+
+    return shard_rows
+
+
 def _mapped_rows(row_fn, Ic):
     """vmap over panel rows, chunked with lax.map so the (rows, cols, L)
     index-assembly intermediates stay bounded (large padded panels would
@@ -367,11 +384,15 @@ def _panel_pair(fjax_pair, Ic, Jc, nl, nr, mI, mJ):
 
 
 def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
-                forward: bool, dtype, pair: bool = False):
+                forward: bool, dtype, pair: bool = False, shard_rows=None):
     """Trace one full 2-site sweep (forward or backward) into a jit program.
 
     pair=True: fjax is pair-valued (returns stacked (re, im)); panels and the
-    elimination run on f64 pairs (ops/complex_pair.py)."""
+    elimination run on f64 pairs (ops/complex_pair.py).
+
+    shard_rows: optional sharding constraint (from _make_shard_rows) pinning
+    the candidate-row axis to a mesh axis — the Π sampling then runs
+    data-parallel over the mesh."""
     L = len(localdims)
     if pair:
         from ..ops.complex_pair import rrlu_state_pair
@@ -406,6 +427,8 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             )
             orderI = jnp.argsort(~validI, stable=True)
             Ic = Ic_all[orderI]
+            if shard_rows is not None:
+                Ic = shard_rows(Ic)
             mI = jnp.sum(validI).astype(jnp.int32)
 
             # --- Jcombined: kron(d_{b+1}, Jset[b+1]) ++ extraJ[b] ----------
@@ -480,7 +503,8 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
 
 
 def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
-                     forward: bool, dtype, pair: bool = False):
+                     forward: bool, dtype, pair: bool = False,
+                     shard_rows=None):
     """Scan-based 2-site sweep: one traced bond body + lax.scan over bonds.
 
     Compile time is constant in the chain length L (vs linear for the
@@ -526,6 +550,8 @@ def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
         )
         orderI = jnp.argsort(~validI, stable=True)
         Ic = Ic_all[orderI]
+        if shard_rows is not None:
+            Ic = shard_rows(Ic)
         mI = jnp.sum(validI).astype(jnp.int32)
 
         # --- Jcombined rows -------------------------------------------------
@@ -980,11 +1006,13 @@ class DeviceSweepEngine:
 
     def __init__(self, fjax: Callable, localdims: Sequence[int],
                  imax: int = 32, imax_cap: int = 256, dtype=np.float64,
-                 pair: bool = False):
+                 pair: bool = False, mesh=None, axis: str = "batch"):
         self.fjax = fjax
         self.localdims = tuple(int(d) for d in localdims)
         self.dtype = np.dtype(dtype).type
         self.pair = pair
+        self.mesh = mesh
+        self._shard_rows = _make_shard_rows(mesh, axis)
         self._jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
         self.Imax = imax
         # beyond this capacity the padded whole-sweep panels get wasteful
@@ -1011,7 +1039,7 @@ class DeviceSweepEngine:
             )
             self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward,
-                self._jdtype, pair=self.pair,
+                self._jdtype, pair=self.pair, shard_rows=self._shard_rows,
             )
         return self._sweeps[key]
 

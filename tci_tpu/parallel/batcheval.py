@@ -365,6 +365,7 @@ class JaxBatchEvaluator(BatchEvaluator):
             self._device_sweep_engine = DeviceSweepEngine(
                 self.fjax, self.localdims, dtype=self.dtype,
                 pair=self._complex_as_pair,
+                mesh=self.mesh, axis=self.axis,
             )
         return self._device_sweep_engine
 

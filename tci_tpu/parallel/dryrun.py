@@ -1,0 +1,78 @@
+"""Self-contained multi-chip dry run: the REAL TCI2 optimization loop,
+mesh-sharded, on a virtual n-device CPU mesh.
+
+This is the rebuild's multi-chip validation path (SURVEY.md §2.5): the
+full ``crossinterpolate2`` training step — device-resident two-site sweeps
+with the Π-panel sampling sharded over the mesh's batch axis, rrLU pivot
+selection, site-tensor extraction, global pivot search — compiles and
+executes over an ``n_devices`` mesh, and the result is checked pointwise
+against the integrand.
+
+``run(n)`` forces the CPU platform *before* any backend initialization so
+it never inherits a broken/tunneled accelerator platform from the caller's
+environment; ``__graft_entry__.dryrun_multichip`` executes it in a fresh
+subprocess with ``--xla_force_host_platform_device_count=n``.
+"""
+
+from __future__ import annotations
+
+
+def run(n_devices: int) -> None:
+    import jax
+
+    # Must happen before the backend initializes. The env may pin an
+    # experimental accelerator platform (e.g. a tunneled TPU via
+    # sitecustomize); the dry run always validates sharding on host devices.
+    jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import tci_tpu as tci
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+    from tci_tpu.parallel.mesh import default_mesh
+
+    import jax.numpy as jnp
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < n_devices:
+        raise RuntimeError(
+            f"dryrun_multichip needs {n_devices} CPU devices but found "
+            f"{len(cpus)}; XLA_FLAGS must contain "
+            f"--xla_force_host_platform_device_count={n_devices} before "
+            "jax initializes"
+        )
+    mesh = default_mesh(n_devices)
+
+    # Flagship integrand (reference README.md:21-29 quickstart), small grid
+    # so the dry run stays cheap: f(v) = 1/(1 + v·v) on {1..4}^6.
+    localdims = [4] * 6
+
+    def fjax(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    bf = JaxBatchEvaluator(fjax, localdims, dtype=np.float64, mesh=mesh)
+    tciobj, ranks, errors = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-8, maxiter=4
+    )
+
+    # pointwise spot check against the integrand
+    pt = (1, 2, 3, 0, 2, 1)
+    v = np.asarray(pt, dtype=float) + 1.0
+    exact = 1.0 / (1.0 + v @ v)
+    err = abs(tciobj(pt) - exact)
+    assert np.isfinite(errors).all(), f"non-finite errors: {errors}"
+    assert err < 1e-6, f"pointwise error {err} too large"
+    assert tciobj.rank() >= 1
+    print(
+        f"dryrun_multichip({n_devices}): ok — platform=cpu, "
+        f"mesh={tuple(mesh.devices.shape)}, rank={tciobj.rank()}, "
+        f"final_error={errors[-1]:.3e}, pointwise_err={err:.3e}, "
+        f"nevals={bf.nevals}"
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    run(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

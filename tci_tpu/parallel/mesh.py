@@ -17,7 +17,29 @@ from jax.sharding import Mesh
 
 
 def default_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
+    """1-D mesh over the first `n_devices` devices.
+
+    When more devices are requested than the default platform provides
+    (e.g. a single tunneled TPU chip while the caller wants an 8-way dry
+    run), fall back to the virtual CPU device pool — multi-chip sharding is
+    then validated on host devices, which is exactly what
+    ``--xla_force_host_platform_device_count`` provides.
+    """
     devices = jax.devices()
+    if n_devices is not None and len(devices) < n_devices:
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            cpus = []
+        if len(cpus) >= n_devices:
+            devices = cpus
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} devices are available; set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+                "virtual CPU mesh"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))

@@ -1,35 +1,54 @@
-"""Multi-chip sharding paths on the virtual 8-device CPU mesh."""
+"""Multi-chip sharding paths on the virtual 8-device CPU mesh.
+
+The real algorithm runs end-to-end mesh-sharded: crossinterpolate2 with a
+JaxBatchEvaluator whose device-sweep Π sampling carries a mesh sharding
+constraint must produce identical ranks/errors to the single-device run.
+"""
 
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
-def test_two_site_step_on_mesh():
+def _lorentz(idx):
+    v = idx.astype(jnp.float64) + 1.0
+    return 1.0 / (1.0 + jnp.sum(v * v))
+
+
+def test_crossinterpolate2_on_mesh_matches_single_device():
+    import tci_tpu as tci
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
     from tci_tpu.parallel.mesh import default_mesh
-    from tci_tpu.parallel.step import two_site_step
 
     assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
-    mesh = default_mesh(8)
-    npivot, maxsample, values = two_site_step(mesh)
-    assert npivot >= 1
-    assert maxsample > 0
-    assert np.all(np.isfinite(values))
+    localdims = [3] * 5
+
+    def run(mesh):
+        bf = JaxBatchEvaluator(_lorentz, localdims, mesh=mesh)
+        t, ranks, errors = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-8, maxiter=4,
+            rng=np.random.default_rng(7),
+        )
+        return t, ranks, errors
+
+    t1, ranks1, errors1 = run(None)
+    t8, ranks8, errors8 = run(default_mesh(8))
+
+    assert ranks8 == ranks1
+    np.testing.assert_allclose(errors8, errors1, rtol=1e-10, atol=1e-14)
+    # identical pivot selection => identical interpolants
+    pt = (1, 2, 0, 2, 1)
+    assert abs(t8(pt) - t1(pt)) < 1e-12
 
 
 def test_sharded_jax_evaluator():
     from tci_tpu.parallel.batcheval import JaxBatchEvaluator
     from tci_tpu.parallel.mesh import default_mesh
-    import jax.numpy as jnp
 
     mesh = default_mesh(8)
-
-    def fjax(idx):
-        v = idx.astype(jnp.float64) + 1.0
-        return 1.0 / (1.0 + jnp.sum(v * v))
-
     localdims = [4] * 6
-    bf = JaxBatchEvaluator(fjax, localdims, mesh=mesh)
+    bf = JaxBatchEvaluator(_lorentz, localdims, mesh=mesh)
     rng = np.random.default_rng(0)
     idx = rng.integers(0, 4, size=(37, 6)).astype(np.int32)
     vals = bf.evaluate_many(idx)
@@ -37,10 +56,25 @@ def test_sharded_jax_evaluator():
     assert np.allclose(vals, ref)
 
 
-def test_graft_entry():
+def test_default_mesh_falls_back_to_cpu_devices():
+    from tci_tpu.parallel.mesh import default_mesh
+
+    mesh = default_mesh(8)
+    assert mesh.devices.shape == (8,)
+    assert mesh.axis_names == ("batch",)
+
+
+def test_graft_entry_single_chip():
     import __graft_entry__ as g
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (256,)
+
+
+def test_graft_entry_dryrun_subprocess():
+    """dryrun_multichip must succeed regardless of the caller's platform —
+    it spawns a subprocess that forces an 8-virtual-CPU mesh."""
+    import __graft_entry__ as g
+
     g.dryrun_multichip(8)
