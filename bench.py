@@ -9,8 +9,15 @@ Metric: f-evaluations/second sustained over the whole optimization (sampling
 is the hot loop of TCI — tensorci2.jl:848 filltensor — so this is the
 throughput number the reference's design centers on). vs_baseline compares
 against the reference-style scalar evaluation loop (one Python call per
-sample, measured in-process below), i.e. the single-node throughput a
-Julia/Python user gets without batched evaluation.
+sample, median of 3 in-process measurements), i.e. the single-node
+throughput a Julia/Python user gets without batched evaluation.
+
+Methodology: one full untimed warm-up optimization loads/compiles every XLA
+program (the reference's benchmark scripts use BenchmarkTools.jl, whose
+min/median likewise excludes Julia JIT warm-up — benchmark/rrlu.jl:8-37);
+the timed run then performs every f sample, rrLU factorization and global
+pivot search of a complete optimization on the chip. The cold (first-run)
+wall is reported in detail.cold_wall_s for transparency.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -51,20 +58,29 @@ def main():
     # --- baseline: scalar per-call evaluation rate (reference-style loop) --
     from tci_tpu.parallel.batcheval import _batchevaluate_dispatch
 
-    n_base = 20000
     Iset = [(i % 10, (i // 10) % 10, i % 7) for i in range(40)]
     Jset = [(i % 10, i % 3, i % 5, i % 2) for i in range(50)]
-    t0 = time.perf_counter()
-    _batchevaluate_dispatch(np.float64, fpy, localdims, Iset, Jset, 1)
-    t_base = time.perf_counter() - t0
-    base_rate = len(Iset) * 10 * len(Jset) / t_base
+    base_rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _batchevaluate_dispatch(np.float64, fpy, localdims, Iset, Jset, 1)
+        t_base = time.perf_counter() - t0
+        base_rates.append(len(Iset) * 10 * len(Jset) / t_base)
+    base_rate = float(np.median(base_rates))
 
     # --- TCI2 with batched TPU sampling -----------------------------------
     bf = JaxBatchEvaluator(fjax, localdims, dtype=np.float64)
     # warm up compile of the evaluator (excluded: compile time is one-off)
     bf.evaluate_many(np.zeros((1024, 8), dtype=np.int32))
-    nevals0 = bf.nevals
 
+    # Untimed warm-up optimization: loads/compiles every device program this
+    # workload uses (the one-off per-process cost a serving deployment pays
+    # once). The timed run below re-does ALL the real work on chip.
+    tcold0 = time.perf_counter()
+    tci.crossinterpolate2(np.float64, bf, localdims, tolerance=1e-8)
+    cold_wall = time.perf_counter() - tcold0
+
+    nevals0 = bf.nevals
     t0 = time.perf_counter()
     tciobj, ranks, errors = tci.crossinterpolate2(
         np.float64, bf, localdims, tolerance=1e-8
@@ -88,6 +104,7 @@ def main():
                 "detail": {
                     "rank": int(tciobj.rank()),
                     "wall_s": round(wall, 3),
+                    "cold_wall_s": round(cold_wall, 3),
                     "nevals": int(nevals),
                     "final_error": float(errors[-1]),
                     "baseline_scalar_evals_per_sec": round(base_rate, 1),
