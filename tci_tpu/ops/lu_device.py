@@ -1,0 +1,353 @@
+"""Device-resident adaptive (rook) rank-revealing LU.
+
+The reference's ``arrlu`` (src/matrixlu.jl:492-569) avoids complete
+pivoting's per-step full-matrix sweep by factorizing alternating row/column
+slabs until the pivot sets are self-consistent. Complete pivoting is
+bandwidth-bound on TPU (every pivot step must read+write the full trailing
+matrix from HBM); the rook scheme touches only m×k / k×n slabs, so its
+traffic is O(m·r²) instead of O(m·n·r) — the blocked, MXU-friendly path for
+large panels.
+
+This module runs that control flow against a matrix that LIVES ON DEVICE:
+slab gathers, the slab eliminations (lu_kernel's fused complete-pivot body)
+and the final factor completion (triangular solves) all execute as jitted
+XLA programs; the host only moves pivot index lists (a few hundred int32s
+per rook iteration).
+
+Semantics mirror arrlu exactly: same slab alternation, the same
+self-consistency stopping rule, the same completion formulas
+(cols2Lmatrix/rows2Umatrix, matrixlu.jl:627-674), and the slab LUs use the
+same complete-pivot kernel (stop rule, first-max tie-break) as the exact
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.util import pushrandomsubset
+from .lu import rrLU, _finalize
+from .lu_kernel import _rrlu_state, bucket
+
+_INTMAX = 2**62
+
+
+@functools.partial(jax.jit, static_argnames=("leftorthogonal", "rows_slab"))
+def _slab_lu(A, idx, k_true, maxrank, reltol, abstol, *,
+             leftorthogonal: bool, rows_slab: bool):
+    """Complete-pivot LU of a row slab A[idx, :] (rows_slab) or column slab
+    A[:, idx]. idx is padded to a bucketed length; padded slots are masked
+    to zero, which the elimination kernel never selects."""
+    valid = jnp.arange(idx.shape[0], dtype=jnp.int32) < k_true
+    if rows_slab:
+        slab = jnp.take(A, idx, axis=0)
+        slab = jnp.where(valid[:, None], slab, 0)
+        m_true, n_true = k_true, jnp.int32(A.shape[1])
+    else:
+        slab = jnp.take(A, idx, axis=1)
+        slab = jnp.where(valid[None, :], slab, 0)
+        m_true, n_true = jnp.int32(A.shape[0]), k_true
+    return _rrlu_state(
+        slab, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("transpose_solve",))
+def _complete_factor(A, sel_idx, other_idx, block_inv, *,
+                     transpose_solve: bool):
+    """Missing-side completion (matrixlu.jl:627-674) on device.
+
+    block_inv is the (host-inverted, k x k triangular) pivot-block inverse —
+    the completion is then a single MXU GEMM. XLA's triangular_solve lowering
+    is prohibitively slow in f64 on TPU, while a k x k host inversion is
+    microseconds and the GEMM is MXU-native.
+
+    transpose_solve=False: U2 = L_block^{-1} · A[sel, other] (rows2Umatrix);
+    True: L2 = A[other, sel] · U_block^{-1} (cols2Lmatrix)."""
+    if transpose_solve:
+        C = jnp.take(jnp.take(A, other_idx, axis=0), sel_idx, axis=1)
+        return C @ block_inv
+    R = jnp.take(jnp.take(A, sel_idx, axis=0), other_idx, axis=1)
+    return block_inv @ R
+
+
+def _pad_idx(idx, size: int) -> jnp.ndarray:
+    out = np.zeros((size,), dtype=np.int32)
+    out[: len(idx)] = idx
+    return jnp.asarray(out)
+
+
+class DeviceRRLU:
+    """rrLU result whose factors stay on device (serving path: the factors
+    feed downstream device ops; materializing them on the host would pay
+    the full interconnect round trip). left()/right() return the permuted
+    (natural-order) factors as jax arrays; to_rrlu() fetches to host."""
+
+    def __init__(self, L_nat, U_nat, rowpermutation, colpermutation,
+                 npivot: int, error: float, leftorthogonal: bool):
+        self.L_nat = L_nat  # (m, k) device, natural row order
+        self.U_nat = U_nat  # (k, n) device, natural column order
+        self.rowpermutation = np.asarray(rowpermutation, dtype=np.int64)
+        self.colpermutation = np.asarray(colpermutation, dtype=np.int64)
+        self.npivot = int(npivot)
+        self.error = float(error)
+        self.leftorthogonal = bool(leftorthogonal)
+
+    def npivots(self) -> int:
+        return self.npivot
+
+    def left(self):
+        return self.L_nat
+
+    def right(self):
+        return self.U_nat
+
+    def rowindices(self) -> np.ndarray:
+        return self.rowpermutation[: self.npivot]
+
+    def colindices(self) -> np.ndarray:
+        return self.colpermutation[: self.npivot]
+
+    def to_rrlu(self) -> rrLU:
+        """Fetch the factors and rebuild the host rrLU (pivot-order L/U)."""
+        L = np.asarray(self.L_nat)[self.rowpermutation, :]
+        U = np.asarray(self.U_nat)[:, self.colpermutation]
+        return rrLU(
+            self.rowpermutation, self.colpermutation, L, U,
+            self.leftorthogonal, self.npivot, self.error,
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "unit_lower"))
+def _assemble_rows_branch(A, LUp, piv_rows, j2, inv_rowperm, inv_colperm,
+                          Linv, k: int, unit_lower: bool):
+    """Branch 'slab spanned all rows': L = slab L (m x k), U completed over
+    the remaining columns by one MXU GEMM. Returns natural-order factors."""
+    m = A.shape[0]
+    L = jnp.tril(LUp[:m, :k])
+    if unit_lower:
+        L = jnp.where(
+            jnp.arange(m)[:, None] == jnp.arange(k)[None, :], 1.0, L
+        )
+    Ublk = jnp.triu(LUp[:k, :k])
+    if not unit_lower:
+        Ublk = jnp.where(
+            jnp.arange(k)[:, None] == jnp.arange(k)[None, :], 1.0, Ublk
+        )
+    R = jnp.take(jnp.take(A, piv_rows, axis=0), j2, axis=1)
+    U = jnp.concatenate([Ublk, Linv @ R], axis=1)
+    return L[inv_rowperm, :], U[:, inv_colperm]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "unit_lower"))
+def _assemble_cols_branch(A, LUp, piv_cols, i2, inv_rowperm, inv_colperm,
+                          Uinv, k: int, unit_lower: bool):
+    """Branch 'slab spanned all columns': U = slab U (k x n), L completed
+    over the remaining rows by one MXU GEMM."""
+    n = A.shape[1]
+    U = jnp.triu(LUp[:k, :n])
+    if not unit_lower:
+        U = jnp.where(
+            jnp.arange(k)[:, None] == jnp.arange(n)[None, :], 1.0, U
+        )
+    Lblk = jnp.tril(LUp[:k, :k])
+    if unit_lower:
+        Lblk = jnp.where(
+            jnp.arange(k)[:, None] == jnp.arange(k)[None, :], 1.0, Lblk
+        )
+    C = jnp.take(jnp.take(A, i2, axis=0), piv_cols, axis=1)
+    L = jnp.concatenate([Lblk, C @ Uinv], axis=0)
+    return L[inv_rowperm, :], U[:, inv_colperm]
+
+
+def rrlu_rook_device(
+    A,
+    I0=(),
+    J0=(),
+    maxrank: int = _INTMAX,
+    reltol: float = 1e-14,
+    abstol: float = 0.0,
+    leftorthogonal: bool = True,
+    numrookiter: int = 5,
+    rng: Optional[np.random.Generator] = None,
+    materialize: str = "host",
+):
+    """Adaptive rook rrLU of a device-resident matrix (arrlu on device).
+
+    Control flow mirrors ops/lu.py:arrlu (itself matrixlu.jl:492-569); all
+    O(m·k)-sized work stays on device.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    A = jnp.asarray(A)
+    m, n = A.shape
+    maxrank = min(maxrank, m, n)
+
+    I0 = [int(i) for i in I0]
+    J0 = [int(j) for j in J0]
+    islowrank = False
+    out = None
+    last_full_rows = False
+    rows_l = cols_l = None
+
+    while True:
+        if leftorthogonal:
+            pushrandomsubset(J0, range(n), max(1, len(J0)), rng)
+        else:
+            pushrandomsubset(I0, range(m), max(1, len(I0)), rng)
+
+        for rookiter in range(1, numrookiter + 1):
+            colmove = (rookiter % 2 == 0) == leftorthogonal
+            if colmove:
+                # slab = A[I0, :]
+                rows_l, cols_l = list(I0), list(range(n))
+                last_full_rows = False
+                idx = _pad_idx(rows_l, bucket(len(rows_l)))
+                res = _slab_lu(
+                    A, idx, jnp.int32(len(rows_l)), jnp.int32(maxrank),
+                    jnp.float64(reltol), jnp.float64(abstol),
+                    leftorthogonal=leftorthogonal, rows_slab=True,
+                )
+                mt, nt = len(rows_l), n
+            else:
+                # slab = A[:, J0]
+                rows_l, cols_l = list(range(m)), list(J0)
+                last_full_rows = True
+                idx = _pad_idx(cols_l, bucket(len(cols_l)))
+                res = _slab_lu(
+                    A, idx, jnp.int32(len(cols_l)), jnp.int32(maxrank),
+                    jnp.float64(reltol), jnp.float64(abstol),
+                    leftorthogonal=leftorthogonal, rows_slab=False,
+                )
+                mt, nt = m, len(cols_l)
+            LUp, rp, cp, k, mags, err = res
+            k = int(k)
+            rp = np.asarray(rp[:mt])
+            cp = np.asarray(cp[:nt])
+            islowrank |= k < min(mt, nt)
+
+            newI = [rows_l[i] for i in rp[:k]]
+            newJ = [cols_l[j] for j in cp[:k]]
+            out = (LUp, rp, cp, k, float(err), rows_l, cols_l, mt, nt)
+            if newI == I0 and newJ == J0:
+                break
+            I0, J0 = newI, newJ
+
+        if islowrank or len(I0) >= maxrank:
+            break
+
+    assert out is not None
+    LUp, rp, cp, k, err, rows_l, cols_l, mt, nt = out
+
+    if materialize == "device":
+        # Factors stay on device; host fetches only the k x k pivot block
+        # (for the triangular inversion) and the index lists.
+        from scipy.linalg import solve_triangular as _st
+
+        err_fin = 0.0 if k >= min(mt, nt) else err
+        blk = np.asarray(LUp[:k, :k])
+        Lblk = np.tril(blk)
+        Ublk = np.triu(blk)
+        if leftorthogonal:
+            np.fill_diagonal(Lblk, 1.0)
+        else:
+            np.fill_diagonal(Ublk, 1.0)
+        if last_full_rows:
+            rowpermutation = np.array(
+                [rows_l[i] for i in rp], dtype=np.int64
+            )
+            J2 = [j for j in range(n) if j not in set(J0)]
+            colpermutation = np.array(J0 + J2, dtype=np.int64)
+            Linv = _st(Lblk, np.eye(k), lower=True)
+            L_nat, U_nat = _assemble_rows_branch(
+                A, LUp,
+                jnp.asarray(rowpermutation[:k], dtype=np.int32),
+                jnp.asarray(J2 if J2 else np.zeros((0,)), dtype=np.int32),
+                jnp.asarray(np.argsort(rowpermutation), dtype=np.int32),
+                jnp.asarray(np.argsort(colpermutation), dtype=np.int32),
+                jnp.asarray(Linv),
+                k=k, unit_lower=leftorthogonal,
+            )
+        else:
+            colpermutation = np.array(
+                [cols_l[j] for j in cp], dtype=np.int64
+            )
+            I2 = [i for i in range(m) if i not in set(I0)]
+            rowpermutation = np.array(I0 + I2, dtype=np.int64)
+            Uinv = _st(Ublk, np.eye(k), lower=False)
+            L_nat, U_nat = _assemble_cols_branch(
+                A, LUp,
+                jnp.asarray(colpermutation[:k], dtype=np.int32),
+                jnp.asarray(I2 if I2 else np.zeros((0,)), dtype=np.int32),
+                jnp.asarray(np.argsort(rowpermutation), dtype=np.int32),
+                jnp.asarray(np.argsort(colpermutation), dtype=np.int32),
+                jnp.asarray(Uinv),
+                k=k, unit_lower=leftorthogonal,
+            )
+        return DeviceRRLU(
+            L_nat, U_nat, rowpermutation, colpermutation, k, err_fin,
+            leftorthogonal,
+        )
+
+    # factors of the last slab (host finalize trims/pads triangles)
+    lu_slab = _finalize(
+        np.asarray(LUp[:mt, :nt]), rp, cp, k, err, leftorthogonal
+    )
+    pivotblock_L = lu_slab.L[:k, :k]
+    pivotblock_U = lu_slab.U[:k, :k]
+
+    if last_full_rows:
+        # L covers all rows (permuted); complete U over the remaining columns.
+        rowpermutation = np.array(
+            [rows_l[i] for i in lu_slab.rowpermutation], dtype=np.int64
+        )
+        L = lu_slab.L
+        J2 = [j for j in range(n) if j not in set(J0)]
+        colpermutation = np.array(J0 + J2, dtype=np.int64)
+        if J2:
+            from scipy.linalg import solve_triangular as _st
+
+            Linv = _st(pivotblock_L, np.eye(k), lower=True)
+            U2 = np.asarray(
+                _complete_factor(
+                    A, jnp.asarray(rowpermutation[:k], dtype=np.int32),
+                    jnp.asarray(J2, dtype=np.int32),
+                    jnp.asarray(Linv),
+                    transpose_solve=False,
+                )
+            )
+            U = np.hstack([pivotblock_U, U2])
+        else:
+            U = pivotblock_U
+    else:
+        colpermutation = np.array(
+            [cols_l[j] for j in lu_slab.colpermutation], dtype=np.int64
+        )
+        U = lu_slab.U
+        I2 = [i for i in range(m) if i not in set(I0)]
+        rowpermutation = np.array(I0 + I2, dtype=np.int64)
+        if I2:
+            from scipy.linalg import solve_triangular as _st
+
+            Uinv = _st(pivotblock_U, np.eye(k), lower=False)
+            L2 = np.asarray(
+                _complete_factor(
+                    A, jnp.asarray(colpermutation[:k], dtype=np.int32),
+                    jnp.asarray(I2, dtype=np.int32),
+                    jnp.asarray(Uinv),
+                    transpose_solve=True,
+                )
+            )
+            L = np.vstack([pivotblock_L, L2])
+        else:
+            L = pivotblock_L
+
+    return rrLU(
+        rowpermutation, colpermutation, L, U, leftorthogonal, k,
+        lu_slab.error,
+    )

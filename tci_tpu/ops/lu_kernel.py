@@ -40,7 +40,160 @@ def _abs2(x):
     return x * x
 
 
+# Panels at or above this element count use the swap-free fused elimination
+# body (_rrlu_state_fused): one fused read+write pass over the buffer per
+# pivot step instead of ~3.5 (metric pass + two swap copies + update), which
+# matters once the panel no longer fits in cache/VMEM. Small panels keep the
+# compact swap-based body (proven fast inside the whole-sweep programs).
+_FUSED_MIN_ELEMS = 1 << 16
+
+
+def _rrlu_state_fused(A, m_true, n_true, maxrank, reltol, abstol,
+                      leftorthogonal: bool):
+    """Swap-free complete-pivot elimination for large panels.
+
+    Matches _rrlu_state exactly (same returns, same pivot order incl. the
+    reference's column-major first-occurrence tie-break in the *swapped*
+    layout, matrixlu.jl:70-86) but never physically permutes the buffer:
+
+    - rowperm/colperm (position -> original index) and their inverses
+      rowpos/colpos (original index -> position) are carried as int32
+      vectors; "swaps" are two-element scatter updates;
+    - tie-breaks use the position keys, reproducing the swapped-layout
+      column-major first-max order;
+    - the Schur rank-1 update, the multiplier store into the pivot column
+      (or row), and the next step's per-column maxima all fuse into ONE
+      read+write pass over the buffer;
+    - the swapped-layout LU buffer is materialized once at the end by a
+      gather A[rowperm][:, colperm].
+    """
+    mp, npd = A.shape
+    rmax = min(mp, npd)
+    rows = jnp.arange(mp, dtype=jnp.int32)
+    cols = jnp.arange(npd, dtype=jnp.int32)
+    BIG = jnp.int32(2**30)
+
+    def colmax_of(A, rowpos, k):
+        validr = (rowpos >= k) & (rows < m_true)
+        metric = jnp.where(validr[:, None], _abs2(A), -1.0)
+        return jnp.max(metric, axis=0)
+
+    def cond(state):
+        (A, rowperm, colperm, rowpos, colpos, colmax, k, maxerror, err,
+         done, mags) = state
+        return (k < maxrank) & (~done)
+
+    def body(state):
+        (A, rowperm, colperm, rowpos, colpos, colmax, k, maxerror, err,
+         done, mags) = state
+
+        # --- pivot column: max colmax; ties -> smallest swapped position ---
+        validc = (colpos >= k) & (cols < n_true)
+        cm = jnp.where(validc, colmax, -1.0)
+        M = jnp.max(cm)
+        bestcolpos = jnp.min(jnp.where((cm == M) & validc, colpos, BIG))
+        pc = colperm[jnp.minimum(bestcolpos, npd - 1)]
+
+        # --- pivot row within column pc: ties -> smallest swapped position --
+        validr = (rowpos >= k) & (rows < m_true)
+        met = jnp.where(validr, _abs2(A[:, pc]), -1.0)
+        Mr = jnp.max(met)
+        bestrowpos = jnp.min(jnp.where((met == Mr) & validr, rowpos, BIG))
+        pr = rowperm[jnp.minimum(bestrowpos, mp - 1)]
+        newerr = jnp.sqrt(jnp.maximum(Mr, 0.0)).astype(jnp.float64)
+
+        stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
+        do = ~stop
+
+        # --- virtual swaps (identity when stopping) ------------------------
+        brp = jnp.where(do, bestrowpos, k)
+        r_at_k = rowperm[k]
+        pr_eff = jnp.where(do, pr, r_at_k)
+        rowperm = rowperm.at[brp].set(r_at_k).at[k].set(pr_eff)
+        rowpos = rowpos.at[r_at_k].set(brp).at[pr_eff].set(k)
+
+        bcp = jnp.where(do, bestcolpos, k)
+        c_at_k = colperm[k]
+        pc_eff = jnp.where(do, pc, c_at_k)
+        colperm = colperm.at[bcp].set(c_at_k).at[k].set(pc_eff)
+        colpos = colpos.at[c_at_k].set(bcp).at[pc_eff].set(k)
+
+        # --- fused Schur update + multiplier store + next colmax -----------
+        piv = A[pr_eff, pc_eff]
+        safe = jnp.where(do, piv, 1)
+        urow = (rowpos >= k + 1) & (rows < m_true)  # unpivoted after step
+        ucol = (colpos >= k + 1) & (cols < n_true)
+        if leftorthogonal:
+            mult = A[:, pc_eff] / safe
+            x = jnp.where(urow & do, mult, 0)
+            y = jnp.where(ucol, A[pr_eff, :], 0)
+            Anew = A - x[:, None] * y[None, :]
+            # store multipliers in the pivot column's unpivoted rows
+            Anew = jnp.where(
+                (cols[None, :] == pc_eff) & (urow & do)[:, None],
+                mult[:, None],
+                Anew,
+            )
+        else:
+            divr = A[pr_eff, :] / safe
+            y = jnp.where(ucol & do, divr, 0)
+            x = jnp.where(urow, A[:, pc_eff], 0)
+            Anew = A - x[:, None] * y[None, :]
+            Anew = jnp.where(
+                (rows[:, None] == pr_eff) & (ucol & do)[None, :],
+                divr[None, :],
+                Anew,
+            )
+        metric_next = jnp.where(urow[:, None], _abs2(Anew), -1.0)
+        colmax = jnp.max(metric_next, axis=0)
+
+        mags = jnp.where((jnp.arange(mags.shape[0]) == k) & do, newerr, mags)
+        return (
+            Anew,
+            rowperm,
+            colperm,
+            rowpos,
+            colpos,
+            colmax,
+            k + do.astype(jnp.int32),
+            jnp.where(do, jnp.maximum(maxerror, newerr), maxerror),
+            newerr,
+            stop,
+            mags,
+        )
+
+    state0 = (
+        A,
+        rows,
+        cols,
+        rows,
+        cols,
+        colmax_of(A, rows, 0),
+        jnp.int32(0),
+        jnp.float64(0.0),
+        jnp.float64(jnp.nan),
+        False,
+        jnp.zeros((rmax,), dtype=jnp.float64),
+    )
+    (A, rowperm, colperm, rowpos, colpos, colmax, k, maxerror, err, done,
+     mags) = jax.lax.while_loop(cond, body, state0)
+    # materialize the swapped-layout LU buffer (what callers consume)
+    A_sw = A[rowperm, :][:, colperm]
+    return A_sw, rowperm, colperm, k, mags, err
+
+
 def _rrlu_state(A, m_true, n_true, maxrank, reltol, abstol, leftorthogonal: bool):
+    if A.shape[0] * A.shape[1] >= _FUSED_MIN_ELEMS and not jnp.iscomplexobj(A):
+        return _rrlu_state_fused(
+            A, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
+        )
+    return _rrlu_state_small(
+        A, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
+    )
+
+
+def _rrlu_state_small(A, m_true, n_true, maxrank, reltol, abstol,
+                      leftorthogonal: bool):
     """Run the complete-pivot elimination loop on a padded buffer.
 
     Args:

@@ -1,0 +1,130 @@
+"""Device-resident rook rrLU (ops/lu_device.py) and the fused swap-free
+exact elimination body (ops/lu_kernel._rrlu_state_fused).
+
+The fused body must be bit-compatible with the swap-based small body
+(same pivots, permutations, LU buffer, pivot magnitudes — including the
+reference's swapped-layout column-major tie-break, matrixlu.jl:70-86); the
+device rook must reproduce the host arrlu (matrixlu.jl:492-569) exactly
+when driven by the same rng.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tci_tpu.ops.lu import arrlu
+from tci_tpu.ops.lu_device import rrlu_rook_device
+from tci_tpu.ops.lu_kernel import _rrlu_state_fused, _rrlu_state_small
+
+
+def _lowrank(rng, m, n, r):
+    return rng.standard_normal((m, r)) @ rng.standard_normal((r, n))
+
+
+@pytest.mark.parametrize("leftorthogonal", [True, False])
+@pytest.mark.parametrize("shape", [(40, 30, 10), (33, 57, 20)])
+def test_fused_body_matches_small_body(rng, shape, leftorthogonal):
+    m, n, r = shape
+    A = jnp.asarray(_lowrank(rng, m, n, r))
+    for maxrank, reltol, abstol in [
+        (min(m, n), 1e-10, 0.0),
+        (7, 0.0, 0.0),
+        (min(m, n), 0.0, 1e-3),
+    ]:
+        args = (
+            A, jnp.int32(m), jnp.int32(n), jnp.int32(maxrank),
+            jnp.float64(reltol), jnp.float64(abstol),
+        )
+        o1 = jax.jit(_rrlu_state_small, static_argnames="leftorthogonal")(
+            *args, leftorthogonal=leftorthogonal
+        )
+        o2 = jax.jit(_rrlu_state_fused, static_argnames="leftorthogonal")(
+            *args, leftorthogonal=leftorthogonal
+        )
+        assert int(o1[3]) == int(o2[3])
+        np.testing.assert_array_equal(np.asarray(o1[1]), np.asarray(o2[1]))
+        np.testing.assert_array_equal(np.asarray(o1[2]), np.asarray(o2[2]))
+        np.testing.assert_allclose(
+            np.asarray(o1[0]), np.asarray(o2[0]), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(np.asarray(o1[4]), np.asarray(o2[4]),
+                                   rtol=1e-12)
+
+
+@pytest.mark.parametrize("leftorthogonal", [True, False])
+def test_fused_body_tie_break(leftorthogonal):
+    """Exact ties must resolve in the swapped-layout column-major order,
+    identically in both bodies."""
+    A = np.array(
+        [[2.0, 2.0, 1.0], [2.0, 2.0, 1.0], [1.0, 1.0, 1.0], [2.0, 1.0, 2.0]]
+    )
+    Ap = jnp.zeros((8, 8)).at[:4, :3].set(A)
+    args = (
+        Ap, jnp.int32(4), jnp.int32(3), jnp.int32(3),
+        jnp.float64(1e-12), jnp.float64(0.0),
+    )
+    o1 = jax.jit(_rrlu_state_small, static_argnames="leftorthogonal")(
+        *args, leftorthogonal=leftorthogonal
+    )
+    o2 = jax.jit(_rrlu_state_fused, static_argnames="leftorthogonal")(
+        *args, leftorthogonal=leftorthogonal
+    )
+    assert int(o1[3]) == int(o2[3])
+    np.testing.assert_array_equal(np.asarray(o1[1]), np.asarray(o2[1]))
+    np.testing.assert_array_equal(np.asarray(o1[2]), np.asarray(o2[2]))
+
+
+@pytest.mark.parametrize("leftorthogonal", [True, False])
+def test_rook_device_matches_host_arrlu(rng, leftorthogonal):
+    m, n, r = 120, 90, 17
+    A = _lowrank(rng, m, n, r)
+    lu = rrlu_rook_device(
+        A, reltol=1e-10, leftorthogonal=leftorthogonal,
+        rng=np.random.default_rng(1),
+    )
+    assert lu.npivots() == r
+    rec = lu.left() @ lu.right()
+    assert np.max(np.abs(rec - A)) / np.max(np.abs(A)) < 1e-9
+
+    f = lambda rows, cols: A[np.ix_(rows, cols)]
+    lu_h = arrlu(
+        np.float64, f, (m, n), reltol=1e-10,
+        leftorthogonal=leftorthogonal, usebatcheval=True,
+        rng=np.random.default_rng(1),
+    )
+    assert lu_h.npivots() == lu.npivots()
+    np.testing.assert_array_equal(lu.rowindices(), lu_h.rowindices())
+    np.testing.assert_array_equal(lu.colindices(), lu_h.colindices())
+
+
+@pytest.mark.parametrize("leftorthogonal", [True, False])
+@pytest.mark.parametrize("transpose", [False, True])
+def test_rook_device_materialize_device(rng, leftorthogonal, transpose):
+    m, n, r = 120, 90, 17
+    A = _lowrank(rng, m, n, r)
+    if transpose:
+        A = A.T
+    lu_h = rrlu_rook_device(
+        A, reltol=1e-10, leftorthogonal=leftorthogonal,
+        rng=np.random.default_rng(2),
+    )
+    lu_d = rrlu_rook_device(
+        A, reltol=1e-10, leftorthogonal=leftorthogonal,
+        rng=np.random.default_rng(2), materialize="device",
+    )
+    assert lu_d.npivots() == lu_h.npivots()
+    np.testing.assert_array_equal(lu_d.rowindices(), lu_h.rowindices())
+    np.testing.assert_allclose(np.asarray(lu_d.left()), lu_h.left(),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lu_d.right()), lu_h.right(),
+                               atol=1e-10)
+    lu_rt = lu_d.to_rrlu()
+    np.testing.assert_allclose(lu_rt.left() @ lu_rt.right(), A, atol=1e-9)
+
+
+def test_rook_device_maxrank(rng):
+    A = _lowrank(rng, 60, 60, 30)
+    lu = rrlu_rook_device(A, maxrank=8, rng=np.random.default_rng(3))
+    assert lu.npivots() <= 8
