@@ -76,14 +76,19 @@ def to_quimb_mps(tt: TensorTrain):
 
 
 def from_quimb_mps(mps) -> TensorTrain:
-    """Convert a quimb MatrixProductState back to a TensorTrain."""
-    try:
-        import quimb.tensor as qtn  # noqa: F401
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError("quimb is not installed.") from e
-    arrays = [np.asarray(t.data) for t in mps.arrays_l_r_p()] if hasattr(
-        mps, "arrays_l_r_p"
-    ) else [np.asarray(a) for a in mps.arrays]
+    """Convert a quimb MatrixProductState back to a TensorTrain.
+
+    Consumes any object exposing quimb's array layout (`arrays` in (l, r, p)
+    order, or `arrays_l_r_p()`), so it does not itself require quimb."""
+    if hasattr(mps, "arrays_l_r_p"):
+        arrays = [np.asarray(t.data) for t in mps.arrays_l_r_p()]
+    elif hasattr(mps, "arrays"):
+        arrays = [np.asarray(a) for a in mps.arrays]
+    else:
+        raise TypeError(
+            "from_quimb_mps expects a quimb MatrixProductState-like object "
+            "with .arrays (l, r, p layout) or .arrays_l_r_p()."
+        )
     out = []
     n = len(arrays)
     for i, a in enumerate(arrays):

@@ -289,12 +289,23 @@ def _contractsitetensors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def contract_naive(
     a: TensorTrain, b: TensorTrain, f=None,
     tolerance: float = 0.0, maxbonddim: int = _INTMAX,
+    jax_native: bool = False,
 ) -> TensorTrain:
-    """(contraction.jl:616-637)"""
+    """(contraction.jl:616-637)
+
+    With ``jax_native=True`` (real dtypes) the sitewise Kronecker merges are
+    device einsums and the two-pass compression runs each bond as one fused
+    rrLU program (models/contraction_device.contract_naive_device)."""
     if f is not None:
         raise ValueError(
             "Naive contraction cannot apply an elementwise function. "
             "Use algorithm='TCI' instead."
+        )
+    if jax_native:
+        from .contraction_device import contract_naive_device
+
+        return contract_naive_device(
+            a, b, tolerance=tolerance, maxbonddim=maxbonddim
         )
     if len(a) != len(b):
         raise ValueError("Cannot contract tensor trains with different length.")
@@ -325,9 +336,16 @@ def contract_TCI(
     A: TensorTrain, B: TensorTrain,
     initialpivots=10, f=None,
     rng: Optional[np.random.Generator] = None,
+    jax_native: bool = False,
     **kwargs,
 ) -> TensorTrain:
-    """Fit the product with TCI2 (contraction.jl:692-732)."""
+    """Fit the product with TCI2 (contraction.jl:692-732).
+
+    With ``jax_native=True`` the lazy product evaluates on device as scanned
+    transfer-matrix GEMMs (models/contraction_device.make_product_evaluator)
+    wrapped in a JaxBatchEvaluator, so TCI2 runs its fused bond-update and
+    whole-sweep device tiers; `f` must then be jax-traceable (or None).
+    """
     from .tensorci2 import crossinterpolate2
 
     if len(A) != len(B):
@@ -338,6 +356,14 @@ def contract_TCI(
         )
     matrixproduct = Contraction(A, B, f=f)
     localdims = [int(np.prod(d)) for d in matrixproduct.sitedims()]
+    if jax_native:
+        from ..parallel.batcheval import JaxBatchEvaluator
+        from .contraction_device import make_product_evaluator
+
+        fjax, localdims, dtype = make_product_evaluator(A, B, f=f)
+        evaluator = JaxBatchEvaluator(fjax, localdims, dtype=dtype)
+    else:
+        evaluator = matrixproduct
     if isinstance(initialpivots, int):
         initialpivots = _findinitialpivots(
             matrixproduct.evaluate_single, localdims, initialpivots, rng=rng
@@ -346,7 +372,7 @@ def contract_TCI(
             raise ValueError("No initial pivots found.")
 
     tci, ranks, errors = crossinterpolate2(
-        matrixproduct.dtype, matrixproduct, localdims, initialpivots, **kwargs
+        matrixproduct.dtype, evaluator, localdims, initialpivots, **kwargs
     )
     legdims = [matrixproduct._localdims(i) for i in range(len(tci))]
     return TensorTrain(
@@ -453,10 +479,10 @@ def contract(
 
     if algorithm == "TCI":
         return contract_TCI(A, B, tolerance=tolerance, maxbonddim=maxbonddim,
-                            f=f, **kwargs)
+                            f=f, jax_native=jax_native, **kwargs)
     elif algorithm == "naive":
         return contract_naive(A, B, f=f, tolerance=tolerance,
-                              maxbonddim=maxbonddim)
+                              maxbonddim=maxbonddim, jax_native=jax_native)
     elif algorithm == "zipup":
         if f is not None:
             raise ValueError(

@@ -121,3 +121,200 @@ def contract_zipup_device(
         hi = 1 if n == L - 1 else ranks[n]
         out.append(np.asarray(t[:lo, :, :, :hi], dtype=dtype))
     return TensorTrain(out)
+
+
+# ---------------------------------------------------------------------------
+# Device product evaluator: contract_TCI's BatchEvaluator fast path on TPU
+# ---------------------------------------------------------------------------
+
+
+def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None):
+    """Jax-traceable evaluator of the lazy MPO-MPO product.
+
+    TPU-native counterpart of the Contraction environment caches
+    (reference: src/contraction.jl:279-406): instead of host-side memoized
+    left/right environments, the product value at one fused multi-index is a
+    scan of (ra x rb) transfer-matrix contractions over sites — batched by
+    vmap into MXU GEMMs and consumed by every device tier of TCI2 (fused bond
+    updates, whole-sweep programs) through JaxBatchEvaluator.
+
+    Returns (fjax, localdims, dtype) where fjax maps an (L,) int32 vector of
+    C-order fused indices (idx = i * d2 + j) to the scalar product value;
+    `f` (optional) is a jax-traceable elementwise post-map applied on device
+    (contraction.jl:131-147 applies it per evaluated entry).
+    """
+    L = len(A)
+    if len(B) != L:
+        raise ValueError("Cannot contract tensor trains with different length.")
+    for n in range(L):
+        if A[n].ndim != 4 or B[n].ndim != 4:
+            raise ValueError("Contraction requires 4-leg tensor trains.")
+        if A[n].shape[2] != B[n].shape[1]:
+            raise ValueError(
+                f"Tensor trains must share the identical index at n={n}!"
+            )
+    dtype = np.result_type(A[0].dtype, B[0].dtype).type
+    ra = max(max(t.shape[0], t.shape[3]) for t in A.sitetensors())
+    rb = max(max(t.shape[0], t.shape[3]) for t in B.sitetensors())
+    kmax = max(t.shape[2] for t in A.sitetensors())
+    d1 = max(t.shape[1] for t in A.sitetensors())
+    d2 = max(t.shape[2] for t in B.sitetensors())
+
+    a_stack = np.zeros((L, ra, d1, kmax, ra), dtype=dtype)
+    b_stack = np.zeros((L, rb, kmax, d2, rb), dtype=dtype)
+    d2s = np.zeros((L,), dtype=np.int32)
+    for n in range(L):
+        ta, tb = A[n], B[n]
+        a_stack[n, : ta.shape[0], : ta.shape[1], : ta.shape[2], : ta.shape[3]] = ta
+        b_stack[n, : tb.shape[0], : tb.shape[1], : tb.shape[2], : tb.shape[3]] = tb
+        d2s[n] = tb.shape[2]
+    a_d = jnp.asarray(a_stack)
+    b_d = jnp.asarray(b_stack)
+    d2_d = jnp.asarray(d2s)
+
+    def fjax(idx):
+        i = idx // d2_d
+        j = idx % d2_d
+        v0 = jnp.zeros((ra, rb), dtype=a_d.dtype).at[0, 0].set(1.0)
+
+        def body(v, inp):
+            a_n, b_n, i_n, j_n = inp
+            Ai = jnp.take(a_n, i_n, axis=1)  # (ra, k, ra)
+            Bj = jnp.take(b_n, j_n, axis=2)  # (rb, k, rb)
+            t = jnp.einsum("ab,akc->bkc", v, Ai,
+                           preferred_element_type=a_d.dtype)
+            v = jnp.einsum("bkc,bkd->cd", t, Bj,
+                           preferred_element_type=a_d.dtype)
+            return v, None
+
+        v, _ = jax.lax.scan(body, v0, (a_d, b_d, i, j))
+        res = v[0, 0]
+        if f is not None:
+            res = f(res)
+        return res
+
+    localdims = [int(A[n].shape[1] * B[n].shape[2]) for n in range(L)]
+    return fjax, localdims, dtype
+
+
+# ---------------------------------------------------------------------------
+# Device naive contraction: einsum merge + two-pass LU compress on device
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cap", "leftorthogonal"))
+def _lu_split(Cm, m_true, n_true, reltol, cap: int, leftorthogonal: bool):
+    """Split Cm ≈ left · right by rank-revealing LU on device, mirroring the
+    host rrlu left()/right() convention (ops/lu.py:119-131): with
+    leftorthogonal, L is unit-diagonal and U carries the pivots; otherwise L
+    carries the pivots and U is unit-diagonal. Truncated columns/rows beyond
+    the returned rank are zeroed. Returns (left (m, cap), right (cap, n), k)."""
+    m, n = Cm.shape
+    maxrank = min(m, n, cap)
+    A_out, rowperm, colperm, kk, _, _ = _rrlu_state(
+        Cm, m_true, n_true, jnp.int32(maxrank), reltol, jnp.float64(0.0),
+        leftorthogonal,
+    )
+    rmax = min(m, n)
+    ridx = jnp.arange(rmax)
+    keep = ridx < kk
+    L_all = jnp.tril(A_out[:, :rmax])
+    U_all = jnp.triu(A_out[:rmax, :])
+    if leftorthogonal:
+        L_all = L_all.at[jnp.arange(m)[:rmax], ridx].set(1.0)
+    else:
+        U_all = U_all.at[ridx, jnp.arange(n)[:rmax]].set(1.0)
+    L_all = jnp.where(keep[None, :], L_all, 0.0)
+    U_all = jnp.where(keep[:, None], U_all, 0.0)
+    left = jnp.zeros_like(L_all).at[rowperm, :].set(L_all)[:, :cap]
+    right = jnp.zeros_like(U_all).at[:, colperm].set(U_all)[:cap, :]
+    return left, right, kk
+
+
+@jax.jit
+def _merge_sites(a, b):
+    """Kronecker site merge on device (reference contraction.jl:591-602):
+    (la, i, k, ra) x (lb, k, j, rb) -> (la*lb, i, j, ra*rb)."""
+    la, i, _, ra = a.shape
+    lb, _, j, rb = b.shape
+    ab = jnp.einsum("aikr,bkjs->abijrs", a, b,
+                    preferred_element_type=a.dtype)
+    return ab.reshape(la * lb, i, j, ra * rb)
+
+
+def contract_naive_device(
+    A: TensorTrain,
+    B: TensorTrain,
+    tolerance: float = 0.0,
+    maxbonddim: int = _INTMAX,
+) -> TensorTrain:
+    """Naive contraction with every einsum and factorization on device.
+
+    Equivalent to the host ``contract_naive`` (reference
+    contraction.jl:616-637) with the LU truncation rule in place of SVD: the
+    sitewise Kronecker merges are MXU einsums, and the two-pass compression
+    (L→R exact orthogonalization, R→L truncating — tensortrain.jl:302-348)
+    runs each bond as one fused rrLU program, with data staying on device
+    between bonds.
+    """
+    if len(A) != len(B):
+        raise ValueError("Cannot contract tensor trains with different length.")
+    dtype = np.result_type(A[0].dtype, B[0].dtype)
+    if np.issubdtype(dtype, np.complexfloating):
+        raise ValueError(
+            "contract_naive_device supports real dtypes only "
+            "(TPU backends have no complex support); use the host path."
+        )
+    L = len(A)
+    tt = [
+        _merge_sites(jnp.asarray(A[n], dtype=jnp.float64),
+                     jnp.asarray(B[n], dtype=jnp.float64))
+        for n in range(L)
+    ]
+    if not (tolerance > 0 or maxbonddim < _INTMAX):
+        return TensorTrain([np.asarray(t, dtype=dtype) for t in tt])
+
+    # L→R exact pass (tolerance 0, leftorthogonal)
+    zero = jnp.float64(0.0)
+    for ell in range(L - 1):
+        sh = tt[ell].shape
+        m = int(np.prod(sh[:-1]))
+        n = int(sh[-1])
+        cap = min(m, n)
+        left, right, _ = _lu_split(
+            tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n), zero,
+            cap=cap, leftorthogonal=True,
+        )
+        tt[ell] = left.reshape(*sh[:-1], cap)
+        shr = tt[ell + 1].shape
+        nxt = right @ tt[ell + 1].reshape(shr[0], int(np.prod(shr[1:])))
+        tt[ell + 1] = nxt.reshape(cap, *shr[1:])
+
+    # R→L truncating pass
+    reltol = jnp.float64(tolerance)
+    ranks = []
+    for ell in range(L - 1, 0, -1):
+        sh = tt[ell].shape
+        m = int(sh[0])
+        n = int(np.prod(sh[1:]))
+        cap = int(min(m, n, maxbonddim))
+        left, right, kk = _lu_split(
+            tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n), reltol,
+            cap=cap, leftorthogonal=False,
+        )
+        tt[ell] = right.reshape(cap, *sh[1:])
+        shl = tt[ell - 1].shape
+        nxt = tt[ell - 1].reshape(int(np.prod(shl[:-1])), shl[-1]) @ left
+        tt[ell - 1] = nxt.reshape(*shl[:-1], cap)
+        ranks.append(kk)
+
+    ranks = [max(1, int(k)) for k in jax.device_get(ranks)][::-1]
+    host = jax.device_get(tt)
+    out = []
+    for n in range(L):
+        t = host[n]
+        lo = 1 if n == 0 else ranks[n - 1]
+        hi = 1 if n == L - 1 else ranks[n]
+        out.append(np.asarray(t[:lo, :, :, :hi] if t.ndim == 4 else t,
+                              dtype=dtype))
+    return TensorTrain(out)

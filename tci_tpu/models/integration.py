@@ -78,6 +78,10 @@ def integrate(
         F = JaxBatchEvaluator(
             Fjax, localdims, dtype=valuetype,
             enable_device_sweep=enable_device_sweep,
+            # GK grids have large localdims (GKorder nodes per leg) and high
+            # rank: monotone panel capacities keep the fused tier at
+            # O(log maxrank) compiled programs instead of a compile storm
+            fused_panel_capacity=True,
         )
     elif vectorized:
         from ..parallel.batcheval import VectorizedBatchEvaluator

@@ -161,17 +161,25 @@ def make_fused_bond_update_pair(fjax_pair: Callable):
 
 
 def pad_index_panels(
-    Ic: np.ndarray, Jc: np.ndarray
+    Ic: np.ndarray, Jc: np.ndarray, mI: int = None, mJ: int = None
 ) -> Tuple[np.ndarray, np.ndarray, int, int]:
     """Pad (nI, nl) / (nJ, nr) int panels to bucketed row counts (zero rows;
-    the kernel masks them out of the Π panel)."""
+    the kernel masks them out of the Π panel). Explicit mI/mJ override the
+    bucket (capacity mode)."""
     nI, nJ = Ic.shape[0], Jc.shape[0]
-    mI, mJ = bucket(nI), bucket(nJ)
+    mI = bucket(nI) if mI is None else mI
+    mJ = bucket(nJ) if mJ is None else mJ
     if mI != nI:
         Ic = np.vstack([Ic, np.zeros((mI - nI, Ic.shape[1]), Ic.dtype)])
     if mJ != nJ:
         Jc = np.vstack([Jc, np.zeros((mJ - nJ, Jc.shape[1]), Jc.dtype)])
     return Ic, Jc, nI, nJ
+
+
+def _pow2_at_least(n: int, floor: int = 128) -> int:
+    """Smallest power of two >= max(n, floor)."""
+    n = max(int(n), int(floor), 1)
+    return 1 << (n - 1).bit_length()
 
 
 def make_fused_site_tensor(fjax: Callable, dtype=jnp.float64):
@@ -253,9 +261,13 @@ class FusedSiteTensors:
     """Host wrapper for the fused site-tensor kernel (see
     TensorCI2.setsitetensor_from_f)."""
 
-    def __init__(self, fjax: Callable, dtype=np.float64, pair: bool = False):
+    def __init__(self, fjax: Callable, dtype=np.float64, pair: bool = False,
+                 capacity_mode: bool = False):
         self.pair = pair
         self.dtype = np.dtype(dtype)
+        self.capacity_mode = capacity_mode
+        self._row_cap = 0
+        self._col_cap = 0
         if pair:
             self._fused = make_fused_site_tensor_pair(fjax)
         else:
@@ -279,8 +291,14 @@ class FusedSiteTensors:
         n_is, n_js, n_ip = Is.shape[0], Js.shape[0], Ip.shape[0]
         if n_ip != n_js:
             raise ValueError("Pivot matrix is not square!")
-        mI, mJ = bucket(n_is), bucket(n_js)
-        mP = bucket(n_ip)
+        if self.capacity_mode:
+            self._row_cap = max(self._row_cap, _pow2_at_least(n_is))
+            self._col_cap = max(self._col_cap, _pow2_at_least(n_js))
+            mI, mJ = self._row_cap, self._col_cap
+            mP = mJ  # keep the P panel square at the column capacity
+        else:
+            mI, mJ = bucket(n_is), bucket(n_js)
+            mP = bucket(n_ip)
         if mI != n_is:
             Is = np.vstack([Is, np.zeros((mI - n_is, Is.shape[1]), np.int32)])
         if mJ != n_js:
@@ -316,9 +334,20 @@ class FusedBondUpdater:
     metadata, one device round trip per bond.
     """
 
-    def __init__(self, fjax: Callable, dtype=np.float64, pair: bool = False):
+    def __init__(self, fjax: Callable, dtype=np.float64, pair: bool = False,
+                 capacity_mode: bool = False):
         self.pair = pair
         self.dtype = np.dtype(dtype)
+        # capacity mode: panels pad to monotone power-of-two capacities shared
+        # across bonds instead of per-size buckets — O(log maxrank) compiled
+        # programs total instead of one per (mI, mJ) bucket pair. The masked
+        # rrLU stops at the true rank, so results are identical; the extra
+        # padded sampling is cheap on-device. Use for workloads with large
+        # localdims x maxbonddim where per-bucket compiles dominate wall time
+        # (e.g. GK-grid integration at d=15, rank 128).
+        self.capacity_mode = capacity_mode
+        self._row_cap = 0
+        self._col_cap = 0
         if pair:
             self._fused = make_fused_bond_update_pair(fjax)
         else:
@@ -337,7 +366,14 @@ class FusedBondUpdater:
     ):
         Ic = np.asarray([tuple(i) for i in Icombined], dtype=np.int32)
         Jc = np.asarray([tuple(j) for j in Jcombined], dtype=np.int32)
-        Ic, Jc, nI, nJ = pad_index_panels(Ic, Jc)
+        if self.capacity_mode:
+            self._row_cap = max(self._row_cap, _pow2_at_least(Ic.shape[0]))
+            self._col_cap = max(self._col_cap, _pow2_at_least(Jc.shape[0]))
+            Ic, Jc, nI, nJ = pad_index_panels(
+                Ic, Jc, self._row_cap, self._col_cap
+            )
+        else:
+            Ic, Jc, nI, nJ = pad_index_panels(Ic, Jc)
         self.nevals += Ic.shape[0] * Jc.shape[0]
         maxrank = min(maxrank, nI, nJ)
         out = self._fused(

@@ -292,7 +292,8 @@ class JaxBatchEvaluator(BatchEvaluator):
 
     def __init__(self, fjax: Callable, localdims, dtype=np.float64,
                  mesh=None, axis: str = "batch", pair_output: bool = False,
-                 enable_device_sweep: bool = True):
+                 enable_device_sweep: bool = True,
+                 fused_panel_capacity: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -306,6 +307,11 @@ class JaxBatchEvaluator(BatchEvaluator):
         # large local dims and high rank may prefer the per-bond fused tier
         # (panels sized to the actual rank)
         self.enable_device_sweep = enable_device_sweep
+        # capacity mode for the per-bond fused tier: panels pad to monotone
+        # shared capacities (O(log maxrank) compiles) instead of per-size
+        # buckets — right for large-localdim/high-rank workloads where
+        # per-bucket compiles dominate (see ops/fused.FusedBondUpdater)
+        self.fused_panel_capacity = fused_panel_capacity
         self._nevals = 0
 
         self._iscomplex = np.issubdtype(np.dtype(dtype), np.complexfloating)
@@ -348,7 +354,8 @@ class JaxBatchEvaluator(BatchEvaluator):
             from ..ops.fused import FusedBondUpdater
 
             self._fused_updater = FusedBondUpdater(
-                self.fjax, self.dtype, pair=self._complex_as_pair
+                self.fjax, self.dtype, pair=self._complex_as_pair,
+                capacity_mode=self.fused_panel_capacity,
             )
         return self._fused_updater
 
@@ -376,7 +383,8 @@ class JaxBatchEvaluator(BatchEvaluator):
             from ..ops.fused import FusedSiteTensors
 
             self._fused_site_tensors = FusedSiteTensors(
-                self.fjax, self.dtype, pair=self._complex_as_pair
+                self.fjax, self.dtype, pair=self._complex_as_pair,
+                capacity_mode=self.fused_panel_capacity,
             )
         return self._fused_site_tensors
 

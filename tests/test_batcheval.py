@@ -1,6 +1,7 @@
 """Port of test/test_batcheval.jl (0-based indices)."""
 
 import numpy as np
+import pytest
 
 import tci_tpu as tci
 from tci_tpu import (
@@ -70,6 +71,7 @@ def test_threaded(rng):
     assert np.allclose(result, ref)
 
 
+@pytest.mark.slow
 def test_threaded_full_tci(rng):
     """ThreadedBatchEvaluator gives the same TCI as the raw function."""
     L = 8
@@ -83,6 +85,31 @@ def test_threaded_full_tci(rng):
     )
 
 
+def test_jax_evaluator_protocol(rng):
+    """Fast tier: JaxBatchEvaluator batch protocol equals the generic
+    dispatch (no full TCI; see test_jax_evaluator for the slow acceptance)."""
+    import jax.numpy as jnp
+
+    localdims = [3] * 6
+
+    def fjax(idx):
+        v = idx.astype(jnp.float64)
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    f = lambda x: 1.0 / (1.0 + float(np.sum(np.asarray(x, dtype=float) ** 2)))
+    leftindexset = [tuple(rng.integers(0, 3, 2)) for _ in range(4)]
+    rightindexset = [tuple(rng.integers(0, 3, 3)) for _ in range(4)]
+    result = bf.batch_evaluate(leftindexset, rightindexset, 1)
+    ref = _batchevaluate_dispatch(
+        np.float64, f, localdims, leftindexset, rightindexset, 1
+    )
+    assert np.allclose(result, ref)
+    assert bf.nevals > 0
+    assert abs(bf.evaluate_single((1, 2, 0, 1, 2, 0)) - f((1, 2, 0, 1, 2, 0))) < 1e-12
+
+
+@pytest.mark.slow
 def test_jax_evaluator(rng):
     """TPU-native path: jax-traceable f evaluated through vmapped jit."""
     import jax.numpy as jnp

@@ -85,6 +85,7 @@ def test_pair_pinv_solve(rng):
     assert np.allclose(T[:, :n_true], Texp)
 
 
+@pytest.mark.slow
 def test_pair_full_tci_matches():
     def gpair(idx):
         v = idx.astype(jnp.float64) + 1.0
@@ -112,6 +113,7 @@ def test_pair_full_tci_matches():
     )
 
 
+@pytest.mark.slow
 def test_pair_scan_sweep_long_chain():
     """L >= 16 pair chains run the scan-based whole-sweep program
     (device_sweep._make_sweep_scan(pair=True)); must match the host complex
@@ -149,6 +151,7 @@ def test_pair_scan_sweep_long_chain():
     assert np.abs(f1 - f2).max() < 1e-7
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("L", [8, 16])
 def test_pair_sweep1site_and_fill(L):
     """Pair 1-site sweeps and fills run as whole-device programs (unrolled

@@ -89,3 +89,105 @@ def test_device_zipup_rejects_complex_and_nonlu(rng):
     Ac = TensorTrain([t.astype(np.complex128) for t in A.sitetensors()])
     with pytest.raises(ValueError, match="real dtypes"):
         contract_zipup(Ac, B, method="LU", jax_native=True)
+
+
+# -- device naive contraction (einsum merge + device LU compress) ------------
+
+
+def test_device_naive_exact_product(rng):
+    A = _rand_mpo(rng, 4, 3, 3, 3)
+    B = _rand_mpo(rng, 4, 4, 3, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = contract(A, B, algorithm="naive", jax_native=True)
+    assert np.allclose(fulltensor(dev), exact, atol=1e-10 * np.abs(exact).max())
+
+
+def test_device_naive_compress_truncates(rng):
+    A = _lowrank_mpo(rng, 5, 8, 3, 3, 2)
+    B = _lowrank_mpo(rng, 5, 8, 3, 2, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = contract(A, B, algorithm="naive", tolerance=1e-8, jax_native=True)
+    # exact product rank is <= 4 per bond (2x2 low-rank factors)
+    assert max(dev.linkdims()) <= 8
+    assert np.allclose(fulltensor(dev), exact, atol=1e-6 * np.abs(exact).max())
+
+
+def test_device_naive_maxbonddim(rng):
+    A = _rand_mpo(rng, 4, 3, 3, 3)
+    B = _rand_mpo(rng, 4, 3, 3, 2)
+    dev = contract(
+        A, B, algorithm="naive", tolerance=1e-12, maxbonddim=5,
+        jax_native=True,
+    )
+    assert max(dev.linkdims()) <= 5
+
+
+def test_device_naive_rejects_complex(rng):
+    A = _rand_mpo(rng, 3, 2, 2, 2)
+    B = _rand_mpo(rng, 3, 2, 2, 2)
+    Ac = TensorTrain([t.astype(np.complex128) for t in A.sitetensors()])
+    with pytest.raises(ValueError, match="real dtypes"):
+        contract(Ac, B, algorithm="naive", jax_native=True)
+
+
+# -- device TCI contraction (product evaluator on device) --------------------
+
+
+def test_product_evaluator_matches_contraction(rng):
+    from tci_tpu.models.contraction import Contraction
+    from tci_tpu.models.contraction_device import make_product_evaluator
+
+    import jax.numpy as jnp
+
+    A = _rand_mpo(rng, 5, 4, 3, 3)
+    B = _rand_mpo(rng, 5, 5, 3, 2)
+    fjax, localdims, dtype = make_product_evaluator(A, B)
+    prod = Contraction(A, B)
+    assert localdims == [6, 6, 6, 6, 6]  # d1_A * d2_B = 3 * 2
+    for _ in range(20):
+        idx = [int(rng.integers(0, d)) for d in localdims]
+        got = float(fjax(jnp.asarray(idx, dtype=jnp.int32)))
+        want = float(prod.evaluate_single(idx))
+        assert abs(got - want) < 1e-10 * max(1.0, abs(want))
+
+
+def test_product_evaluator_postmap(rng):
+    from tci_tpu.models.contraction import Contraction
+    from tci_tpu.models.contraction_device import make_product_evaluator
+
+    import jax.numpy as jnp
+
+    A = _rand_mpo(rng, 4, 3, 2, 2)
+    B = _rand_mpo(rng, 4, 3, 2, 2)
+    fjax, localdims, _ = make_product_evaluator(A, B, f=lambda x: 2.0 * x)
+    prod = Contraction(A, B, f=lambda x: 2.0 * x)
+    idx = [1, 0, 3, 2]
+    got = float(fjax(jnp.asarray(idx, dtype=jnp.int32)))
+    assert abs(got - float(prod.evaluate_single(idx))) < 1e-10
+
+
+def test_device_tci_contraction_matches_host(rng):
+    A = _lowrank_mpo(rng, 5, 6, 3, 3, 2)
+    B = _lowrank_mpo(rng, 5, 6, 3, 2, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = contract(
+        A, B, algorithm="TCI", tolerance=1e-10, jax_native=True,
+        rng=np.random.default_rng(7),
+    )
+    assert np.allclose(fulltensor(dev), exact, atol=1e-7 * np.abs(exact).max())
+
+
+def test_device_tci_contraction_mps(rng):
+    B = _lowrank_mpo(rng, 4, 5, 3, 2, 2)
+    mps = TensorTrain(
+        [
+            rng.standard_normal((b1, 2, b2))
+            for b1, b2 in zip([1, 3, 3, 3], [3, 3, 3, 1])
+        ]
+    )
+    host = contract(B, mps, algorithm="TCI", tolerance=1e-10,
+                    rng=np.random.default_rng(3))
+    dev = contract(B, mps, algorithm="TCI", tolerance=1e-10, jax_native=True,
+                   rng=np.random.default_rng(3))
+    assert all(t.ndim == 3 for t in dev.sitetensors())
+    assert np.allclose(fulltensor(host), fulltensor(dev), atol=1e-8)

@@ -65,6 +65,7 @@ def test_device_engine_complex():
     )
 
 
+@pytest.mark.slow
 def test_device_engine_maxbonddim():
     localdims = [6] * 4
     bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
@@ -76,6 +77,7 @@ def test_device_engine_maxbonddim():
     assert t1.linkdims() == t2.linkdims()
 
 
+@pytest.mark.slow
 def test_device_engine_buffer_growth():
     """Start with a tiny buffer and force geometric growth."""
     from tci_tpu.models.device_sweep import DeviceSweepEngine
@@ -106,6 +108,7 @@ def _hjax(idx):
     return 1.0 / (1.0 + jnp.sum(v * w) + 0.3 * jnp.sum(v) ** 2)
 
 
+@pytest.mark.slow
 def test_scan_fill_and_sweep1site_match_unrolled():
     """The lax.scan variants (long chains) must be bit-identical to the
     unrolled programs on the same padded buffers."""
@@ -184,6 +187,7 @@ def test_scan_fill_and_sweep1site_match_unrolled():
             assert np.allclose(np.asarray(ru[i]), np.asarray(rs[i]))
 
 
+@pytest.mark.slow
 def test_long_chain_engine_fill_and_sweep1():
     """L >= 16 routes fill/1-site through the scan programs; results must
     agree with the host path to the optimization tolerance."""

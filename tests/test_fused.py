@@ -71,6 +71,7 @@ def test_fused_truncation(leftorthogonal, rng):
     assert err > 0
 
 
+@pytest.mark.slow
 def test_full_tci_fused_equals_generic():
     """crossinterpolate2 through the fused path reproduces the plain path."""
     localdims = [4] * 5

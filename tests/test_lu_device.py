@@ -76,6 +76,7 @@ def test_fused_body_tie_break(leftorthogonal):
     np.testing.assert_array_equal(np.asarray(o1[2]), np.asarray(o2[2]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("leftorthogonal", [True, False])
 def test_rook_device_matches_host_arrlu(rng, leftorthogonal):
     m, n, r = 120, 90, 17

@@ -6,6 +6,7 @@ constraint must produce identical ranks/errors to the single-device run.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -16,6 +17,7 @@ def _lorentz(idx):
     return 1.0 / (1.0 + jnp.sum(v * v))
 
 
+@pytest.mark.slow
 def test_crossinterpolate2_on_mesh_matches_single_device():
     import tci_tpu as tci
     from tci_tpu.parallel.batcheval import JaxBatchEvaluator
@@ -72,6 +74,7 @@ def test_graft_entry_single_chip():
     assert out.shape == (256,)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_subprocess():
     """dryrun_multichip must succeed regardless of the caller's platform —
     it spawns a subprocess that forces an 8-virtual-CPU mesh."""

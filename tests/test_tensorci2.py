@@ -176,6 +176,21 @@ def test_errors_and_warnings():
         t.optimize(f, pivottolerance=0.1)
 
 
+def test_lorentz_smoke():
+    """Fast tier: 4-D Lorentzian converges through the full optimize loop
+    (slow acceptance: test_lorentz_mps with the reference's 5-D/10-grid)."""
+    n, d = 4, 6
+    f = lambda v: 1.0 / (sum((x + 1) ** 2 for x in v) + 1)
+    t, ranks, errors = crossinterpolate2(
+        np.float64, f, [d] * n, [tuple([0] * n)], tolerance=1e-6,
+        rng=np.random.default_rng(5),
+    )
+    assert errors[-1] < 1e-6
+    for v in [(0, 0, 0, 0), (1, 2, 3, 4), (5, 5, 5, 5)]:
+        assert abs(t.evaluate(v) - f(v)) < 1e-5
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("coeff", [1.0, 0.5 - 1.0j])
 @pytest.mark.parametrize("pivotsearch", ["full", "rook"])
 def test_lorentz_mps(coeff, pivotsearch):
@@ -250,9 +265,14 @@ def test_lorentz_mps(coeff, pivotsearch):
         assert np.isclose(value, f(v))
 
 
-@pytest.mark.parametrize("seed", [1, 2, 3])
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", list(range(1, 11)))
 @pytest.mark.parametrize("pivotsearch", ["full", "rook"])
 def test_insert_global_pivots(seed, pivotsearch):
+    # Reference sweeps seeds 1:20 at R=20 with 100 needles
+    # (test_tensorci2.jl:343-393); this 1-CPU host runs seeds 1:10 at
+    # R=16/50 needles in the slow tier plus one reference-fidelity spot
+    # check (test_insert_global_pivots_reference_fidelity below).
     rng = np.random.default_rng(seed)
     R = 16
     abstol = 1e-4
@@ -287,6 +307,46 @@ def test_insert_global_pivots(seed, pivotsearch):
     nbad = sum(
         abs(t.evaluate(r) - f(r)) > abstol for r in rindex
     )
+    assert nbad == 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("pivotsearch", ["full", "rook"])
+def test_insert_global_pivots_reference_fidelity(pivotsearch):
+    """One seed at the reference's full fidelity: R=20, 100 needles
+    (test_tensorci2.jl:343-393)."""
+    seed = 1
+    rng = np.random.default_rng(seed)
+    R = 20
+    abstol = 1e-4
+    delta = 10.0 / 2**R
+    grid = DiscretizedGrid(R, 0.0, 1.0)
+
+    rindex = [tuple(rng.integers(0, 2, R)) for _ in range(100)]
+    rpoint = [grid.quantics_to_origcoord(r)[0] for r in rindex]
+
+    def fx(x):
+        res = np.exp(-10 * x)
+        for r in rpoint:
+            if abs(x - r) < delta:
+                res += 2 * abstol
+        return res
+
+    f = lambda bits: fx(grid.quantics_to_origcoord(bits)[0])
+    localdims = [2] * R
+    t, ranks, errors = crossinterpolate2(
+        np.float64, f, localdims, [tuple([0] * R)],
+        tolerance=abstol, maxbonddim=1000, maxiter=20, loginterval=1,
+        verbosity=0, normalizeerror=False, pivotsearch=pivotsearch,
+        strictlynested=False, rng=rng,
+    )
+    t.addglobalpivots2sitesweep(
+        f, rindex,
+        tolerance=abstol, normalizeerror=False, maxbonddim=1000,
+        pivotsearch=pivotsearch, verbosity=0, strictlynested=False,
+        ntry=1 if pivotsearch == "full" else 10,
+    )
+    nbad = sum(abs(t.evaluate(r) - f(r)) > abstol for r in rindex)
     assert nbad == 0
 
 
