@@ -34,7 +34,6 @@ def main(jax_native: bool = False, scalar: bool = False):
         np.float64, f, [-1.0] * 10, [1.0] * 10, GKorder=15,
         tolerance=1e-8, jax_native=jax_native,
         vectorized=not (jax_native or scalar), maxbonddim=128,
-        enable_device_sweep=False,
     )
     wall = time.perf_counter() - t0
     Iref = -5.4960415218049

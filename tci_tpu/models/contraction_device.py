@@ -85,10 +85,9 @@ def contract_zipup_device(
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
     if np.issubdtype(dtype, np.complexfloating):
-        raise ValueError(
-            "contract_zipup_device supports real dtypes only "
-            "(TPU backends have no complex support); use the host zip-up."
-        )
+        # complex operands run the (re, im) f64 pair programs — no TPU
+        # backend executes complex dtypes (ops/complex_pair.py)
+        return _contract_zipup_device_pair(A, B, tolerance, maxbonddim)
     L = len(A)
     ajs = [jnp.asarray(A[n], dtype=jnp.float64) for n in range(L)]
     bjs = [jnp.asarray(B[n], dtype=jnp.float64) for n in range(L)]
@@ -317,4 +316,103 @@ def contract_naive_device(
         hi = 1 if n == L - 1 else ranks[n]
         out.append(np.asarray(t[:lo, :, :, :hi] if t.ndim == 4 else t,
                               dtype=dtype))
+    return TensorTrain(out)
+
+
+# ---------------------------------------------------------------------------
+# Pair-mode (complex) device tiers: complex carried as (re, im) f64 pairs
+# (no TPU backend executes complex dtypes; ops/complex_pair.py)
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cap", "last"))
+def _zip_step_pair(Rr, Ri, ar, ai, br, bi, reltol, cap: int, last: bool):
+    """Pair-mode _zip_step: C = R·A[n]·B[n] via 4 real einsums per complex
+    product, then the pair rrLU split (leftorthogonal=False convention,
+    matching _zip_step)."""
+    from ..ops.complex_pair import rrlu_state_pair
+
+    # T = R·A  (pab,aikr->pbikr contracted below in one einsum each)
+    Tr = jnp.einsum("pab,aikr->pbikr", Rr, ar) - jnp.einsum(
+        "pab,aikr->pbikr", Ri, ai)
+    Ti = jnp.einsum("pab,aikr->pbikr", Rr, ai) + jnp.einsum(
+        "pab,aikr->pbikr", Ri, ar)
+    # C = T·B  (pbikr,bkjs->pijrs)
+    Cr = jnp.einsum("pbikr,bkjs->pijrs", Tr, br) - jnp.einsum(
+        "pbikr,bkjs->pijrs", Ti, bi)
+    Ci = jnp.einsum("pbikr,bkjs->pijrs", Tr, bi) + jnp.einsum(
+        "pbikr,bkjs->pijrs", Ti, br)
+    P, i, j, Ra, Rb = Cr.shape
+    if last:
+        return (Cr.reshape(P, i, j, Ra * Rb), Ci.reshape(P, i, j, Ra * Rb),
+                None, None, None)
+    m, n = P * i * j, Ra * Rb
+    Cmr = Cr.reshape(m, n)
+    Cmi = Ci.reshape(m, n)
+    maxrank = min(m, n, cap)
+    Ar, Ai, rowperm, colperm, kk, _, _ = rrlu_state_pair(
+        Cmr, Cmi, jnp.int32(m), jnp.int32(n), jnp.int32(maxrank),
+        reltol, jnp.float64(0.0), False,
+    )
+    rmax = min(m, n)
+    ridx = jnp.arange(rmax)
+    keep = ridx < kk
+    Lr_all = jnp.where(keep[None, :], jnp.tril(Ar[:, :rmax]), 0.0)
+    Li_all = jnp.where(keep[None, :], jnp.tril(Ai[:, :rmax]), 0.0)
+    Ur_all = jnp.triu(Ar[:rmax, :]).at[ridx, ridx].set(1.0)
+    Ui_all = jnp.triu(Ai[:rmax, :]).at[ridx, ridx].set(0.0)
+    Ur_all = jnp.where(keep[:, None], Ur_all, 0.0)
+    Ui_all = jnp.where(keep[:, None], Ui_all, 0.0)
+    lr = jnp.zeros_like(Lr_all).at[rowperm, :].set(Lr_all)[:, :cap]
+    li = jnp.zeros_like(Li_all).at[rowperm, :].set(Li_all)[:, :cap]
+    rr = jnp.zeros_like(Ur_all).at[:, colperm].set(Ur_all)[:cap, :]
+    ri = jnp.zeros_like(Ui_all).at[:, colperm].set(Ui_all)[:cap, :]
+    return (lr.reshape(P, i, j, cap), li.reshape(P, i, j, cap),
+            jnp.stack([rr, ri]).reshape(2, cap, Ra, Rb), kk, None)
+
+
+def _contract_zipup_device_pair(
+    A: TensorTrain, B: TensorTrain, tolerance: float, maxbonddim: int
+) -> TensorTrain:
+    """Complex zip-up on device via (re, im) f64 pair programs."""
+    L = len(A)
+    ars = [jnp.asarray(np.real(A[n]), dtype=jnp.float64) for n in range(L)]
+    ais = [jnp.asarray(np.imag(A[n]), dtype=jnp.float64) for n in range(L)]
+    brs = [jnp.asarray(np.real(B[n]), dtype=jnp.float64) for n in range(L)]
+    bis = [jnp.asarray(np.imag(B[n]), dtype=jnp.float64) for n in range(L)]
+    reltol = jnp.float64(tolerance)
+
+    sites: List = []
+    kks: List = []
+    Rr = jnp.ones((1, 1, 1), dtype=jnp.float64)
+    Ri = jnp.zeros((1, 1, 1), dtype=jnp.float64)
+    P = 1
+    for n in range(L):
+        if n == L - 1:
+            sr, si, _, _, _ = _zip_step_pair(
+                Rr, Ri, ars[n], ais[n], brs[n], bis[n], reltol,
+                cap=1, last=True,
+            )
+            sites.append((sr, si))
+            break
+        m = P * ars[n].shape[1] * brs[n].shape[2]
+        nn = ars[n].shape[3] * brs[n].shape[3]
+        cap = int(min(maxbonddim, m, nn))
+        lr, li, Rpair, kk, _ = _zip_step_pair(
+            Rr, Ri, ars[n], ais[n], brs[n], bis[n], reltol,
+            cap=cap, last=False,
+        )
+        sites.append((lr, li))
+        Rr, Ri = Rpair[0], Rpair[1]
+        kks.append(kk)
+        P = cap
+
+    ranks = [max(1, int(k)) for k in jax.device_get(kks)]
+    out: List[np.ndarray] = []
+    for n in range(L):
+        sr, si = jax.device_get(sites[n])
+        t = np.asarray(sr) + 1j * np.asarray(si)
+        lo = 1 if n == 0 else ranks[n - 1]
+        hi = 1 if n == L - 1 else ranks[n]
+        out.append(t[:lo, :, :, :hi].astype(np.complex128))
     return TensorTrain(out)

@@ -529,21 +529,39 @@ class TensorCI2(AbstractTensorTrain):
             Jset_pos = {idx: pos for pos, idx in enumerate(Jcombined)}
             I0 = [Iset_pos[i] for i in self.Iset[b + 1] if i in Iset_pos]
             J0 = [Jset_pos[j] for j in self.Jset[b] if j in Jset_pos]
-            Pif = SubMatrix(f, Icombined, Jcombined, self.dtype)
-            luci = MatrixLUCI(
-                f=Pif,
-                valuetype=self.dtype,
-                matrixsize=(len(Icombined), len(Jcombined)),
-                I0=I0,
-                J0=J0,
-                reltol=reltol,
-                abstol=abstol,
-                maxrank=maxbonddim,
-                leftorthogonal=leftorthogonal,
-                pivotsearch="rook",
-                usebatcheval=True,
-            )
-            self.updatemaxsample(np.asarray([Pif.maxsamplevalue]))
+            sampler = getattr(f, "panel_sampler", None)
+            if sampler is not None:
+                # Device rook tier: materialize the Π panel with ONE device
+                # program (cheap for a jax-traceable integrand), then run the
+                # arrlu slab iteration against the device-resident panel
+                # (ops/lu_device.py) — no per-slab host sampling round trips
+                # (reference arrlu: matrixlu.jl:492-569).
+                from ..ops.lu_device import rrlu_rook_device
+
+                Pi_dev, maxsample = sampler.sample(Icombined, Jcombined)
+                lu = rrlu_rook_device(
+                    Pi_dev, I0=I0, J0=J0, maxrank=maxbonddim,
+                    reltol=reltol, abstol=abstol,
+                    leftorthogonal=leftorthogonal,
+                )
+                luci = MatrixLUCI(lu=lu)
+                self.updatemaxsample(np.asarray([maxsample]))
+            else:
+                Pif = SubMatrix(f, Icombined, Jcombined, self.dtype)
+                luci = MatrixLUCI(
+                    f=Pif,
+                    valuetype=self.dtype,
+                    matrixsize=(len(Icombined), len(Jcombined)),
+                    I0=I0,
+                    J0=J0,
+                    reltol=reltol,
+                    abstol=abstol,
+                    maxrank=maxbonddim,
+                    leftorthogonal=leftorthogonal,
+                    pivotsearch="rook",
+                    usebatcheval=True,
+                )
+                self.updatemaxsample(np.asarray([Pif.maxsamplevalue]))
             if luci.npivots() == 0:
                 # fall back to full search (tensorci2.jl:892-906)
                 Pi = filltensor(

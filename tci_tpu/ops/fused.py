@@ -407,3 +407,58 @@ class FusedBondUpdater:
             err_final,
             float(maxsample),
         )
+
+
+def make_panel_sampler(fjax: Callable, dtype=jnp.float64):
+    """Jitted Π-panel sampler returning the masked panel ON DEVICE plus
+    max|sample|. Feeds the device rook elimination (ops/lu_device): for a
+    jax-traceable integrand, materializing the panel costs one device
+    program, after which the rook slab iteration runs against device-resident
+    data instead of paying one host round trip per sampled slab
+    (tensorci2.jl:764-804's lazy SubMatrix, re-designed for TPU)."""
+
+    @jax.jit
+    def sample(Ic, Jc, m_true, n_true):
+        mp = Ic.shape[0]
+        rows = jnp.arange(mp)
+        cols = jnp.arange(Jc.shape[0])
+
+        def one_row(ic):
+            return jax.vmap(lambda jc: fjax(jnp.concatenate([ic, jc])))(Jc)
+
+        if mp <= 128:
+            Pi = jax.vmap(one_row)(Ic).astype(dtype)
+        else:
+            Pi = jax.lax.map(one_row, Ic, batch_size=128).astype(dtype)
+        valid = (rows[:, None] < m_true) & (cols[None, :] < n_true)
+        Pi = jnp.where(valid, Pi, 0)
+        return Pi, jnp.max(jnp.abs(Pi))
+
+    return sample
+
+
+class PanelSampler:
+    """Host wrapper for make_panel_sampler with monotone capacity padding
+    (same compile-count rationale as FusedBondUpdater capacity mode)."""
+
+    def __init__(self, fjax: Callable, dtype=np.float64):
+        jdtype = jnp.dtype(np.dtype(dtype))  # width-preserving
+        self._sample = make_panel_sampler(fjax, dtype=jdtype)
+        self._row_cap = 0
+        self._col_cap = 0
+        self.nevals = 0
+
+    def sample(self, Icombined, Jcombined):
+        """Returns (device (nI, nJ) panel, float max|sample|)."""
+        Ic = np.asarray([tuple(i) for i in Icombined], dtype=np.int32)
+        Jc = np.asarray([tuple(j) for j in Jcombined], dtype=np.int32)
+        self._row_cap = max(self._row_cap, _pow2_at_least(Ic.shape[0]))
+        self._col_cap = max(self._col_cap, _pow2_at_least(Jc.shape[0]))
+        Ic, Jc, nI, nJ = pad_index_panels(
+            Ic, Jc, self._row_cap, self._col_cap
+        )
+        self.nevals += Ic.shape[0] * Jc.shape[0]
+        Pi, maxsample = self._sample(
+            jnp.asarray(Ic), jnp.asarray(Jc), jnp.int32(nI), jnp.int32(nJ)
+        )
+        return Pi[:nI, :nJ], float(maxsample)

@@ -377,6 +377,19 @@ class JaxBatchEvaluator(BatchEvaluator):
         return self._device_sweep_engine
 
     @property
+    def panel_sampler(self):
+        """Device Π-panel sampler feeding the device rook elimination
+        (ops/lu_device.rrlu_rook_device); None for pair-valued (complex)
+        integrands — the rook slab kernels are real-only."""
+        if self._complex_as_pair or self._iscomplex:
+            return None
+        if getattr(self, "_panel_sampler", None) is None:
+            from ..ops.fused import PanelSampler
+
+            self._panel_sampler = PanelSampler(self.fjax, self.dtype)
+        return self._panel_sampler
+
+    @property
     def fused_site_tensors(self):
         """Fused on-device site-tensor computation (see ops/fused.py)."""
         if getattr(self, "_fused_site_tensors", None) is None:
@@ -398,6 +411,8 @@ class JaxBatchEvaluator(BatchEvaluator):
             n += self._fused_site_tensors.nevals
         if getattr(self, "_device_sweep_engine", None) is not None:
             n += self._device_sweep_engine.nevals
+        if getattr(self, "_panel_sampler", None) is not None:
+            n += self._panel_sampler.nevals
         return n
 
     def evaluate_single(self, indexset):

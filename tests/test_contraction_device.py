@@ -81,14 +81,48 @@ def test_device_zipup_via_contract_mps(rng):
     assert np.allclose(fulltensor(c_host), fulltensor(c_dev), atol=1e-8)
 
 
-def test_device_zipup_rejects_complex_and_nonlu(rng):
+def test_device_zipup_rejects_nonlu(rng):
     A = _rand_mpo(rng, 3, 2, 2, 2)
     B = _rand_mpo(rng, 3, 2, 2, 2)
     with pytest.raises(ValueError, match="method='LU'"):
         contract_zipup(A, B, method="SVD", jax_native=True)
-    Ac = TensorTrain([t.astype(np.complex128) for t in A.sitetensors()])
-    with pytest.raises(ValueError, match="real dtypes"):
-        contract_zipup(Ac, B, method="LU", jax_native=True)
+
+
+def _rand_cmpo(rng, L, chi, d1, d2):
+    bonds = [1] + [chi] * (L - 1) + [1]
+    return TensorTrain(
+        [
+            rng.standard_normal((bonds[n], d1, d2, bonds[n + 1]))
+            + 1j * rng.standard_normal((bonds[n], d1, d2, bonds[n + 1]))
+            for n in range(L)
+        ]
+    )
+
+
+def test_device_zipup_complex_pair_matches_host(rng):
+    """Complex zip-up runs the (re, im) f64 pair programs on device and
+    matches the host LU zip-up (same truncation rule)."""
+    A = _rand_cmpo(rng, 4, 3, 2, 2)
+    B = _rand_cmpo(rng, 4, 3, 2, 2)
+    host = contract_zipup(A, B, tolerance=1e-10, method="LU")
+    dev = contract_zipup(A, B, tolerance=1e-10, method="LU", jax_native=True)
+    assert host.linkdims() == dev.linkdims()
+    fh, fd = fulltensor(host), fulltensor(dev)
+    assert np.allclose(fh, fd, atol=1e-9 * np.abs(fh).max())
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    assert np.allclose(fd, exact, atol=1e-9 * np.abs(exact).max())
+
+
+def test_device_zipup_complex_pair_truncates(rng):
+    A = _rand_cmpo(rng, 4, 4, 2, 2)
+    B = _rand_cmpo(rng, 4, 4, 2, 2)
+    host = contract_zipup(A, B, tolerance=1e-10, method="LU", maxbonddim=5)
+    dev = contract_zipup(A, B, tolerance=1e-10, method="LU", maxbonddim=5,
+                         jax_native=True)
+    assert host.linkdims() == dev.linkdims()
+    assert max(dev.linkdims()) <= 5
+    assert np.allclose(fulltensor(host), fulltensor(dev),
+                       atol=1e-8 * np.abs(fulltensor(host)).max())
 
 
 # -- device naive contraction (einsum merge + device LU compress) ------------
@@ -191,3 +225,27 @@ def test_device_tci_contraction_mps(rng):
                    rng=np.random.default_rng(3))
     assert all(t.ndim == 3 for t in dev.sitetensors())
     assert np.allclose(fulltensor(host), fulltensor(dev), atol=1e-8)
+
+
+def test_device_tci_contraction_complex(rng):
+    """Complex MPOs flow through the device product evaluator natively on
+    complex-capable backends (CPU / real-TPU c64); the tunneled TPU would
+    reject the dtype at JaxBatchEvaluator construction with a pair-mode
+    hint."""
+    def cmpo(L, chi, d1, d2):
+        b = [1] + [chi] * (L - 1) + [1]
+        return TensorTrain(
+            [
+                rng.standard_normal((b[n], d1, d2, b[n + 1]))
+                + 1j * rng.standard_normal((b[n], d1, d2, b[n + 1]))
+                for n in range(L)
+            ]
+        )
+
+    A, B = cmpo(4, 3, 2, 2), cmpo(4, 3, 2, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = fulltensor(
+        contract(A, B, algorithm="TCI", tolerance=1e-10, jax_native=True,
+                 rng=np.random.default_rng(3))
+    )
+    assert np.allclose(dev, exact, atol=1e-7 * np.abs(exact).max())

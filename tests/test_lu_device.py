@@ -129,3 +129,39 @@ def test_rook_device_maxrank(rng):
     A = _lowrank(rng, 60, 60, 30)
     lu = rrlu_rook_device(A, maxrank=8, rng=np.random.default_rng(3))
     assert lu.npivots() <= 8
+
+
+@pytest.mark.slow
+def test_tci2_rook_device_tier_matches_host(rng):
+    """pivotsearch='rook' with a JaxBatchEvaluator routes through the device
+    rook (materialized panel + device slab iteration) and converges like the
+    host SubMatrix path (reference arrlu semantics, matrixlu.jl:492-569)."""
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    localdims = [6] * 5
+
+    def fjax(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    fpy = lambda x: 1.0 / (
+        1.0 + float(np.sum((np.asarray(x, dtype=float) + 1.0) ** 2))
+    )
+    bf = JaxBatchEvaluator(fjax, localdims, dtype=np.float64,
+                           enable_device_sweep=False)
+    assert bf.panel_sampler is not None
+    t1, r1, e1 = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-9, pivotsearch="rook",
+        rng=np.random.default_rng(7),
+    )
+    t2, r2, e2 = tci.crossinterpolate2(
+        np.float64, fpy, localdims, tolerance=1e-9, pivotsearch="rook",
+        rng=np.random.default_rng(7),
+    )
+    assert e1[-1] < 1e-9 and e2[-1] < 1e-9
+    for v in [(0, 0, 0, 0, 0), (1, 2, 3, 4, 5), (5, 4, 3, 2, 1)]:
+        assert abs(t1.evaluate(v) - fpy(v)) < 1e-8
+        assert abs(t2.evaluate(v) - fpy(v)) < 1e-8
