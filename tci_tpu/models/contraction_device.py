@@ -9,8 +9,9 @@ static per-site cap, carries a runtime rank scalar, and is masked so padded
 rows/columns stay exactly zero; site tensors are unpadded on the host only
 once, at the end.
 
-Complex operands are not supported on this path (no TPU complex dtypes);
-use the host zip-up or the pair kernels via TCI contraction instead.
+Complex operands run as (re, im) f64 pair programs (ops/complex_pair.py) —
+no TPU backend executes complex dtypes, and the pair algebra is also higher
+precision than the c64 a real TPU would offer.
 """
 
 from __future__ import annotations
@@ -260,10 +261,8 @@ def contract_naive_device(
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
     if np.issubdtype(dtype, np.complexfloating):
-        raise ValueError(
-            "contract_naive_device supports real dtypes only "
-            "(TPU backends have no complex support); use the host path."
-        )
+        # complex operands run the (re, im) f64 pair programs
+        return _contract_naive_device_pair(A, B, tolerance, maxbonddim)
     L = len(A)
     tt = [
         _merge_sites(jnp.asarray(A[n], dtype=jnp.float64),
@@ -412,6 +411,132 @@ def _contract_zipup_device_pair(
     for n in range(L):
         sr, si = jax.device_get(sites[n])
         t = np.asarray(sr) + 1j * np.asarray(si)
+        lo = 1 if n == 0 else ranks[n - 1]
+        hi = 1 if n == L - 1 else ranks[n]
+        out.append(t[:lo, :, :, :hi].astype(np.complex128))
+    return TensorTrain(out)
+
+
+@partial(jax.jit, static_argnames=("cap", "leftorthogonal"))
+def _lu_split_pair(Cmr, Cmi, m_true, n_true, reltol, cap: int,
+                   leftorthogonal: bool):
+    """Pair-mode _lu_split: rrLU split of a complex matrix carried as
+    (re, im) f64 pairs, mirroring the host rrlu left()/right() convention."""
+    from ..ops.complex_pair import rrlu_state_pair
+
+    m, n = Cmr.shape
+    maxrank = min(m, n, cap)
+    Ar, Ai, rowperm, colperm, kk, _, _ = rrlu_state_pair(
+        Cmr, Cmi, m_true, n_true, jnp.int32(maxrank), reltol,
+        jnp.float64(0.0), leftorthogonal,
+    )
+    rmax = min(m, n)
+    ridx = jnp.arange(rmax)
+    keep = ridx < kk
+    Lr = jnp.tril(Ar[:, :rmax])
+    Li = jnp.tril(Ai[:, :rmax])
+    Ur = jnp.triu(Ar[:rmax, :])
+    Ui = jnp.triu(Ai[:rmax, :])
+    if leftorthogonal:
+        Lr = Lr.at[ridx, ridx].set(1.0)
+        Li = Li.at[ridx, ridx].set(0.0)
+    else:
+        Ur = Ur.at[ridx, ridx].set(1.0)
+        Ui = Ui.at[ridx, ridx].set(0.0)
+    Lr = jnp.where(keep[None, :], Lr, 0.0)
+    Li = jnp.where(keep[None, :], Li, 0.0)
+    Ur = jnp.where(keep[:, None], Ur, 0.0)
+    Ui = jnp.where(keep[:, None], Ui, 0.0)
+    lr = jnp.zeros_like(Lr).at[rowperm, :].set(Lr)[:, :cap]
+    li = jnp.zeros_like(Li).at[rowperm, :].set(Li)[:, :cap]
+    rr = jnp.zeros_like(Ur).at[:, colperm].set(Ur)[:cap, :]
+    ri = jnp.zeros_like(Ui).at[:, colperm].set(Ui)[:cap, :]
+    return lr, li, rr, ri, kk
+
+
+@jax.jit
+def _merge_sites_pair(ar, ai, br, bi):
+    """Pair-mode Kronecker site merge: 4 real einsums per complex product."""
+    la, i, _, ra = ar.shape
+    lb, _, j, rb = br.shape
+    abr = jnp.einsum("aikr,bkjs->abijrs", ar, br) - jnp.einsum(
+        "aikr,bkjs->abijrs", ai, bi)
+    abi = jnp.einsum("aikr,bkjs->abijrs", ar, bi) + jnp.einsum(
+        "aikr,bkjs->abijrs", ai, br)
+    return (abr.reshape(la * lb, i, j, ra * rb),
+            abi.reshape(la * lb, i, j, ra * rb))
+
+
+def _contract_naive_device_pair(
+    A: TensorTrain, B: TensorTrain, tolerance: float, maxbonddim: int
+) -> TensorTrain:
+    """Complex naive contraction on device via (re, im) f64 pair programs."""
+    from ..ops.complex_pair import _matmul_pair
+
+    L = len(A)
+    tt = [
+        _merge_sites_pair(
+            jnp.asarray(np.real(A[n]), dtype=jnp.float64),
+            jnp.asarray(np.imag(A[n]), dtype=jnp.float64),
+            jnp.asarray(np.real(B[n]), dtype=jnp.float64),
+            jnp.asarray(np.imag(B[n]), dtype=jnp.float64),
+        )
+        for n in range(L)
+    ]
+    if not (tolerance > 0 or maxbonddim < _INTMAX):
+        return TensorTrain(
+            [np.asarray(tr) + 1j * np.asarray(ti) for tr, ti in tt]
+        )
+
+    zero = jnp.float64(0.0)
+    for ell in range(L - 1):
+        tr, ti = tt[ell]
+        sh = tr.shape
+        m = int(np.prod(sh[:-1]))
+        n = int(sh[-1])
+        cap = min(m, n)
+        lr, li, rr, ri, _ = _lu_split_pair(
+            tr.reshape(m, n), ti.reshape(m, n), jnp.int32(m), jnp.int32(n),
+            zero, cap=cap, leftorthogonal=True,
+        )
+        tt[ell] = (lr.reshape(*sh[:-1], cap), li.reshape(*sh[:-1], cap))
+        nr, ni = tt[ell + 1]
+        shr = nr.shape
+        nxr, nxi = _matmul_pair(
+            rr, ri,
+            nr.reshape(shr[0], int(np.prod(shr[1:]))),
+            ni.reshape(shr[0], int(np.prod(shr[1:]))),
+        )
+        tt[ell + 1] = (nxr.reshape(cap, *shr[1:]), nxi.reshape(cap, *shr[1:]))
+
+    reltol = jnp.float64(tolerance)
+    ranks = []
+    for ell in range(L - 1, 0, -1):
+        tr, ti = tt[ell]
+        sh = tr.shape
+        m = int(sh[0])
+        n = int(np.prod(sh[1:]))
+        cap = int(min(m, n, maxbonddim))
+        lr, li, rr, ri, kk = _lu_split_pair(
+            tr.reshape(m, n), ti.reshape(m, n), jnp.int32(m), jnp.int32(n),
+            reltol, cap=cap, leftorthogonal=False,
+        )
+        tt[ell] = (rr.reshape(cap, *sh[1:]), ri.reshape(cap, *sh[1:]))
+        pr, pi = tt[ell - 1]
+        shl = pr.shape
+        nxr, nxi = _matmul_pair(
+            pr.reshape(int(np.prod(shl[:-1])), shl[-1]),
+            pi.reshape(int(np.prod(shl[:-1])), shl[-1]),
+            lr, li,
+        )
+        tt[ell - 1] = (nxr.reshape(*shl[:-1], cap), nxi.reshape(*shl[:-1], cap))
+        ranks.append(kk)
+
+    ranks = [max(1, int(k)) for k in jax.device_get(ranks)][::-1]
+    out = []
+    for n in range(L):
+        tr, ti = jax.device_get(tt[n])
+        t = np.asarray(tr) + 1j * np.asarray(ti)
         lo = 1 if n == 0 else ranks[n - 1]
         hi = 1 if n == L - 1 else ranks[n]
         out.append(t[:lo, :, :, :hi].astype(np.complex128))

@@ -1019,6 +1019,12 @@ class DeviceSweepEngine:
         # (and large fused programs stress the backend); callers fall back
         # to the per-bond fused tier
         self.imax_cap = imax_cap
+        # Whole-sweep programs whose per-bond panel edge Imax*(dmax+1)
+        # exceeds this crash the TPU worker (observed: d=15 L=10 unrolled at
+        # edge 2048 faults, edge 1024 runs at 0.09-0.14 s/sweep; the
+        # PER-BOND fused program at edge 2048 is fine). Above the guard the
+        # engine declines and callers fall back to the per-bond tier.
+        self.max_panel_edge = 1024
         self._sweeps = {}
         self.nevals = 0
 
@@ -1082,8 +1088,12 @@ class DeviceSweepEngine:
         )
         if needed > self.imax_cap:
             return False
-        while self.Imax < needed:
-            self.Imax *= 2
+        target = self.Imax
+        while target < needed:
+            target *= 2
+        if target * (max(self.localdims) + 1) > self.max_panel_edge:
+            return False
+        self.Imax = target
 
         Iset, Ilen = self._pack(tci.Iset, "left")
         Jset, Jlen = self._pack(tci.Jset, "left")
@@ -1109,7 +1119,10 @@ class DeviceSweepEngine:
             int(np.max(Ilen_b)) >= self.Imax
             and self.Imax < maxbonddim
         ):
-            if self.Imax * 2 > self.imax_cap:
+            if self.Imax * 2 > self.imax_cap or (
+                self.Imax * 2 * (max(self.localdims) + 1)
+                > self.max_panel_edge
+            ):
                 return False
             self.Imax *= 2
             return self.sweep2site(
@@ -1167,8 +1180,12 @@ class DeviceSweepEngine:
         )
         if needed > self.imax_cap:
             return False
-        while self.Imax < needed:
-            self.Imax *= 2
+        target = self.Imax
+        while target < needed:
+            target *= 2
+        if target * (max(self.localdims) + 1) > self.max_panel_edge:
+            return False
+        self.Imax = target
         Iset, Ilen = self._pack(tci.Iset, "left")
         Jset, Jlen = self._pack(tci.Jset, "left")
         res = jax.device_get(
@@ -1205,8 +1222,12 @@ class DeviceSweepEngine:
         )
         if needed > self.imax_cap:
             return False
-        while self.Imax < needed:
-            self.Imax *= 2
+        target = self.Imax
+        while target < needed:
+            target *= 2
+        if target * (max(self.localdims) + 1) > self.max_panel_edge:
+            return False
+        self.Imax = target
         Iset_h = [list(s) for s in tci.Iset]
         Jset_h = [list(s) for s in tci.Jset]
         while True:
@@ -1227,7 +1248,10 @@ class DeviceSweepEngine:
                  maxsample) = jax.device_get(out)
             if int(max(np.max(Ilen_b), np.max(Jlen_b))) >= self.Imax \
                     and self.Imax < maxbonddim:
-                if self.Imax * 2 > self.imax_cap:
+                if self.Imax * 2 > self.imax_cap or (
+                    self.Imax * 2 * (max(self.localdims) + 1)
+                    > self.max_panel_edge
+                ):
                     return False
                 self.Imax *= 2
                 continue

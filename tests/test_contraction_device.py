@@ -156,12 +156,16 @@ def test_device_naive_maxbonddim(rng):
     assert max(dev.linkdims()) <= 5
 
 
-def test_device_naive_rejects_complex(rng):
+def test_device_naive_complex_promotes_mixed(rng):
+    """A complex x real pair routes through the pair path (result_type)."""
     A = _rand_mpo(rng, 3, 2, 2, 2)
     B = _rand_mpo(rng, 3, 2, 2, 2)
-    Ac = TensorTrain([t.astype(np.complex128) for t in A.sitetensors()])
-    with pytest.raises(ValueError, match="real dtypes"):
-        contract(Ac, B, algorithm="naive", jax_native=True)
+    Ac = TensorTrain([t.astype(np.complex128) * (1 + 0.5j)
+                      for t in A.sitetensors()])
+    exact = fulltensor(contract(Ac, B, algorithm="naive"))
+    dev = contract(Ac, B, algorithm="naive", jax_native=True)
+    assert np.allclose(fulltensor(dev), exact,
+                       atol=1e-10 * np.abs(exact).max())
 
 
 # -- device TCI contraction (product evaluator on device) --------------------
@@ -249,3 +253,20 @@ def test_device_tci_contraction_complex(rng):
                  rng=np.random.default_rng(3))
     )
     assert np.allclose(dev, exact, atol=1e-7 * np.abs(exact).max())
+
+
+def test_device_naive_complex_pair_matches_exact(rng):
+    """Complex naive contraction runs the (re, im) pair merge + pair LU
+    compression on device."""
+    A = _rand_cmpo(rng, 4, 3, 2, 2)
+    B = _rand_cmpo(rng, 4, 3, 2, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = contract(A, B, algorithm="naive", jax_native=True)
+    assert np.allclose(fulltensor(dev), exact,
+                       atol=1e-10 * np.abs(exact).max())
+    devc = contract(A, B, algorithm="naive", tolerance=1e-10, jax_native=True)
+    assert np.allclose(fulltensor(devc), exact,
+                       atol=1e-7 * np.abs(exact).max())
+    devm = contract(A, B, algorithm="naive", tolerance=1e-12, maxbonddim=5,
+                    jax_native=True)
+    assert max(devm.linkdims()) <= 5

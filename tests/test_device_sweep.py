@@ -227,3 +227,28 @@ def test_long_chain_engine_fill_and_sweep1():
     s1 = tci.fulltensor(tci.tensortrain(t1))
     s2 = tci.fulltensor(tci.tensortrain(t2))
     assert np.abs(s1 - s2).max() < 1e-7
+
+
+def test_engine_panel_edge_guard():
+    """The engine declines (returns False) when Imax*(dmax+1) would exceed
+    max_panel_edge — whole-sweep programs at that size crash the TPU worker;
+    callers then fall back to the per-bond fused tier."""
+    from tci_tpu.models.device_sweep import DeviceSweepEngine
+    from tci_tpu.models.tensorci2 import TensorCI2
+
+    localdims = [15] * 4
+    t = TensorCI2.from_function(lambda v: 1.0, localdims, dtype=np.float64)
+    # grow the needed capacity above the edge: 128 * 16 = 2048 > 1024
+    t.Iset[1] = [(i % 15,) for i in range(15)] * 9  # 135 entries
+    eng = DeviceSweepEngine(_fjax_lorentz, localdims, imax=64)
+    empty = [[] for _ in range(4)]
+    assert eng.sweep2site(t, True, 1e-14, 1e-8, 1000, empty, empty) is False
+    assert eng.fillsitetensors(t) is False
+    assert eng.sweep1site(t, True, 1e-14, 1e-8, 1000) is False
+    # within the edge it still engages (use a tiny fresh state)
+    t2 = TensorCI2.from_function(lambda v: 1.0, [4] * 4, dtype=np.float64)
+    eng2 = DeviceSweepEngine(_fjax_lorentz, [4] * 4, imax=4)
+    assert eng2.sweep2site(
+        t2, True, 1e-14, 1e-8, 1000, [[] for _ in range(4)],
+        [[] for _ in range(4)],
+    ) is True

@@ -43,3 +43,57 @@ def test_no_mutable_default_args():
             assert not isinstance(p.default, (list, dict, set)), (
                 f"{name}.{p.name} has a mutable default"
             )
+
+
+def test_kernel_lowerings_static():
+    """JET-style static gate: trace+lower (never execute) the core device
+    programs over the dtype/shape grid that runtime tests rarely hit, so
+    shape/dtype regressions in cold paths fail fast."""
+    import jax
+    import jax.numpy as jnp
+
+    from tci_tpu.ops.lu_kernel import _rrlu_state
+    from tci_tpu.ops.fused import ci_factors, make_fused_bond_update
+    from tci_tpu.models.jaxeval import tt_evaluate_batched
+
+    def lower(fn, *avals, **kw):
+        jax.jit(fn, **kw).lower(*avals)  # abstract trace only
+
+    S = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    f64 = jnp.float64
+
+    # rrLU state: both bodies (small <2^16 elems, fused >=), f64 + c128,
+    # square/wide/tall panels
+    for shape in [(16, 16), (8, 64), (64, 8), (256, 512), (512, 256)]:
+        for dt in (jnp.float64, jnp.complex128):
+            lower(
+                lambda A, m, n, r, rt, at: _rrlu_state(
+                    A, m, n, r, rt, at, True
+                ),
+                S(shape, dt), S((), i32), S((), i32), S((), i32),
+                S((), f64), S((), f64),
+            )
+
+    # CI factor extraction for dynamic rank, both orthogonality modes
+    for lo in (True, False):
+        lower(
+            lambda A, rp, cp, k: ci_factors(A, rp, cp, k, lo, jnp.float64),
+            S((32, 24), f64), S((32,), i32), S((24,), i32), S((), i32),
+        )
+
+    # fused bond update lowers for an L=6 traceable integrand
+    fused = make_fused_bond_update(
+        lambda idx: 1.0 / (1.0 + jnp.sum(idx.astype(jnp.float64) ** 2))
+    )
+    fused.lower(
+        S((32, 3), i32), S((16, 3), i32), S((), i32), S((), i32),
+        S((), i32), S((), f64), S((), f64), leftorthogonal=True,
+    )
+
+    # batched TT evaluation (serving path) in f32 and f64
+    for dt in (jnp.float32, jnp.float64):
+        lower(
+            tt_evaluate_batched,
+            S((12, 8, 4, 8), dt), S((64, 12), i32),
+        )
