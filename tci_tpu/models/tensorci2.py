@@ -492,17 +492,21 @@ class TensorCI2(AbstractTensorTrain):
 
         if pivotsearch == "full" and getattr(f, "fused_updater", None) is not None:
             # One-device-program path: Π sampling + rrLU + factor extraction
-            # fused into a single XLA call (ops/fused.py).
+            # fused into a single XLA call (ops/fused.py). Factors are only
+            # fetched when they become site tensors — non-strict-nesting
+            # sweeps (extra sets present) discard them (tensorci2.jl:923-926
+            # guard), so no factor bytes cross the interconnect.
+            need_factors = len(extraIset) == 0 and len(extraJset) == 0
             (left, right, rowind, colind, perrs, err, maxsample) = (
                 f.fused_updater.update(
                     Icombined, Jcombined, reltol, abstol, maxbonddim,
-                    leftorthogonal,
+                    leftorthogonal, need_factors=need_factors,
                 )
             )
             self.maxsamplevalue = max(self.maxsamplevalue, maxsample)
             self.Iset[b + 1] = [Icombined[i] for i in rowind]
             self.Jset[b] = [Jcombined[j] for j in colind]
-            if len(extraIset) == 0 and len(extraJset) == 0:
+            if need_factors:
                 self.setsitetensor(b, left)
                 self.setsitetensor(b + 1, right)
             self.updateerrors(b, perrs)

@@ -307,19 +307,23 @@ class FusedSiteTensors:
             Ip = np.vstack([Ip, np.zeros((mP - n_ip, Ip.shape[1]), np.int32)])
         # n_ip == n_js, so the P panel pads to a square (mP == mJ) bucket
         self.nevals += Is.shape[0] * Js.shape[0] + Ip.shape[0] * Js.shape[0]
-        out = jax.device_get(
-            self._fused(
-                jnp.asarray(Is), jnp.asarray(Js), jnp.asarray(Ip),
-                jnp.asarray(Js), jnp.int32(n_is), jnp.int32(n_js),
-                jnp.int32(n_ip),
-            )
+        out = self._fused(
+            jnp.asarray(Is), jnp.asarray(Js), jnp.asarray(Ip),
+            jnp.asarray(Js), jnp.int32(n_is), jnp.int32(n_js),
+            jnp.int32(n_ip),
         )
+        # slice to the true block ON DEVICE before fetching — the padded
+        # buffer can be orders of magnitude larger than the valid region
         if self.pair:
-            Tr, Ti, maxsample = out
+            Tr_d, Ti_d, maxsample_d = out
+            Tr, Ti, maxsample = jax.device_get(
+                (Tr_d[:n_is, :n_ip], Ti_d[:n_is, :n_ip], maxsample_d)
+            )
             T = (np.asarray(Tr) + 1j * np.asarray(Ti)).astype(self.dtype)
         else:
-            T, maxsample = out
-        T = np.asarray(T)[:n_is, :n_ip]
+            T_d, maxsample_d = out
+            T, maxsample = jax.device_get((T_d[:n_is, :n_ip], maxsample_d))
+        T = np.asarray(T)
         return (
             T.reshape(len(Iset_b), localdim, len(Iset_b1)),
             float(maxsample),
@@ -363,7 +367,14 @@ class FusedBondUpdater:
         abstol: float,
         maxrank: int,
         leftorthogonal: bool,
+        need_factors: bool = True,
     ):
+        """Run the fused bond update. Factors transfer as [:nI, :k] / [:k, :nJ]
+        device slices (the padded (mI, mJ) buffers would cost ~mI*mJ*8 bytes
+        per factor over the interconnect — at 2048² panels that is 33 MB each
+        vs ~2 MB sliced). With need_factors=False (non-strict-nesting sweeps
+        discard the factors, tensorci2.py updatepivots) no factor bytes move
+        at all."""
         Ic = np.asarray([tuple(i) for i in Icombined], dtype=np.int32)
         Jc = np.asarray([tuple(j) for j in Jcombined], dtype=np.int32)
         if self.capacity_mode:
@@ -387,20 +398,36 @@ class FusedBondUpdater:
             leftorthogonal=leftorthogonal,
         )
         if self.pair:
-            (lr, li, rr, ri, rowperm, colperm, k, mags, err, maxsample) = (
-                jax.device_get(out)
-            )
-            left = (np.asarray(lr) + 1j * np.asarray(li)).astype(self.dtype)
-            right = (np.asarray(rr) + 1j * np.asarray(ri)).astype(self.dtype)
+            (lr_d, li_d, rr_d, ri_d, rowperm, colperm, k, mags, err,
+             maxsample) = out
         else:
-            left, right, rowperm, colperm, k, mags, err, maxsample = (
-                jax.device_get(out)
-            )
+            left_d, right_d, rowperm, colperm, k, mags, err, maxsample = out
+        rowperm, colperm, k, mags, err, maxsample = jax.device_get(
+            (rowperm, colperm, k, mags, err, maxsample)
+        )
         k = int(k)
+        if need_factors:
+            if self.pair:
+                lr, li, rr, ri = jax.device_get(
+                    (lr_d[:nI, :k], li_d[:nI, :k],
+                     rr_d[:k, :nJ], ri_d[:k, :nJ])
+                )
+                left = (np.asarray(lr) + 1j * np.asarray(li)).astype(
+                    self.dtype)
+                right = (np.asarray(rr) + 1j * np.asarray(ri)).astype(
+                    self.dtype)
+            else:
+                left, right = jax.device_get(
+                    (left_d[:nI, :k], right_d[:k, :nJ])
+                )
+                left = np.asarray(left)
+                right = np.asarray(right)
+        else:
+            left = right = None
         err_final = 0.0 if k >= min(nI, nJ) else float(err)
         return (
-            np.asarray(left)[:nI, :k],
-            np.asarray(right)[:k, :nJ],
+            left,
+            right,
             np.asarray(rowperm)[:k],
             np.asarray(colperm)[:k],
             np.concatenate([np.abs(np.asarray(mags)[:k]), [err_final]]),
