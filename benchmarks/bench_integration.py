@@ -29,12 +29,24 @@ def main(jax_native: bool = False, scalar: bool = False):
             -np.sum(X, axis=1) ** 4 / 1000
         )
 
-    t0 = time.perf_counter()
-    I15 = tci.integrate(
-        np.float64, f, [-1.0] * 10, [1.0] * 10, GKorder=15,
-        tolerance=1e-8, jax_native=jax_native,
-        vectorized=not (jax_native or scalar), maxbonddim=128,
+    # maxbonddim=64: the converged rank is 28 (err 1.9e-4 identical at cap
+    # 64 or 128; the reference test uses no cap at all) — the tighter cap
+    # bounds the transient first-sweep rank overshoot so the device path
+    # stays on the whole-sweep engine (panel-edge guard at Imax*(d+1)).
+    kw = dict(
+        GKorder=15, tolerance=1e-8, jax_native=jax_native,
+        vectorized=not (jax_native or scalar), maxbonddim=64,
     )
+    # Same methodology as bench.py: one untimed warm-up optimization loads/
+    # compiles every device program this workload uses (a one-off
+    # per-process cost — over the dev tunnel, remote program loads alone are
+    # minutes; steady-state sweeps measure 0.1 s); the timed run re-does ALL
+    # sampling, factorization and global search. cold_wall_s is reported.
+    t0 = time.perf_counter()
+    I15 = tci.integrate(np.float64, f, [-1.0] * 10, [1.0] * 10, **kw)
+    cold_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    I15 = tci.integrate(np.float64, f, [-1.0] * 10, [1.0] * 10, **kw)
     wall = time.perf_counter() - t0
     Iref = -5.4960415218049
     print(
@@ -47,6 +59,7 @@ def main(jax_native: bool = False, scalar: bool = False):
                 "detail": {
                     "integral": float(I15),
                     "abs_err_vs_reference": abs(I15 - Iref),
+                    "cold_wall_s": round(cold_wall, 3),
                 },
             }
         )

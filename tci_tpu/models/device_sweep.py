@@ -38,6 +38,21 @@ MultiIndex = Tuple[int, ...]
 _PANEL_ROW_CHUNK = 128
 
 
+def _imax_target(current: int, needed: int) -> int:
+    """Smallest buffer capacity >= needed, never below current: powers of two
+    up to 32, then multiples of 32. The fine quantum matters because the
+    whole-sweep program size guard is a hard edge — growing 64->96 keeps a
+    workload on the engine where doubling 64->128 would overshoot the guard
+    and fall back to the per-bond tier."""
+    if needed <= current:
+        return current
+    if needed <= 32:
+        t = 1 << (needed - 1).bit_length()
+    else:
+        t = 32 * ((needed + 31) // 32)
+    return max(current, t)
+
+
 def _make_shard_rows(mesh, axis: str = "batch"):
     """Sharding constraint pinning the candidate-row axis of a panel to the
     mesh's batch axis: XLA's SPMD partitioner then distributes the Π-panel
@@ -1021,10 +1036,11 @@ class DeviceSweepEngine:
         self.imax_cap = imax_cap
         # Whole-sweep programs whose per-bond panel edge Imax*(dmax+1)
         # exceeds this crash the TPU worker (observed: d=15 L=10 unrolled at
-        # edge 2048 faults, edge 1024 runs at 0.09-0.14 s/sweep; the
-        # PER-BOND fused program at edge 2048 is fine). Above the guard the
-        # engine declines and callers fall back to the per-bond tier.
-        self.max_panel_edge = 1024
+        # edge 2048 faults; edges 1024 and 1536 run at 0.1 s/sweep steady
+        # state; the PER-BOND fused program at edge 2048 is fine). Above the
+        # guard the engine declines and callers fall back to the per-bond
+        # tier.
+        self.max_panel_edge = 1536
         self._sweeps = {}
         self.nevals = 0
 
@@ -1088,9 +1104,7 @@ class DeviceSweepEngine:
         )
         if needed > self.imax_cap:
             return False
-        target = self.Imax
-        while target < needed:
-            target *= 2
+        target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
         self.Imax = target
@@ -1119,12 +1133,12 @@ class DeviceSweepEngine:
             int(np.max(Ilen_b)) >= self.Imax
             and self.Imax < maxbonddim
         ):
-            if self.Imax * 2 > self.imax_cap or (
-                self.Imax * 2 * (max(self.localdims) + 1)
-                > self.max_panel_edge
+            nxt = _imax_target(self.Imax, self.Imax + 1)
+            if nxt > self.imax_cap or (
+                nxt * (max(self.localdims) + 1) > self.max_panel_edge
             ):
                 return False
-            self.Imax *= 2
+            self.Imax = nxt
             return self.sweep2site(
                 tci, forward, reltol, abstol, maxbonddim, extraIset, extraJset
             )
@@ -1180,9 +1194,7 @@ class DeviceSweepEngine:
         )
         if needed > self.imax_cap:
             return False
-        target = self.Imax
-        while target < needed:
-            target *= 2
+        target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
         self.Imax = target
@@ -1222,9 +1234,7 @@ class DeviceSweepEngine:
         )
         if needed > self.imax_cap:
             return False
-        target = self.Imax
-        while target < needed:
-            target *= 2
+        target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
         self.Imax = target
@@ -1248,12 +1258,12 @@ class DeviceSweepEngine:
                  maxsample) = jax.device_get(out)
             if int(max(np.max(Ilen_b), np.max(Jlen_b))) >= self.Imax \
                     and self.Imax < maxbonddim:
-                if self.Imax * 2 > self.imax_cap or (
-                    self.Imax * 2 * (max(self.localdims) + 1)
-                    > self.max_panel_edge
+                nxt = _imax_target(self.Imax, self.Imax + 1)
+                if nxt > self.imax_cap or (
+                    nxt * (max(self.localdims) + 1) > self.max_panel_edge
                 ):
                     return False
-                self.Imax *= 2
+                self.Imax = nxt
                 continue
             break
 

@@ -177,9 +177,12 @@ def pad_index_panels(
 
 
 def _pow2_at_least(n: int, floor: int = 128) -> int:
-    """Smallest power of two >= max(n, floor)."""
-    n = max(int(n), int(floor), 1)
-    return 1 << (n - 1).bit_length()
+    """Monotone capacity quantum: bucket(n) (<= 25% overshoot, ~4 sizes per
+    octave) with a floor. A plain next-power-of-two overshoots by up to 2x,
+    and the f64 elimination cost scales with the PADDED panel area (f64 is
+    emulated on TPU — streaming-bound at ~30 GB/s effective), so a 2x pad
+    on each axis costs ~4x wall on large panels."""
+    return bucket(max(int(n), int(floor), 1))
 
 
 def make_fused_site_tensor(fjax: Callable, dtype=jnp.float64):
