@@ -43,6 +43,13 @@ def main(N: int = 6, GKorder: int = 15, tol: float = 1e-7):
     bf = JaxBatchEvaluator(fpair, localdims, dtype=np.complex128,
                            pair_output=True)
 
+    # bench.py methodology: untimed warm-up optimization, then a timed run
+    # that re-does all sampling, factorization and global search on chip.
+    t0 = time.perf_counter()
+    tci.crossinterpolate2(
+        np.complex128, bf, localdims, tolerance=tol, nsearchglobalpivot=10
+    )
+    cold_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     t, ranks, errors = tci.crossinterpolate2(
         np.complex128, bf, localdims, tolerance=tol, nsearchglobalpivot=10
@@ -63,6 +70,7 @@ def main(N: int = 6, GKorder: int = 15, tol: float = 1e-7):
                     "integral_im": float(np.imag(integral)),
                     "final_error": float(errors[-1]),
                     "nevals": int(bf.nevals),
+                    "cold_wall_s": round(cold_wall, 3),
                 },
             }
         )

@@ -24,6 +24,12 @@ def main(R: int = 40, tol: float = 1e-10):
     localdims = [2] * R
     bf = JaxBatchEvaluator(fjax, localdims)
 
+    # bench.py methodology: one untimed warm-up optimization (loads/compiles
+    # every device program — a one-off per-process cost); the timed run
+    # re-does all sampling, factorization and search. cold wall reported.
+    t0 = time.perf_counter()
+    tci.crossinterpolate2(np.float64, bf, localdims, tolerance=tol)
+    cold_wall = time.perf_counter() - t0
     t0 = time.perf_counter()
     t, ranks, errors = tci.crossinterpolate2(
         np.float64, bf, localdims, tolerance=tol
@@ -52,6 +58,7 @@ def main(R: int = 40, tol: float = 1e-10):
                     "rank": int(t.rank()),
                     "final_error": float(errors[-1]),
                     "spotcheck_maxerr": float(maxerr),
+                    "cold_wall_s": round(cold_wall, 3),
                     "nevals": int(bf.nevals),
                 },
             }
