@@ -25,3 +25,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _jax_cache_reset_between_modules():
+    """Free compiler state at module boundaries.
+
+    A full-suite run accumulates hundreds of compiled XLA:CPU programs in
+    one process; past a threshold the CPU backend's compiler has been
+    observed to segfault while compiling yet another program (reproducible
+    only in long runs — every module passes in isolation). Clearing jax's
+    caches between modules releases the executables and keeps the process
+    under that threshold, at the cost of recompiling shared kernels per
+    module."""
+    yield
+    jax.clear_caches()
