@@ -24,7 +24,13 @@ def estimatetrueerror(
     rng: Optional[np.random.Generator] = None,
 ) -> List[Tuple[MultiIndex, float]]:
     """Floating-zone search for large-interpolation-error points; returns
-    unique (pivot, error) pairs sorted by error descending."""
+    unique (pivot, error) pairs sorted by error descending.
+
+    All starts advance in lock-step (_floatingzone_batch): per leg round,
+    every active start's candidate rows evaluate in ONE batched f call and
+    one batched TT evaluation — on a TPU evaluator this is ~(starts x legs)
+    fewer dispatches than the reference's per-start sweep
+    (globalsearch.jl:52-83), with identical per-start trajectories."""
     if nsearch <= 0 and initialpoints is None:
         raise ValueError("No search is performed")
     if nsearch < 0:
@@ -38,11 +44,7 @@ def estimatetrueerror(
             tuple(int(rng.integers(0, d)) for d in dims) for _ in range(nsearch)
         ]
 
-    ttcache = TTCache(tt)
-    pivoterror = [
-        _floatingzone(ttcache, f, initp=initp, rng=rng)
-        for initp in initialpoints
-    ]
+    pivoterror = _floatingzone_batch(tt, f, initialpoints)
     pivoterror.sort(key=lambda pe: -pe[1])
     seen = set()
     out = []
@@ -51,6 +53,60 @@ def estimatetrueerror(
             seen.add((p, e))
             out.append((p, e))
     return out
+
+
+def _floatingzone_batch(
+    tt: TensorTrain,
+    f,
+    initialpoints: Sequence[MultiIndex],
+    earlystoptol: float = float("inf"),
+    nsweeps: int = 2**62,
+) -> List[Tuple[MultiIndex, float]]:
+    """Lock-step batched coordinate sweeps maximizing |f - tt|.
+
+    Each start follows EXACTLY the sequential _floatingzone trajectory
+    (same leg order, same first-max argmax, same stop rule); batching only
+    changes how the evaluations are dispatched."""
+    from ..parallel.batcheval import evaluate_rows
+
+    S = len(initialpoints)
+    if S == 0:
+        return []
+    localdims = [d[0] for d in tt.sitedims()]
+    n = len(localdims)
+    dtype = tt.sitetensors()[0].dtype.type
+    pivots = np.asarray([list(p) for p in initialpoints], dtype=np.int64)
+
+    fv0 = np.asarray(evaluate_rows(f, pivots, dtype=dtype))
+    tv0 = np.asarray(tt.evaluate_batch(pivots))
+    maxerr = np.abs(fv0 - tv0).astype(float)
+    active = np.ones(S, dtype=bool)
+
+    for _ in range(min(nsweeps, 10**9)):
+        prev = maxerr.copy()
+        for ipos in range(n):
+            act = np.flatnonzero(active)
+            if act.size == 0:
+                break
+            d = localdims[ipos]
+            cand = np.repeat(pivots[act], d, axis=0)
+            cand[:, ipos] = np.tile(np.arange(d), act.size)
+            fv = np.asarray(evaluate_rows(f, cand, dtype=dtype))
+            tv = np.asarray(tt.evaluate_batch(cand))
+            err = np.abs(fv - tv).reshape(act.size, d)
+            best = np.argmax(err, axis=1)  # first max, like np.argmax 1-D
+            pivots[act, ipos] = best
+            maxerr[act] = np.maximum(
+                maxerr[act], err[np.arange(act.size), best]
+            )
+        done = (maxerr == prev) | (maxerr > earlystoptol)
+        active &= ~done
+        if not active.any():
+            break
+
+    return [
+        (tuple(int(x) for x in pivots[s]), float(maxerr[s])) for s in range(S)
+    ]
 
 
 def _floatingzone(

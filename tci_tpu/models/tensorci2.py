@@ -892,9 +892,15 @@ def searchglobalpivots(
     rng: Optional[np.random.Generator] = None,
 ) -> List[MultiIndex]:
     """Find pivots where the interpolation error exceeds abstol
-    (tensorci2.jl:1344-1384)."""
-    from .globalsearch import _floatingzone
-    from .ttcache import TTCache
+    (tensorci2.jl:1344-1384).
+
+    All nsearch starts run in lock-step through the batched floating-zone
+    (globalsearch._floatingzone_batch — one batched f call + one batched TT
+    evaluation per leg round instead of one f dispatch per start per leg);
+    results are consumed in start order with the reference's
+    maxnglobalpivot early stop, so the selected pivots match the
+    sequential-loop semantics."""
+    from .globalsearch import _floatingzone_batch
 
     if nsearch == 0 or maxnglobalpivot == 0:
         return []
@@ -903,12 +909,16 @@ def searchglobalpivots(
     if rng is None:
         rng = np.random.default_rng()
 
+    initps = [
+        tuple(int(rng.integers(0, d)) for d in tci.localdims)
+        for _ in range(nsearch)
+    ]
+    results = _floatingzone_batch(
+        TensorTrain(tci.sitetensors()), f, initps,
+        earlystoptol=10 * abstol, nsweeps=100,
+    )
     pivots = {}
-    ttcache = TTCache(tci)
-    for _ in range(nsearch):
-        pivot, error = _floatingzone(
-            ttcache, f, earlystoptol=10 * abstol, nsweeps=100, rng=rng
-        )
+    for pivot, error in results:
         if error > abstol:
             pivots[error] = pivot
         if len(pivots) == maxnglobalpivot:

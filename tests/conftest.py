@@ -27,16 +27,22 @@ def rng():
     return np.random.default_rng(1234)
 
 
+_MODULES_SINCE_CLEAR = [0]
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _jax_cache_reset_between_modules():
-    """Free compiler state at module boundaries.
+    """Free compiler state periodically at module boundaries.
 
     A full-suite run accumulates hundreds of compiled XLA:CPU programs in
     one process; past a threshold the CPU backend's compiler has been
     observed to segfault while compiling yet another program (reproducible
-    only in long runs — every module passes in isolation). Clearing jax's
-    caches between modules releases the executables and keeps the process
-    under that threshold, at the cost of recompiling shared kernels per
-    module."""
+    only in long runs — every module passes in isolation; ~24 modules of
+    accumulation crashed). Clearing jax's caches every third module bounds
+    the accumulation far below that threshold while limiting the recompile
+    overhead for shared kernels."""
     yield
-    jax.clear_caches()
+    _MODULES_SINCE_CLEAR[0] += 1
+    if _MODULES_SINCE_CLEAR[0] >= 3:
+        _MODULES_SINCE_CLEAR[0] = 0
+        jax.clear_caches()
