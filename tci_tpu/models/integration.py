@@ -62,16 +62,23 @@ def integrate(
 
         from ..parallel.batcheval import JaxBatchEvaluator
 
+        import jax
+
         nodes_d = jnp.asarray(nodes)
         logw_d = jnp.log(jnp.abs(jnp.asarray(weights)))
         sgnw_d = jnp.sign(jnp.asarray(weights))
-        dims_d = jnp.arange(len(a))
+        ngrid = nodes_d.shape[1]
 
         def Fjax(idx):
-            x = nodes_d[dims_d, idx]
+            # Node/weight lookups as one-hot contractions, NOT gathers:
+            # table gathers lower poorly on TPU (measured 27x slower at
+            # panel scale — they dominated the whole-sweep cost), while the
+            # (N, d) one-hot contraction is pure VPU work.
+            oh = jax.nn.one_hot(idx, ngrid, dtype=nodes_d.dtype)  # (N, d)
+            x = jnp.sum(oh * nodes_d, axis=1)
             # product of weights via log-sum for numerical range
-            w = jnp.exp(jnp.sum(logw_d[dims_d, idx])) * jnp.prod(
-                sgnw_d[dims_d, idx]
+            w = jnp.exp(jnp.sum(oh * logw_d)) * jnp.prod(
+                jnp.sum(oh * sgnw_d, axis=1)
             )
             return w * f(x) * normalization
 
