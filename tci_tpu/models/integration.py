@@ -76,8 +76,11 @@ def integrate(
             # (N, d) one-hot contraction is pure VPU work.
             oh = jax.nn.one_hot(idx, ngrid, dtype=nodes_d.dtype)  # (N, d)
             x = jnp.sum(oh * nodes_d, axis=1)
-            # product of weights via log-sum for numerical range
-            w = jnp.exp(jnp.sum(oh * logw_d)) * jnp.prod(
+            # Product of weights via log-sum for numerical range. Mask the
+            # log table before multiplying: a zero weight (degenerate bounds
+            # a_n == b_n) has logw = -inf and 0 * -inf = NaN; the sign factor
+            # below already carries the exact zero.
+            w = jnp.exp(jnp.sum(jnp.where(oh > 0, logw_d * oh, 0.0))) * jnp.prod(
                 jnp.sum(oh * sgnw_d, axis=1)
             )
             return w * f(x) * normalization

@@ -65,6 +65,9 @@ def rrlu_state_pair(Ar, Ai, m_true, n_true, maxrank, reltol, abstol,
         newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0)).astype(jnp.float64)
 
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
+        # Exactly-zero pivot => remaining submatrix is exactly zero; stop
+        # instead of dividing by zero (reltol=abstol=0 "exact" passes).
+        stop = stop | ((newerr == 0.0) & (k > 0))
         do = ~stop
         pr_eff = jnp.where(do, pr, k)
         pc_eff = jnp.where(do, pc, k)
@@ -85,8 +88,9 @@ def rrlu_state_pair(Ar, Ai, m_true, n_true, maxrank, reltol, abstol,
         colperm = colperm.at[pc_eff].set(qk).at[k].set(qp)
 
         akr, aki = Ar[k, k], Ai[k, k]
-        safe_r = jnp.where(do, akr, 1.0)
-        safe_i = jnp.where(do, aki, 0.0)
+        nz = do & ((akr != 0) | (aki != 0))
+        safe_r = jnp.where(nz, akr, 1.0)
+        safe_i = jnp.where(nz, aki, 0.0)
         if leftorthogonal:
             cr, ci = Ar[:, k], Ai[:, k]
             qr_, qi_ = _cdiv(cr, ci, safe_r, safe_i)

@@ -52,6 +52,7 @@ def _slab_lu(A, idx, k_true, maxrank, reltol, abstol, *,
         slab = jnp.take(A, idx, axis=1)
         slab = jnp.where(valid[None, :], slab, 0)
         m_true, n_true = jnp.int32(A.shape[0]), k_true
+    maxrank = jnp.minimum(maxrank, jnp.minimum(m_true, n_true))
     return _rrlu_state(
         slab, m_true, n_true, maxrank, reltol, abstol, leftorthogonal
     )

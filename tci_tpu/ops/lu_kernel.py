@@ -102,7 +102,15 @@ def _rrlu_state_fused(A, m_true, n_true, maxrank, reltol, abstol,
         pr = rowperm[jnp.minimum(bestrowpos, mp - 1)]
         newerr = jnp.sqrt(jnp.maximum(Mr, 0.0)).astype(jnp.float64)
 
+        # No valid row/column left (k reached the true rank bound with an
+        # unpadded buffer): the fallback pc/pr above point at an
+        # already-pivoted line — never eliminate on it.
+        exhausted = (M < 0) | (Mr < 0)
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
+        # An exactly-zero pivot means the remaining submatrix is exactly
+        # zero; continuing would divide by zero (relevant when callers pass
+        # reltol=abstol=0 for an "exact" pass).
+        stop = stop | exhausted | ((newerr == 0.0) & (k > 0))
         do = ~stop
 
         # --- virtual swaps (identity when stopping) ------------------------
@@ -120,7 +128,7 @@ def _rrlu_state_fused(A, m_true, n_true, maxrank, reltol, abstol,
 
         # --- fused Schur update + multiplier store + next colmax -----------
         piv = A[pr_eff, pc_eff]
-        safe = jnp.where(do, piv, 1)
+        safe = jnp.where(do & (piv != 0), piv, 1)
         urow = (rowpos >= k + 1) & (rows < m_true)  # unpivoted after step
         ucol = (colpos >= k + 1) & (cols < n_true)
         if leftorthogonal:
@@ -251,6 +259,10 @@ def _rrlu_state_small(A, m_true, n_true, maxrank, reltol, abstol,
         newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0)).astype(jnp.float64)
 
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
+        # Exactly-zero pivot => remaining submatrix is exactly zero (or no
+        # valid entry remains); continuing would divide by zero when callers
+        # pass reltol=abstol=0 for an "exact" pass.
+        stop = stop | ((newerr == 0.0) & (k > 0))
         do = ~stop
         # Masked (branch-free) pivot step: when stopping, swap k with itself
         # and zero out the update, so the arrays pass through unchanged.
@@ -269,7 +281,7 @@ def _rrlu_state_small(A, m_true, n_true, maxrank, reltol, abstol,
         colperm = colperm.at[pc_eff].set(qk).at[k].set(qp)
 
         Akk = A[k, k]
-        safe = jnp.where(do, Akk, 1)
+        safe = jnp.where(do & (Akk != 0), Akk, 1)
         if leftorthogonal:
             colk = A[:, k]
             colk = jnp.where((rows > k) & do, colk / safe, colk)

@@ -9,6 +9,7 @@ sampling for expensive integrands).
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -23,7 +24,9 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
     (e.g. a single tunneled TPU chip while the caller wants an 8-way dry
     run), fall back to the virtual CPU device pool — multi-chip sharding is
     then validated on host devices, which is exactly what
-    ``--xla_force_host_platform_device_count`` provides.
+    ``--xla_force_host_platform_device_count`` provides. The fallback is
+    loudly warned about so a benchmark can never silently report CPU-mesh
+    numbers as accelerator numbers.
     """
     devices = jax.devices()
     if n_devices is not None and len(devices) < n_devices:
@@ -32,6 +35,15 @@ def default_mesh(n_devices: Optional[int] = None, axis: str = "batch") -> Mesh:
         except RuntimeError:
             cpus = []
         if len(cpus) >= n_devices:
+            warnings.warn(
+                f"default_mesh: requested {n_devices} devices but the "
+                f"default platform ({devices[0].platform if devices else '?'}) "
+                f"has only {len(devices)}; falling back to a VIRTUAL CPU "
+                "mesh. Sharding semantics are validated, but any timing "
+                "measured on this mesh is a CPU number.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             devices = cpus
     if n_devices is not None:
         if len(devices) < n_devices:
