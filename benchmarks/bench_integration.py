@@ -7,7 +7,8 @@ import time
 import numpy as np
 
 
-def main(jax_native: bool = False, scalar: bool = False):
+def main(jax_native: bool = False, scalar: bool = False,
+         pivotsearch: str = "full"):
     import tci_tpu as tci
 
     if jax_native:
@@ -36,6 +37,7 @@ def main(jax_native: bool = False, scalar: bool = False):
     kw = dict(
         GKorder=15, tolerance=1e-8, jax_native=jax_native,
         vectorized=not (jax_native or scalar), maxbonddim=64,
+        pivotsearch=pivotsearch,
     )
     # Same methodology as bench.py: one untimed warm-up optimization loads/
     # compiles every device program this workload uses (a one-off
@@ -60,6 +62,8 @@ def main(jax_native: bool = False, scalar: bool = False):
                     "integral": float(I15),
                     "abs_err_vs_reference": abs(I15 - Iref),
                     "cold_wall_s": round(cold_wall, 3),
+                    "jax_native": jax_native,
+                    "pivotsearch": pivotsearch,
                 },
             }
         )
@@ -77,5 +81,9 @@ if __name__ == "__main__":
     main(
         jax_native="--jax-native" in sys.argv,
         scalar="--scalar" in sys.argv,
+        # --rook: the whole-sweep rook program — at d=15 the slabs are 16x
+        # narrower than the full GK panels, the main lever on the device
+        # path for this config
+        pivotsearch="rook" if "--rook" in sys.argv else "full",
     )
     finish()

@@ -381,6 +381,51 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
     return sweep
 
 
+def _match_positions(prev, prev_len, cand, cand_count, n_slots: int):
+    """Device lookup of each `prev` row inside the candidate buffer `cand`
+    (equality over the first `n_slots` index slots; first occurrence wins).
+
+    Returns (pos, found): pos[r] is the candidate position of prev[r] (0 when
+    absent), found[r] marks rows that are present AND within prev_len. This
+    replaces the host-side dict lookups of the per-bond rook tier
+    (tensorci2.py updatepivots) so pivot-continuation stays on device."""
+    eq = jnp.all(
+        prev[:, None, :n_slots] == cand[None, :, :n_slots], axis=-1
+    )
+    eq = eq & (jnp.arange(cand.shape[0])[None, :] < cand_count)
+    found = jnp.any(eq, axis=1) & (jnp.arange(prev.shape[0]) < prev_len)
+    pos = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    return pos, found
+
+
+def _fill_random(sel, nsel, mvalid, ncand: int, key, Imax: int):
+    """Extend the position list sel[:nsel] (positions into a candidate buffer
+    of static length ncand, of which mvalid are valid) with a random subset of
+    the other valid positions, to width min(mvalid, Imax).
+
+    Plays the role of arrlu's pushrandomsubset! + outer widening loop
+    (matrixlu.jl:492-569): because the resulting slab is at least maxrank
+    wide, one rook round subsumes the reference's widen-and-retry rounds —
+    a full-rank slab always means the maxrank cap was hit, which is a
+    terminal state in the reference too."""
+    insel = (
+        jnp.zeros((ncand,), dtype=jnp.int32)
+        .at[sel]
+        .max((jnp.arange(sel.shape[0]) < nsel).astype(jnp.int32))
+        > 0
+    )
+    pri = jax.random.uniform(key, (ncand,))
+    pri = jnp.where(insel | (jnp.arange(ncand) >= mvalid), 2.0, pri)
+    fill = jnp.argsort(pri).astype(jnp.int32)
+    nfill = mvalid - nsel
+    cand = jnp.concatenate([sel, fill])
+    validc = jnp.concatenate(
+        [jnp.arange(sel.shape[0]) < nsel, jnp.arange(ncand) < nfill]
+    )
+    out = cand[jnp.argsort(~validc, stable=True)][:Imax]
+    return out, jnp.minimum(mvalid, Imax).astype(jnp.int32)
+
+
 def _panel_pair(fjax_pair, Ic, Jc, nl, nr, mI, mJ):
     """Pair-valued panel: (Pr, Pi) f64 with invalid entries zeroed."""
 
@@ -513,6 +558,224 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             perrs = perrs.at[b].set(pv)
 
         return Iset, Ilen, Jset, Jlen, bonderrs, perrs, maxsample
+
+    return sweep
+
+
+def _make_sweep_rook(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
+                     forward: bool, dtype, numrookiter: int = 5,
+                     shard_rows=None):
+    """Whole-sweep ROOK program: all L-1 bond updates of a 2-site rook sweep
+    as ONE XLA dispatch.
+
+    The reference's rook search (arrlu, matrixlu.jl:492-569) exists to save
+    samples: instead of the full |I|d x d|J| panel it factorizes alternating
+    row/column slabs until the pivot sets are self-consistent. The per-bond
+    device tier (ops/lu_device.py) preserved that control flow but paid one
+    dispatch per slab — measured 170x slower than the full-search whole-sweep
+    program over a tunneled link (docs/STATUS.md round 2). Here the slab
+    alternation itself is traced INTO the sweep program:
+
+    - previous pivots are located in the candidate buffers by a device
+      equality match (_match_positions) — no host dict lookups;
+    - the column (row) start set is widened to the buffer capacity with
+      random candidates (_fill_random); since the slab is then at least
+      maxrank wide, the reference's outer widen-and-retry loop collapses
+      into a single round;
+    - the alternating slab eliminations run under lax.while_loop with the
+      self-consistency stop as the loop condition, so converged bonds pay
+      for exactly the slabs they use (a col slab costs |Ic| x Imax samples,
+      a row slab Imax x |Jc| — a factor ~(dmax+1)/rounds fewer than full);
+    - the final slab's pivot order, magnitudes and residual are written back
+      exactly like the full-search path.
+
+    Per-slab eliminations use the same complete-pivot kernel (stop rule,
+    first-max tie-break) as everywhere else, so tolerance semantics match
+    the host arrlu.
+    """
+    L = len(localdims)
+
+    @jax.jit
+    def sweep(Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
+              reltol, abstol, maxbonddim, seed):
+        bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
+        perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
+        maxsample = jnp.float64(0.0)
+        nevals = jnp.float64(0.0)
+        base_key = jax.random.PRNGKey(seed)
+
+        bonds = range(L - 1) if forward else range(L - 2, -1, -1)
+        for b in bonds:
+            d_b = localdims[b]
+            d_b1 = localdims[b + 1]
+            nl = b + 1
+            nr = L - b - 1
+
+            # --- candidate sets (identical to _make_sweep) -----------------
+            kron = jnp.broadcast_to(Iset[b][:, None, :], (Imax, d_b, L))
+            kron = kron.at[:, :, b].set(
+                jnp.broadcast_to(jnp.arange(d_b, dtype=jnp.int32)[None, :],
+                                 (Imax, d_b))
+            )
+            kron = kron.reshape(Imax * d_b, L)
+            valid_kron = (jnp.arange(Imax * d_b) // d_b) < Ilen[b]
+            Ic_all = jnp.concatenate([kron, extraI[b + 1]], axis=0)
+            validI = jnp.concatenate(
+                [valid_kron, jnp.arange(Imax) < extraIlen[b + 1]]
+            )
+            orderI = jnp.argsort(~validI, stable=True)
+            Ic = Ic_all[orderI]
+            if shard_rows is not None:
+                Ic = shard_rows(Ic)
+            mI = jnp.sum(validI).astype(jnp.int32)
+
+            shifted = jnp.roll(Jset[b + 1], 1, axis=1)
+            kronJ = jnp.broadcast_to(shifted[None, :, :], (d_b1, Imax, L))
+            kronJ = kronJ.at[:, :, 0].set(
+                jnp.broadcast_to(jnp.arange(d_b1, dtype=jnp.int32)[:, None],
+                                 (d_b1, Imax))
+            )
+            kronJ = kronJ.reshape(d_b1 * Imax, L)
+            valid_kronJ = (jnp.arange(d_b1 * Imax) % Imax) < Jlen[b + 1]
+            Jc_all = jnp.concatenate([kronJ, extraJ[b]], axis=0)
+            validJ = jnp.concatenate(
+                [valid_kronJ, jnp.arange(Imax) < extraJlen[b]]
+            )
+            orderJ = jnp.argsort(~validJ, stable=True)
+            Jc = Jc_all[orderJ]
+            mJ = jnp.sum(validJ).astype(jnp.int32)
+            Icap = Ic.shape[0]
+            Jcap = Jc.shape[0]
+
+            # --- pivot continuation: locate current pivots in the buffers --
+            posI, foundI = _match_positions(Iset[b + 1], Ilen[b + 1], Ic, mI,
+                                            nl)
+            ordI = jnp.argsort(~foundI, stable=True)
+            I0m = posI[ordI].astype(jnp.int32)
+            nmI = jnp.sum(foundI).astype(jnp.int32)
+
+            posJ, foundJ = _match_positions(Jset[b], Jlen[b], Jc, mJ, nr)
+            ordJ = jnp.argsort(~foundJ, stable=True)
+            J0m = posJ[ordJ].astype(jnp.int32)
+            nmJ = jnp.sum(foundJ).astype(jnp.int32)
+
+            key_b = jax.random.fold_in(base_key, b)
+            if forward:
+                # leftorthogonal: widen the column start set (arrlu widens J0)
+                J0, J0len = _fill_random(J0m, nmJ, mJ, Jcap, key_b, Imax)
+                I0, I0len = I0m, nmI
+            else:
+                I0, I0len = _fill_random(I0m, nmI, mI, Icap, key_b, Imax)
+                J0, J0len = J0m, nmJ
+
+            maxrank_bond = jnp.minimum(
+                jnp.minimum(maxbonddim, jnp.int32(Imax)),
+                jnp.minimum(mI, mJ),
+            )
+
+            def col_slab(st, _Ic=Ic, _Jc=Jc, _nl=nl, _nr=nr, _mI=mI,
+                         _maxrank=maxrank_bond):
+                """Factorize A[:, J0]: all candidate rows x selected cols."""
+                I0_, I0len_, J0_, J0len_ = st
+                Jsel = _Jc[J0_]
+                Pi = _panel(fjax, _Ic, Jsel, _nl, _nr, _mI, J0len_, dtype)
+                mr = jnp.minimum(_maxrank, J0len_)
+                _, rp, cp, k, mags, err = _rrlu_state(
+                    Pi, _mI, J0len_, mr, reltol, abstol,
+                    leftorthogonal=forward,
+                )
+                newI = rp[:Imax].astype(jnp.int32)
+                newJ = J0_[cp[:Imax]].astype(jnp.int32)
+                smin = jnp.minimum(_mI, J0len_)
+                return (newI, k, newJ, k, k, mags[:Imax], err, smin,
+                        jnp.max(jnp.abs(Pi)),
+                        jnp.float64(_Ic.shape[0] * Imax))
+
+            def row_slab(st, _Ic=Ic, _Jc=Jc, _nl=nl, _nr=nr, _mJ=mJ,
+                         _maxrank=maxrank_bond):
+                """Factorize A[I0, :]: selected rows x all candidate cols."""
+                I0_, I0len_, J0_, J0len_ = st
+                Isel = _Ic[I0_]
+                Pi = _panel(fjax, Isel, _Jc, _nl, _nr, I0len_, _mJ, dtype)
+                mr = jnp.minimum(_maxrank, I0len_)
+                _, rp, cp, k, mags, err = _rrlu_state(
+                    Pi, I0len_, _mJ, mr, reltol, abstol,
+                    leftorthogonal=forward,
+                )
+                newI = I0_[rp[:Imax]].astype(jnp.int32)
+                newJ = cp[:Imax].astype(jnp.int32)
+                smin = jnp.minimum(I0len_, _mJ)
+                return (newI, k, newJ, k, k, mags[:Imax], err, smin,
+                        jnp.max(jnp.abs(Pi)),
+                        jnp.float64(Imax * _Jc.shape[0]))
+
+            def rook_body(st):
+                (I0_, I0len_, J0_, J0len_, k_, mags_, err_, errw_, smin_,
+                 it_, done_, ms_, ne_) = st
+                rookiter = it_ + 1
+                # matrixlu.jl rook alternation: for leftorthogonal the first
+                # move factorizes the column slab A[:, J0]
+                colmove = ((rookiter % 2) == 0) == forward
+                out = jax.lax.cond(
+                    colmove, row_slab, col_slab,
+                    (I0_, I0len_, J0_, J0len_),
+                )
+                (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, smin2, ms2,
+                 ne2) = out
+                # Residual bookkeeping: once the pivot sets self-consist,
+                # the final slab has width exactly k and reports residual 0
+                # (k >= smin) even though the matrix is not exactly rank k.
+                # Keep the residual of the last WIDE slab (k < smin) — the
+                # magnitude of its first rejected pivot — as the bond error,
+                # which is what the reference's wider final slabs report.
+                errw2 = jnp.where(k2 < smin2, err2, errw_)
+                idx = jnp.arange(Imax)
+                sameI = (nIlen == I0len_) & jnp.all(
+                    (idx >= nIlen) | (nI_ == I0_)
+                )
+                sameJ = (nJlen == J0len_) & jnp.all(
+                    (idx >= nJlen) | (nJ_ == J0_)
+                )
+                return (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, errw2,
+                        smin2, it_ + 1, sameI & sameJ,
+                        jnp.maximum(ms_, ms2), ne_ + ne2)
+
+            def rook_cond(st):
+                return (~st[10]) & (st[9] < numrookiter)
+
+            st0 = (
+                I0, I0len, J0, J0len, jnp.int32(0),
+                jnp.zeros((Imax,), dtype=jnp.float64),
+                jnp.float64(jnp.nan), jnp.float64(jnp.nan), jnp.int32(0),
+                jnp.int32(0), False, jnp.float64(0.0), jnp.float64(0.0),
+            )
+            st = jax.lax.while_loop(rook_cond, rook_body, st0)
+            (I0f, _, J0f, _, k, mags, err, errw, smin, _, _, ms, ne) = st
+            err_final = jnp.where(
+                jnp.isnan(errw), jnp.where(k >= smin, 0.0, err), errw
+            )
+
+            # --- write back (identical layout to _make_sweep) --------------
+            selI = Ic[I0f[:Imax], :]
+            keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+            Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+            Ilen = Ilen.at[b + 1].set(k)
+            selJ = Jc[J0f[:Imax], :]
+            Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+            Jlen = Jlen.at[b].set(k)
+
+            bonderrs = bonderrs.at[b].set(err_final)
+            pv = jnp.where(
+                jnp.arange(Imax + 1) < k,
+                jnp.concatenate([mags, jnp.zeros(1)]),
+                0.0,
+            )
+            pv = pv.at[k].set(err_final)
+            perrs = perrs.at[b].set(pv)
+            maxsample = jnp.maximum(maxsample, ms)
+            nevals = nevals + ne
+
+        return Iset, Ilen, Jset, Jlen, bonderrs, perrs, maxsample, nevals
 
     return sweep
 
@@ -1043,6 +1306,16 @@ class DeviceSweepEngine:
         self.max_panel_edge = 1536
         self._sweeps = {}
         self.nevals = 0
+        self._rng = np.random.default_rng()
+
+    def _get_sweep_rook(self, forward: bool):
+        key = (forward, self.Imax, "rook")
+        if key not in self._sweeps:
+            self._sweeps[key] = _make_sweep_rook(
+                self.fjax, self.localdims, self.Imax, forward,
+                self._jdtype, shard_rows=self._shard_rows,
+            )
+        return self._sweeps[key]
 
     def _get_sweep(self, forward: bool):
         key = (forward, self.Imax)
@@ -1092,11 +1365,21 @@ class DeviceSweepEngine:
     def sweep2site(self, tci, forward: bool, reltol: float, abstol: float,
                    maxbonddim: int,
                    extraIset: List[List[MultiIndex]],
-                   extraJset: List[List[MultiIndex]]) -> bool:
+                   extraJset: List[List[MultiIndex]],
+                   pivotsearch: str = "full") -> bool:
         """Run one full 2-site sweep on device, updating tci in place.
         Returns False when the required capacity exceeds imax_cap (caller
-        falls back to the per-bond path)."""
+        falls back to the per-bond path).
+
+        pivotsearch='rook' runs the whole-sweep rook program
+        (_make_sweep_rook): same single dispatch per sweep, slab sampling
+        instead of full panels. Unsupported for pair-valued (complex)
+        integrands and for long chains (the scan-based sweep has no rook
+        body yet) — those return False and fall back."""
         L = len(self.localdims)
+        rook = pivotsearch == "rook"
+        if rook and (self.pair or L >= 16):
+            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
             + [len(s) for s in extraIset] + [len(s) for s in extraJset]
@@ -1114,8 +1397,7 @@ class DeviceSweepEngine:
         eI, eIlen = self._pack(extraIset, "left")
         eJ, eJlen = self._pack(extraJset, "left")
 
-        sweep = self._get_sweep(forward)
-        out = sweep(
+        args = (
             jnp.asarray(Iset), jnp.asarray(Ilen),
             jnp.asarray(Jset), jnp.asarray(Jlen),
             jnp.asarray(eI), jnp.asarray(eIlen),
@@ -1123,9 +1405,17 @@ class DeviceSweepEngine:
             jnp.float64(reltol), jnp.float64(abstol),
             jnp.int32(min(maxbonddim, 2**31 - 1)),
         )
-        Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample = (
-            jax.device_get(out)
-        )
+        if rook:
+            seed = jnp.uint32(self._rng.integers(0, 2**31 - 1))
+            out = self._get_sweep_rook(forward)(*args, seed)
+            (Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample,
+             nevals_dev) = jax.device_get(out)
+        else:
+            out = self._get_sweep(forward)(*args)
+            Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample = (
+                jax.device_get(out)
+            )
+            nevals_dev = None
         # saturation check: if any bond hit the cap and more rank is allowed,
         # grow and re-run this sweep with larger buffers (until imax_cap,
         # then hand back to the per-bond path)
@@ -1140,7 +1430,8 @@ class DeviceSweepEngine:
                 return False
             self.Imax = nxt
             return self.sweep2site(
-                tci, forward, reltol, abstol, maxbonddim, extraIset, extraJset
+                tci, forward, reltol, abstol, maxbonddim, extraIset,
+                extraJset, pivotsearch=pivotsearch,
             )
 
         prefix_lens = list(range(L))
@@ -1152,10 +1443,13 @@ class DeviceSweepEngine:
             tci.updateerrors(
                 b, list(perrs[b][: int(Ilen_b[b + 1]) + 1])
             )
-        for b in range(L - 1):
-            Icap = self.Imax * self.localdims[b] + self.Imax
-            Jcap = self.localdims[b + 1] * self.Imax + self.Imax
-            self.nevals += Icap * Jcap
+        if nevals_dev is not None:
+            self.nevals += int(nevals_dev)
+        else:
+            for b in range(L - 1):
+                Icap = self.Imax * self.localdims[b] + self.Imax
+                Jcap = self.localdims[b + 1] * self.Imax + self.Imax
+                self.nevals += Icap * Jcap
         return True
 
     def _get_fill(self):

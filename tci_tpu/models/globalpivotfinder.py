@@ -111,7 +111,9 @@ class DefaultGlobalPivotFinder(AbstractGlobalPivotFinder):
                     cands.append(row)
                     offsets.append((s, p, v))
         cands = np.asarray(cands, dtype=np.int32)
-        fvals = evaluate_rows(f, cands, dtype=complex)
+        # derive the value dtype from the current TT (a real-valued search
+        # must not silently upcast f samples to complex)
+        fvals = evaluate_rows(f, cands, dtype=np.asarray(tt[0]).dtype)
         ttvals = tt.evaluate_batch(cands)
         errors = np.abs(np.asarray(fvals) - np.asarray(ttvals))
 

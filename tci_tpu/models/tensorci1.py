@@ -74,7 +74,10 @@ class TensorCI1(AbstractTensorTrain):
         tci.Jset = [IndexSet([firstpivot[p + 1 :]]) for p in range(n)]
         tci.PiIset = [tci.getPiIset(p) for p in range(n)]
         tci.PiJset = [tci.getPiJset(p) for p in range(n)]
-        tci.Pi = [tci.getPi(p, f) for p in range(n - 1)] + [
+        # pass the raw function so a batch evaluator keeps its batched entry
+        # point (the dtype wrapper above is for scalar probes only; getPi
+        # casts to the value type itself)
+        tci.Pi = [tci.getPi(p, func) for p in range(n - 1)] + [
             np.zeros((0, 0), dtype=dtype)
         ]
 
@@ -166,13 +169,27 @@ class TensorCI1(AbstractTensorTrain):
             ]
         )
 
+    def _rows_eval(self, f, rows: Sequence[MultiIndex]) -> np.ndarray:
+        """Evaluate f at a list of full multi-indices with as few dispatches
+        as possible: one batched call when f is a batch evaluator
+        (evaluate_rows), a host loop otherwise. The reference samples Π
+        per entry (tensorci1.jl:426-433); batching here means a
+        JaxBatchEvaluator costs one device program per panel/row/column
+        instead of one Python call per matrix entry."""
+        from ..parallel.batcheval import evaluate_rows
+
+        arr = np.asarray([tuple(r) for r in rows], dtype=np.int32).reshape(
+            len(rows), len(self)
+        )
+        return evaluate_rows(f, arr, dtype=self.dtype).astype(self.dtype)
+
     def getPi(self, p: int, f) -> np.ndarray:
         iset = self.PiIset[p]
         jset = self.PiJset[p + 1]
-        res = np.array(
-            [[f(tuple(i) + tuple(j)) for j in jset.fromint] for i in iset.fromint],
-            dtype=self.dtype,
-        ).reshape(len(iset), len(jset))
+        rows = [
+            tuple(i) + tuple(j) for i in iset.fromint for j in jset.fromint
+        ]
+        res = self._rows_eval(f, rows).reshape(len(iset), len(jset))
         self.updatemaxsample(res)
         return res
 
@@ -201,14 +218,15 @@ class TensorCI1(AbstractTensorTrain):
         newPi = np.empty((len(newIset), self.Pi[p].shape[1]), dtype=self.dtype)
         permutation = [newIset.pos(i) for i in oldIset.fromint]
         newPi[permutation, :] = self.Pi[p]
-        for imulti in diffIset:
-            newi = newIset.pos(imulti)
-            row = np.array(
-                [f(tuple(imulti) + tuple(j)) for j in self.PiJset[p + 1].fromint],
-                dtype=self.dtype,
-            )
-            newPi[newi, :] = row
-            self.updatemaxsample(row)
+        if diffIset:
+            jlist = self.PiJset[p + 1].fromint
+            rows = [
+                tuple(i) + tuple(j) for i in diffIset for j in jlist
+            ]
+            block = self._rows_eval(f, rows).reshape(len(diffIset), len(jlist))
+            for r, imulti in enumerate(diffIset):
+                newPi[newIset.pos(imulti), :] = block[r]
+            self.updatemaxsample(block)
         self.Pi[p] = newPi
         self.PiIset[p] = newIset
 
@@ -225,14 +243,15 @@ class TensorCI1(AbstractTensorTrain):
         newPi = np.empty((self.Pi[p].shape[0], len(newJset)), dtype=self.dtype)
         permutation = [newJset.pos(j) for j in oldJset.fromint]
         newPi[:, permutation] = self.Pi[p]
-        for jmulti in diffJset:
-            newj = newJset.pos(jmulti)
-            col = np.array(
-                [f(tuple(i) + tuple(jmulti)) for i in self.PiIset[p].fromint],
-                dtype=self.dtype,
-            )
-            newPi[:, newj] = col
-            self.updatemaxsample(col)
+        if diffJset:
+            ilist = self.PiIset[p].fromint
+            rows = [
+                tuple(i) + tuple(j) for j in diffJset for i in ilist
+            ]
+            block = self._rows_eval(f, rows).reshape(len(diffJset), len(ilist))
+            for c, jmulti in enumerate(diffJset):
+                newPi[:, newJset.pos(jmulti)] = block[c]
+            self.updatemaxsample(block)
         self.Pi[p] = newPi
         self.PiJset[p + 1] = newJset
 
@@ -289,13 +308,11 @@ class TensorCI1(AbstractTensorTrain):
             return 0.0
         if self.Jset[bondindex].isempty():
             return abs(f(x + y))
-        fx = np.array(
-            [f(x + tuple(j)) for j in self.Jset[bondindex].fromint],
-            dtype=self.dtype,
+        fx = self._rows_eval(
+            f, [x + tuple(j) for j in self.Jset[bondindex].fromint]
         )
-        fy = np.array(
-            [f(tuple(i) + y) for i in self.Iset[bondindex + 1].fromint],
-            dtype=self.dtype,
+        fy = self._rows_eval(
+            f, [tuple(i) + y for i in self.Iset[bondindex + 1].fromint]
         )
         self.updatemaxsample(fx)
         self.updatemaxsample(fy)

@@ -298,7 +298,7 @@ class TensorCI2(AbstractTensorTrain):
                 strictlynested=strictlynested, verbosity=verbosity,
             )
             pivmat = np.asarray([tuple(p) for p in pivots], dtype=np.int32)
-            fvals = evaluate_rows(f, pivmat, dtype=complex)
+            fvals = evaluate_rows(f, pivmat, dtype=self.dtype)
             ttvals = TensorTrain(self.sitetensors()).evaluate_batch(pivmat)
             newpivots = [
                 tuple(p) for p, fv, tv in zip(pivots, fvals, ttvals)
@@ -534,6 +534,30 @@ class TensorCI2(AbstractTensorTrain):
             I0 = [Iset_pos[i] for i in self.Iset[b + 1] if i in Iset_pos]
             J0 = [Jset_pos[j] for j in self.Jset[b] if j in Jset_pos]
             sampler = getattr(f, "panel_sampler", None)
+            if (
+                getattr(f, "fused_updater", None) is not None
+                and not getattr(self, "_rook_tier_warned", False)
+            ):
+                # Footgun guard: the per-bond rook tiers cost one device
+                # dispatch per slab (device rook) or host round trips per
+                # slab (SubMatrix rook). For a jax-traceable integrand whose
+                # whole-sweep / fused full tier is available, that dispatch
+                # count dominates wall time (measured 170x on cheap
+                # integrands over a tunneled link). Reached only when the
+                # whole-sweep rook program declined (rank above engine
+                # capacity, chain length >= 16, or complex pair mode).
+                import warnings
+
+                warnings.warn(
+                    "pivotsearch='rook' is running the per-bond rook tier "
+                    "(the whole-sweep rook program declined this "
+                    "configuration). For jax-traceable integrands, "
+                    "pivotsearch='full' is typically far faster because "
+                    "the whole sweep compiles to one device program.",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+                self._rook_tier_warned = True
             if sampler is not None:
                 # Device rook tier: materialize the Π panel with ONE device
                 # program (cheap for a jax-traceable integrand), then run the
@@ -619,13 +643,14 @@ class TensorCI2(AbstractTensorTrain):
             self.flushpivoterror()
             fwd = forwardsweep(sweepstrategy, it)
             engine = getattr(f, "device_sweep_engine", None)
-            if pivotsearch == "full" and engine is not None:
-                # whole sweep as one jit-compiled device program; falls back
-                # to the per-bond path when the rank exceeds the engine cap
+            if pivotsearch in ("full", "rook") and engine is not None:
+                # whole sweep as one jit-compiled device program (rook runs
+                # the traced slab-alternation variant); falls back to the
+                # per-bond path when the rank exceeds the engine cap
                 self.invalidatesitetensors()
                 if engine.sweep2site(
                     self, fwd, 1e-14, abstol, maxbonddim,
-                    extraIset, extraJset,
+                    extraIset, extraJset, pivotsearch=pivotsearch,
                 ):
                     continue
             if fwd:
@@ -758,7 +783,7 @@ class TensorCI2(AbstractTensorTrain):
                 abserr = list(
                     np.abs(
                         TensorTrain(self.sitetensors()).evaluate_batch(gp)
-                        - evaluate_rows(f, gp, dtype=complex)
+                        - evaluate_rows(f, gp, dtype=self.dtype)
                     )
                 )
                 nrejections = sum(e > abstol for e in abserr)

@@ -12,8 +12,11 @@ ref in place. Permutations, pivot magnitudes and counters live in SMEM/VMEM
 outputs. Semantics identical to lu_kernel._rrlu_state (stop rule
 matrixlu.jl:363, first-max-in-column-major tie break).
 
-Use `pallas_rrlu_raw` as a drop-in for `rrlu_raw` when the panel fits VMEM;
-`rrlu_raw` auto-dispatches here on TPU (see lu.py / lu_kernel wiring).
+Status: TPU Mosaic has no f64 vector support, so on hardware this kernel is
+an f32-only fast path; TCI's tolerance semantics need f64, so nothing in the
+TCI sweep machinery dispatches here. `pallas_rrlu_call` is the entry point
+for explicitly-f32 panels (same contract as lu_kernel._rrlu_while); it is
+NOT auto-dispatched from `rrlu_raw`.
 """
 
 from __future__ import annotations
@@ -86,6 +89,9 @@ def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
         newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0))
 
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
+        # exactly-zero pivot => exactly-zero remainder; stop instead of
+        # dividing by zero (matches lu_kernel._rrlu_state_small)
+        stop = stop | ((newerr == 0.0) & (k > 0))
         do = ~stop
         pr_eff = jnp.where(do, pr, k)
         pc_eff = jnp.where(do, pc, k)
@@ -110,7 +116,7 @@ def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
         colperm_ref[k] = qp
 
         Akk = A_ref[k, k]
-        safe = jnp.where(do, Akk, 1)
+        safe = jnp.where(do & (Akk != 0), Akk, 1)
         if leftorthogonal:
             colk = A_ref[:, k]
             colk = jnp.where((rows > k) & do, colk / safe, colk)

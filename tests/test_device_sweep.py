@@ -252,3 +252,66 @@ def test_engine_panel_edge_guard():
         t2, True, 1e-14, 1e-8, 1000, [[] for _ in range(4)],
         [[] for _ in range(4)],
     ) is True
+
+
+def test_whole_sweep_rook_converges_and_matches_full():
+    """pivotsearch='rook' with a device-sweep-capable evaluator runs the
+    whole-sweep rook program (one dispatch per sweep; traced slab
+    alternation, matrixlu.jl:492-569) and must converge to the same
+    interpolation as the full-search path, with fewer samples."""
+    localdims = [6] * 5
+    coef = np.arange(1, 6, dtype=float)
+
+    def fjax(idx):
+        import jax.numpy as jnp
+
+        v = idx.astype(jnp.float64) * jnp.asarray(coef)
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    fpy = lambda x: 1.0 / (
+        1.0 + float(np.sum((np.asarray(x, float) * coef) ** 2))
+    )
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    t1, r1, e1 = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-9, pivotsearch="rook",
+        rng=np.random.default_rng(7),
+    )
+    assert e1[-1] < 1e-9
+    # rook must report a real residual, not the exact-slab zero
+    assert e1[-1] > 0.0
+    bf2 = JaxBatchEvaluator(fjax, localdims)
+    t2, r2, e2 = tci.crossinterpolate2(
+        np.float64, bf2, localdims, tolerance=1e-9, pivotsearch="full",
+        rng=np.random.default_rng(7),
+    )
+    assert t1.rank() == t2.rank()
+    # slab sampling must cost fewer evaluations than full panels
+    assert bf.device_sweep_engine.nevals < bf2.device_sweep_engine.nevals
+    for v in [(0, 0, 0, 0, 0), (1, 2, 3, 4, 5), (5, 4, 3, 2, 1), (2, 0, 5, 1, 3)]:
+        assert abs(t1.evaluate(v) - fpy(v)) < 1e-8
+
+
+def test_whole_sweep_rook_no_global_search():
+    """Without the global-search safety net, rook's residual bookkeeping
+    (wide-slab error carry) must still prevent premature convergence."""
+    localdims = [5] * 4
+
+    def fjax(idx):
+        import jax.numpy as jnp
+
+        v = idx.astype(jnp.float64) + 1.0
+        return jnp.cos(jnp.sum(v * v)) / (1.0 + jnp.sum(v))
+
+    fpy = lambda x: float(
+        np.cos(np.sum((np.asarray(x, float) + 1.0) ** 2))
+        / (1.0 + np.sum(np.asarray(x, float) + 1.0))
+    )
+    bf = JaxBatchEvaluator(fjax, localdims)
+    t, ranks, errs = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-10, nsearchglobalpivot=0,
+        pivotsearch="rook", rng=np.random.default_rng(11),
+    )
+    assert errs[-1] < 1e-10
+    for v in [(0, 0, 0, 0), (1, 2, 3, 4), (4, 3, 2, 1), (2, 0, 4, 1)]:
+        assert abs(t.evaluate(v) - fpy(v)) < 1e-8
