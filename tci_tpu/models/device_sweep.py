@@ -1304,6 +1304,16 @@ class DeviceSweepEngine:
         # guard the engine declines and callers fall back to the per-bond
         # tier.
         self.max_panel_edge = 1536
+        # Separate, stricter edge guard for the whole-sweep ROOK program:
+        # its nested while/cond control flow makes a much larger XLA program
+        # than the full-search sweep at the same edge (observed: d=15 L=10
+        # Imax=96, edge 1536 — the full program compiles in ~9 min and runs;
+        # the rook program never came back after 38 min). Above this guard
+        # the engine transparently runs the FULL whole-sweep program instead
+        # (still one dispatch per sweep; rook is a sampling optimization,
+        # not a semantic knob — the reference itself falls back rook->full,
+        # tensorci2.jl:892-906).
+        self.max_panel_edge_rook = 1024
         self._sweeps = {}
         self.nevals = 0
         self._rng = np.random.default_rng()
@@ -1390,6 +1400,10 @@ class DeviceSweepEngine:
         target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
+        if rook and target * (max(self.localdims) + 1) > self.max_panel_edge_rook:
+            # rook program too large for this edge: run the full-search
+            # whole-sweep program instead (see max_panel_edge_rook)
+            rook = False
         self.Imax = target
 
         Iset, Ilen = self._pack(tci.Iset, "left")

@@ -13,6 +13,15 @@ import numpy as np
 from ..ops.kronrod import kronrod
 from .tensorci2 import crossinterpolate2
 
+# jax_native evaluator reuse across integrate() calls: every NEW jit closure
+# re-uploads its compiled programs to the device (seconds per program over a
+# remote link — round-2/3 finding: a "warm" second integrate() call that
+# rebuilt its evaluator re-paid ~60 s of program loads). Keyed weakly by the
+# user integrand; the grid/type signature must match exactly.
+import weakref
+
+_GK_EVAL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 
 def integrate(
     valuetype,
@@ -64,6 +73,21 @@ def integrate(
 
         import jax
 
+        cache_key = (
+            GKorder, tuple(a.tolist()), tuple(b.tolist()),
+            np.dtype(valuetype).str, enable_device_sweep,
+        )
+        try:
+            cached = _GK_EVAL_CACHE.get(f)
+        except TypeError:  # unhashable/weakref-incompatible integrand
+            cached = None
+        if cached is not None and cached[0] == cache_key:
+            F = cached[1]
+            tci2, ranks, errors = crossinterpolate2(
+                valuetype, F, localdims, **kwargs
+            )
+            return tci2.sum() / normalization
+
         nodes_d = jnp.asarray(nodes)
         logw_d = jnp.log(jnp.abs(jnp.asarray(weights)))
         sgnw_d = jnp.sign(jnp.asarray(weights))
@@ -93,6 +117,10 @@ def integrate(
             # O(log maxrank) compiled programs instead of a compile storm
             fused_panel_capacity=True,
         )
+        try:
+            _GK_EVAL_CACHE[f] = (cache_key, F)
+        except TypeError:
+            pass
     elif vectorized:
         from ..parallel.batcheval import VectorizedBatchEvaluator
 

@@ -18,6 +18,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: most of the suite's wall time is XLA:CPU
+# compiles of the device-tier programs, re-done every run (and re-done
+# within a run by the periodic clear_caches below). The disk cache keys by
+# HLO hash, so code changes invalidate exactly the programs they alter;
+# everything else loads in milliseconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
