@@ -80,13 +80,19 @@ def main():
     tci.crossinterpolate2(np.float64, bf, localdims, tolerance=1e-8)
     cold_wall = time.perf_counter() - tcold0
 
-    nevals0 = bf.nevals
-    t0 = time.perf_counter()
-    tciobj, ranks, errors = tci.crossinterpolate2(
-        np.float64, bf, localdims, tolerance=1e-8
-    )
-    wall = time.perf_counter() - t0
-    nevals = bf.nevals - nevals0
+    # Median of 3 timed optimizations (the reference's BenchmarkTools
+    # methodology reports min/median over reps): per-dispatch latency over
+    # a tunneled link is noisy at sub-second walls.
+    walls = []
+    for _ in range(3):
+        nevals0 = bf.nevals
+        t0 = time.perf_counter()
+        tciobj, ranks, errors = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-8
+        )
+        walls.append(time.perf_counter() - t0)
+        nevals = bf.nevals - nevals0
+    wall = float(np.median(walls))
     rate = nevals / wall
 
     # sanity: converged and correct
@@ -119,6 +125,7 @@ def main():
                     ],
                     "rank": int(tciobj.rank()),
                     "wall_s": round(wall, 3),
+                    "wall_s_reps": [round(w, 3) for w in walls],
                     "cold_wall_s": round(cold_wall, 3),
                     "nevals": int(nevals),
                     "final_error": float(errors[-1]),

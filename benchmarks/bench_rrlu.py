@@ -150,21 +150,26 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     gemm_gflops = 2.0 * r_rook * N * N / gemm_wall / 1e9
 
     # --- measured HBM streaming bandwidth ---------------------------------
-    # Read+write the same N^2 f64 buffer the elimination streams. The fused
-    # complete-pivot body does ONE read+write pass over the padded buffer
-    # per pivot step, so its streaming-bound wall is
-    # r * 2 * N^2 * 8 bytes / measured_BW; the bound is MEASURED here, not
-    # asserted (scalar fetch after the chained ops is the only reliable
-    # sync on the tunneled backend).
-    scale = jax.jit(lambda a: a * 1.0000001)
-    B = scale(A)
-    float(jnp.sum(B))  # warm-up + sync
-    reps_bw = 5
+    # Read+write the same N^2 f64 buffer the elimination streams, with ALL
+    # passes inside ONE program (a fori_loop of dependent scale passes) so
+    # the per-dispatch latency of the link amortizes away — individually
+    # dispatched passes measure the dispatch floor (~7 ms over the dev
+    # tunnel), not bandwidth. The fused complete-pivot body does ONE
+    # read+write pass over the padded buffer per pivot step, so its
+    # streaming-bound wall is r * 2 * N^2 * 8 bytes / measured_BW; the
+    # bound is MEASURED here, not asserted.
+    passes = 64
+
+    @jax.jit
+    def stream(a):
+        return jax.lax.fori_loop(0, passes, lambda i, x: x * 1.0000001, a)
+
+    B = stream(A)
+    float(jnp.sum(B))  # warm-up + sync (scalar fetch = only reliable sync)
     t0 = time.perf_counter()
-    for _ in range(reps_bw):
-        B = scale(B)
+    B = stream(B)
     float(jnp.sum(B))
-    bw_wall = (time.perf_counter() - t0) / reps_bw
+    bw_wall = (time.perf_counter() - t0) / passes
     stream_gbps = 2.0 * N * N * 8 / bw_wall / 1e9
     bound_wall = r_exact * 2.0 * N * N * 8 / (stream_gbps * 1e9)
     streaming_bound_gflops = 2.0 * r_exact * N * N / bound_wall / 1e9

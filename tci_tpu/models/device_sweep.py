@@ -1305,15 +1305,17 @@ class DeviceSweepEngine:
         # tier.
         self.max_panel_edge = 1536
         # Separate, stricter edge guard for the whole-sweep ROOK program:
-        # its nested while/cond control flow makes a much larger XLA program
-        # than the full-search sweep at the same edge (observed: d=15 L=10
-        # Imax=96, edge 1536 — the full program compiles in ~9 min and runs;
-        # the rook program never came back after 38 min). Above this guard
-        # the engine transparently runs the FULL whole-sweep program instead
-        # (still one dispatch per sweep; rook is a sampling optimization,
-        # not a semantic knob — the reference itself falls back rook->full,
-        # tensorci2.jl:892-906).
-        self.max_panel_edge_rook = 1024
+        # its nested while/cond slab machinery makes a much larger XLA
+        # program than the full-search sweep at the same edge. Probed on
+        # hardware (round 3): edge 176 (d=10 L=8) compiles in ~99 s and
+        # runs 0.76 s/optimization; edge 512 (d=15 L=10) compiles in 348 s
+        # and runs 1.06 s; edge 1536 never returned from compilation in
+        # 38 min (the full program at the same edge compiles in ~9 min).
+        # Above this guard the engine transparently runs the FULL
+        # whole-sweep program instead (still one dispatch per sweep; rook
+        # is a sampling optimization, not a semantic knob — the reference
+        # itself falls back rook->full, tensorci2.jl:892-906).
+        self.max_panel_edge_rook = 768
         self._sweeps = {}
         self.nevals = 0
         self._rng = np.random.default_rng()

@@ -101,19 +101,25 @@ def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
         rp = A_ref[pr_eff, :]
         A_ref[pr_eff, :] = rk
         A_ref[k, :] = rp
-        tk = rowperm_ref[k]
-        tp = rowperm_ref[pr_eff]
-        rowperm_ref[pr_eff] = tk
-        rowperm_ref[k] = tp
+        # permutation swaps as vector selects (dynamic scalar stores into
+        # VMEM vectors don't lower on hardware)
+        rperm = rowperm_ref[:]
+        tk = rperm[k]
+        tp = rperm[pr_eff]
+        rowperm_ref[:] = jnp.where(
+            rows == pr_eff, tk, jnp.where(rows == k, tp, rperm)
+        )
         # swap cols
         ck = A_ref[:, k]
         cp = A_ref[:, pc_eff]
         A_ref[:, pc_eff] = ck
         A_ref[:, k] = cp
-        qk = colperm_ref[k]
-        qp = colperm_ref[pc_eff]
-        colperm_ref[pc_eff] = qk
-        colperm_ref[k] = qp
+        cperm = colperm_ref[:]
+        qk = cperm[k]
+        qp = cperm[pc_eff]
+        colperm_ref[:] = jnp.where(
+            cols == pc_eff, qk, jnp.where(cols == k, qp, cperm)
+        )
 
         Akk = A_ref[k, k]
         safe = jnp.where(do & (Akk != 0), Akk, 1)
@@ -205,8 +211,11 @@ def pallas_rrlu_call(A, m_true, n_true, maxrank, reltol, abstol,
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # Vector outputs must live in VMEM on hardware ("Can only store
+            # scalars to SMEM" — Mosaic); only the 2-scalar npivot/err
+            # output stays in SMEM.
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),

@@ -97,3 +97,33 @@ def test_kernel_lowerings_static():
             tt_evaluate_batched,
             S((12, 8, 4, 8), dt), S((64, 12), i32),
         )
+
+
+def test_rook_sweep_lowering_static():
+    """Static lowering of the whole-sweep rook program (never executed):
+    the traced slab-alternation machinery (_make_sweep_rook) must lower for
+    both sweep directions so shape regressions in its cond branches and
+    while-loop carry fail fast without paying the compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import _make_sweep_rook
+
+    S = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    f64 = jnp.float64
+    localdims = (3, 4, 3)
+    L = len(localdims)
+    Imax = 8
+    for forward in (True, False):
+        sweep = _make_sweep_rook(
+            lambda idx: 1.0 / (1.0 + jnp.sum(idx.astype(jnp.float64) ** 2)),
+            localdims, Imax, forward, jnp.float64,
+        )
+        sweep.lower(
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((), f64), S((), f64), S((), i32), S((), jnp.uint32),
+        )
