@@ -376,10 +376,60 @@ def rrlu_raw(
     residual_err) restricted to the true extents.
     """
     dev = _host_compute_device()
+    if dev is None and _pallas_f32_eligible(A):
+        # Explicitly-f32 panel + TPU compute backend: the VMEM-resident
+        # Pallas kernel (ops/pallas_lu.py) does the whole elimination out of
+        # VMEM — one HBM read + one write for the panel instead of one
+        # round trip per pivot. Only reachable when HOST_RRLU_BACKEND is
+        # "default" (host->device transfers are cheap, e.g. local PCIe);
+        # f64 panels keep the reference tolerance semantics on the XLA path.
+        return _rrlu_raw_pallas_f32(A, maxrank, reltol, abstol,
+                                    leftorthogonal)
     if dev is not None:
         with jax.default_device(dev):
             return _rrlu_raw_impl(A, maxrank, reltol, abstol, leftorthogonal)
     return _rrlu_raw_impl(A, maxrank, reltol, abstol, leftorthogonal)
+
+
+def _pallas_f32_eligible(A) -> bool:
+    if np.asarray(A).dtype != np.float32:
+        return False
+    try:
+        from .pallas_lu import HAVE_PALLAS
+
+        if not HAVE_PALLAS:
+            return False
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # pragma: no cover - conservative fallback
+        return False
+
+
+def _rrlu_raw_pallas_f32(A, maxrank, reltol, abstol, leftorthogonal):
+    """f32 fast path: pad to the shape bucket and run the Pallas kernel."""
+    from .pallas_lu import pallas_rrlu_call
+
+    m, n = A.shape
+    mp, npd = bucket(m), bucket(n)
+    maxrank = min(maxrank, m, n)
+    Ap = jnp.zeros((mp, npd), dtype=jnp.float32)
+    Ap = Ap.at[:m, :n].set(jnp.asarray(A, dtype=jnp.float32))
+    Aout, rowperm, colperm, k, mags, err = pallas_rrlu_call(
+        Ap, jnp.int32(m), jnp.int32(n), jnp.int32(maxrank),
+        jnp.float64(reltol), jnp.float64(abstol),
+        leftorthogonal=leftorthogonal,
+    )
+    Aout, rowperm, colperm, k, mags, err = jax.device_get(
+        (Aout[:m, :n], rowperm[:m], colperm[:n], k, mags, err)
+    )
+    k = int(k)
+    return (
+        np.asarray(Aout),
+        np.asarray(rowperm),
+        np.asarray(colperm),
+        k,
+        np.asarray(mags[:k]),
+        float(err),
+    )
 
 
 def _rrlu_raw_impl(

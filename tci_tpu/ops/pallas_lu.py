@@ -1,22 +1,53 @@
 """Pallas TPU kernel: VMEM-resident complete-pivot rank-revealing LU.
 
-TCI's Π panels are small enough to fit in VMEM (≲ 1024² f32 / 724² f64 within
-the ~16 MB/core budget). The XLA while-loop kernel (lu_kernel.py) round-trips
-the panel through HBM on every rank-1 step; this kernel instead keeps the
-panel in VMEM for the *entire* elimination: HBM traffic is one panel read and
-one write, and each pivot step is a VPU argmax + a VPU rank-1 update straight
-out of VMEM.
+TCI's Π panels are small enough to fit in VMEM (≲ 1024² f32 within the
+~16 MB/core guideline; v5e has 128 MB VMEM so the kernel requests a raised
+scoped limit). The XLA while-loop kernel (lu_kernel.py) round-trips the panel
+through HBM on every rank-1 step; this kernel instead keeps the panel in VMEM
+for the *entire* elimination: HBM traffic is one panel read and one write,
+and each pivot step is a VPU reduction + a VPU rank-1 update straight out of
+VMEM.
 
 Grid: single program; the pivot loop is a lax.while_loop mutating the VMEM
-ref in place. Permutations, pivot magnitudes and counters live in SMEM/VMEM
-outputs. Semantics identical to lu_kernel._rrlu_state (stop rule
-matrixlu.jl:363, first-max-in-column-major tie break).
+ref in place. The elimination is the SWAP-FREE variant (exactly
+lu_kernel._rrlu_state_fused, which matches the reference stop rule
+matrixlu.jl:363 and the first-max-in-column-major tie break in the swapped
+layout): the panel is never physically permuted; rowpos/colpos position
+vectors in VMEM scratch carry the virtual swaps, and the swapped-layout LU
+buffer is materialized by one XLA gather after the kernel.
+
+Mosaic constraints that shaped this code (each one was a hardware-compile
+failure first):
+- no dynamic_slice / scalar-indexed vector loads or stores -> every
+  extraction is a one-hot mask + reduction, every scatter a masked select;
+- no 64-bit types: bare Python literals inside the kernel trace as weak
+  i64/f64 under x64 and the int64->int32 convert recurses -> all literals
+  are explicitly typed;
+- reduce-to-scalar lowers through a re-traced jnp.sum proxy that drops
+  dtype overrides (so jnp.sum(int32) re-promotes to int64) -> integer
+  scalar extractions use jnp.min/jnp.max, which preserve dtype;
+- vector outputs must live in VMEM ("Can only store scalars to SMEM");
+- each jnp op's intermediate is stack-allocated in scoped VMEM -> the
+  swap-free body (fewest panel-sized temporaries) + vmem_limit_bytes;
+- a 1-D reduce-SUM to scalar crashes the compiler BACKEND
+  (tpu_compile_helper exit 1) -> one-hot extractions use reduce-max with
+  a -inf fill, which is exact on a one-hot mask;
+- a (1,N)&(N,1) bool broadcast-AND of two dynamically-computed masks also
+  crashes the backend (the same shape with constant-foldable masks is
+  fine) -> 2-D selectors are built as f32 OUTER PRODUCTS of 1-D masks and
+  applied arithmetically;
+- input_output_aliases is broken on the tunneled backend: the first
+  execution is correct, every re-execution reads the PREVIOUS run's
+  outputs as its inputs (measured npivot collapse with abstol == previous
+  err) -> no aliasing; the kernel copies A_in -> A_out itself.
 
 Status: TPU Mosaic has no f64 vector support, so on hardware this kernel is
-an f32-only fast path; TCI's tolerance semantics need f64, so nothing in the
-TCI sweep machinery dispatches here. `pallas_rrlu_call` is the entry point
-for explicitly-f32 panels (same contract as lu_kernel._rrlu_while); it is
-NOT auto-dispatched from `rrlu_raw`.
+an f32-only fast path (hardware-validated 2026-08-17: bit-exact vs the
+interpret path and the XLA kernels at N in {8..128}, stable across repeated
+executions). TCI's tolerance semantics need f64, so the f64 sweep machinery
+never dispatches here; `rrlu_raw` dispatches EXPLICITLY-f32 panels here when
+the compute backend is a TPU (see lu_kernel.rrlu_raw), and `pallas_rrlu_call`
+is the direct entry point (same contract as lu_kernel._rrlu_while).
 """
 
 from __future__ import annotations
@@ -35,6 +66,11 @@ try:  # pallas is TPU/Mosaic; import lazily-guarded for safety
 except Exception:  # pragma: no cover
     HAVE_PALLAS = False
 
+# Scoped-VMEM request for the kernel (v5e has 128 MB VMEM/core; the default
+# scoped limit is 16 MB, which the per-op stack allocations of a masked
+# elimination body exceed for panels >= ~256²).
+_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 
 def _abs2(x):
     if jnp.iscomplexobj(x):
@@ -42,14 +78,20 @@ def _abs2(x):
     return x * x
 
 
-def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
-                 out_scalars_ref, *, leftorthogonal: bool):
-    """scalars: [m_true, n_true, maxrank] int32 in SMEM; tolerances arrive via
-    mags_ref[-2:] hack-free: we pass them in a separate f64 SMEM ref? No —
-    fold them into scalars as bit patterns is ugly; instead tolerances are in
-    out_scalars on entry. See pallas_rrlu_call for the calling convention:
-    out_scalars_ref[0] = reltol, [1] = abstol on input (input_output_aliased),
-    and on exit [0] = npivot, [1] = residual err.
+def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
+                 colperm_ref, mags_ref, out_scalars_ref, rowpos_ref,
+                 colpos_ref, colmax_ref, *, leftorthogonal: bool):
+    """Swap-free complete-pivot elimination, fully mask-based.
+
+    scalars (SMEM): [m_true, n_true, maxrank] int32; tol (SMEM):
+    [reltol, abstol]. A_in is copied into the A output ref up front — NO
+    input/output aliasing: on the tunneled backend an aliased executable
+    re-binds its output buffers on re-execution, so the second run reads the
+    FIRST run's results as inputs (measured: npivot collapses to 1 with
+    abstol == previous err). out_scalars: [0] = npivot, [1] = residual err.
+    rowpos/colpos/colmax are VMEM scratch carrying the virtual-swap position
+    vectors and the cached per-column maxima (one panel pass per step, like
+    _rrlu_state_fused).
     """
     mp, npd = A_ref.shape
     rmax = mags_ref.shape[0]
@@ -57,16 +99,33 @@ def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
     m_true = scalars_ref[0]
     n_true = scalars_ref[1]
     maxrank = scalars_ref[2]
-    reltol = out_scalars_ref[0]
-    abstol = out_scalars_ref[1]
+    reltol = tol_ref[0]
+    abstol = tol_ref[1]
+    A_ref[:] = A_in_ref[:]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)[:, 0]
     cols = jax.lax.broadcasted_iota(jnp.int32, (npd, 1), 0)[:, 0]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (rmax, 1), 0)[:, 0]
+    BIG = jnp.int32(2**30)
+    ineg = jnp.int32(-1)
+    izero = jnp.int32(0)
 
-    # init permutations
+    ftype = out_scalars_ref.dtype
+    fzero = jnp.asarray(0, ftype)
+    fone = jnp.asarray(1, ftype)
+    fneg1 = jnp.asarray(-1.0, ftype)
+    fneginf = jnp.asarray(-jnp.inf, ftype)
+
+    # init permutations / positions / cached column maxima
     rowperm_ref[:] = rows
     colperm_ref[:] = cols
+    rowpos_ref[:] = rows
+    colpos_ref[:] = cols
     mags_ref[:] = jnp.zeros((rmax,), dtype=mags_ref.dtype)
+    A0 = A_ref[:]
+    colmax_ref[:] = jnp.max(
+        jnp.where((rows < m_true)[:, None], _abs2(A0), fneg1), axis=0
+    )
 
     def cond(state):
         k, maxerror, err, done = state
@@ -75,75 +134,104 @@ def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
     def body(state):
         k, maxerror, err, done = state
         A = A_ref[:]
-        valid = (
-            (rows[:, None] >= k)
-            & (rows[:, None] < m_true)
-            & (cols[None, :] >= k)
-            & (cols[None, :] < n_true)
-        )
-        metric = jnp.where(valid, _abs2(A), -1.0)
-        flat = metric.T.reshape(-1)
-        p = jnp.argmax(flat)
-        pc = (p // mp).astype(jnp.int32)
-        pr = (p % mp).astype(jnp.int32)
-        newerr = jnp.sqrt(jnp.maximum(metric[pr, pc], 0.0))
+        rowperm = rowperm_ref[:]
+        colperm = colperm_ref[:]
+        rowpos = rowpos_ref[:]
+        colpos = colpos_ref[:]
+        colmax = colmax_ref[:]
 
+        # --- pivot column: max cached colmax; ties -> smallest position ----
+        validc = (colpos >= k) & (cols < n_true)
+        cm = jnp.where(validc, colmax, fneg1)
+        M = jnp.max(cm)
+        bestcolpos = jnp.min(jnp.where((cm == M) & validc, colpos, BIG))
+        # pc = colperm[bestcolpos] (one-hot extraction; perm entries >= 0)
+        pc = jnp.max(jnp.where(cols == bestcolpos, colperm, ineg))
+
+        # --- pivot row within column pc: ties -> smallest position ---------
+        Acol = jnp.sum(jnp.where((cols == pc)[None, :], A, fzero), axis=1)
+        validr = (rowpos >= k) & (rows < m_true)
+        met = jnp.where(validr, _abs2(Acol), fneg1)
+        Mr = jnp.max(met)
+        bestrowpos = jnp.min(jnp.where((met == Mr) & validr, rowpos, BIG))
+        pr = jnp.max(jnp.where(rows == bestrowpos, rowperm, ineg))
+        newerr = jnp.sqrt(jnp.maximum(Mr, fzero))
+
+        # no valid line left (true rank < maxrank on an unpadded buffer):
+        # never eliminate on an already-pivoted line
+        exhausted = (M < fzero) | (Mr < fzero)
         stop = ((newerr < reltol * maxerror) | (newerr < abstol)) & (k > 0)
         # exactly-zero pivot => exactly-zero remainder; stop instead of
-        # dividing by zero (matches lu_kernel._rrlu_state_small)
-        stop = stop | ((newerr == 0.0) & (k > 0))
+        # dividing by zero (matches lu_kernel._rrlu_state_fused)
+        stop = stop | exhausted | ((newerr == fzero) & (k > 0))
         do = ~stop
-        pr_eff = jnp.where(do, pr, k)
-        pc_eff = jnp.where(do, pc, k)
 
-        # swap rows k <-> pr_eff (VMEM in-place)
-        rk = A_ref[k, :]
-        rp = A_ref[pr_eff, :]
-        A_ref[pr_eff, :] = rk
-        A_ref[k, :] = rp
-        # permutation swaps as vector selects (dynamic scalar stores into
-        # VMEM vectors don't lower on hardware)
-        rperm = rowperm_ref[:]
-        tk = rperm[k]
-        tp = rperm[pr_eff]
+        # --- virtual swaps (identity when stopping) ------------------------
+        r_at_k = jnp.max(jnp.where(rowpos == k, rows, ineg))
+        c_at_k = jnp.max(jnp.where(colpos == k, cols, ineg))
+        brp = jnp.where(do, bestrowpos, k)
+        bcp = jnp.where(do, bestcolpos, k)
+        pr_eff = jnp.where(do, pr, r_at_k)
+        pc_eff = jnp.where(do, pc, c_at_k)
+        # rowperm: position brp <- r_at_k, then position k <- pr_eff
+        # (k-write wins on a self-swap, matching .at[brp].set().at[k].set())
         rowperm_ref[:] = jnp.where(
-            rows == pr_eff, tk, jnp.where(rows == k, tp, rperm)
+            rows == k, pr_eff, jnp.where(rows == brp, r_at_k, rowperm)
         )
-        # swap cols
-        ck = A_ref[:, k]
-        cp = A_ref[:, pc_eff]
-        A_ref[:, pc_eff] = ck
-        A_ref[:, k] = cp
-        cperm = colperm_ref[:]
-        qk = cperm[k]
-        qp = cperm[pc_eff]
+        rowpos_ref[:] = jnp.where(
+            rows == pr_eff, k, jnp.where(rows == r_at_k, brp, rowpos)
+        )
         colperm_ref[:] = jnp.where(
-            cols == pc_eff, qk, jnp.where(cols == k, qp, cperm)
+            cols == k, pc_eff, jnp.where(cols == bcp, c_at_k, colperm)
         )
+        colpos_ref[:] = jnp.where(
+            cols == pc_eff, k, jnp.where(cols == c_at_k, bcp, colpos)
+        )
+        rowpos = rowpos_ref[:]
+        colpos = colpos_ref[:]
 
-        Akk = A_ref[k, k]
-        safe = jnp.where(do & (Akk != 0), Akk, 1)
+        # --- fused Schur update + multiplier store -------------------------
+        # One-hot extraction via max-with(-inf) rather than sum: a 1-D
+        # reduce-SUM to scalar crashes the Mosaic compiler backend
+        # (tpu_compile_helper exit 1, bisected 2026-08-17); reduce-max
+        # lowers fine and is exact on a one-hot mask.
+        piv = jnp.max(jnp.where(rows == pr_eff, Acol, fneginf))
+        safe = jnp.where(do & (piv != fzero), piv, fone)
+        urow = (rowpos >= k + 1) & (rows < m_true)
+        ucol = (colpos >= k + 1) & (cols < n_true)
+        Arow = jnp.sum(jnp.where((rows == pr_eff)[:, None], A, fzero), axis=0)
+        # All 2-D masks below are built as f32 OUTER PRODUCTS of 1-D masks,
+        # never as (1,N)&(N,1) bool broadcasts: a broadcast-AND of two
+        # dynamically-computed 1-D bool vectors crashes the Mosaic compiler
+        # backend (tpu_compile_helper exit 1, bisected 2026-08-17; the same
+        # shape with constant-foldable masks compiles fine).
         if leftorthogonal:
-            colk = A_ref[:, k]
-            colk = jnp.where((rows > k) & do, colk / safe, colk)
-            A_ref[:, k] = colk
-            x = jnp.where((rows > k) & do, colk, 0)
-            y = jnp.where(cols > k, A_ref[k, :], 0)
+            mult = Acol / safe
+            udo = (urow & do).astype(ftype)
+            x = mult * udo
+            y = Arow * ucol.astype(ftype)
+            Anew = A - x[:, None] * y[None, :]
+            # store multipliers in the pivot column's unpivoted rows
+            ohc = (cols == pc_eff).astype(ftype)
+            sel = udo[:, None] * ohc[None, :]
+            Anew = Anew * (fone - sel) + x[:, None] * ohc[None, :]
+            urowf = udo
         else:
-            rowk = A_ref[k, :]
-            rowk = jnp.where((cols > k) & do, rowk / safe, rowk)
-            A_ref[k, :] = rowk
-            x = jnp.where((rows > k) & do, A_ref[:, k], 0)
-            y = jnp.where(cols > k, rowk, 0)
-        A_ref[:] = A_ref[:] - x[:, None] * y[None, :]
+            divr = Arow / safe
+            udo = (ucol & do).astype(ftype)
+            y = divr * udo
+            x = Acol * urow.astype(ftype)
+            Anew = A - x[:, None] * y[None, :]
+            ohr = (rows == pr_eff).astype(ftype)
+            sel = ohr[:, None] * udo[None, :]
+            Anew = Anew * (fone - sel) + ohr[:, None] * y[None, :]
+            urowf = urow.astype(ftype)
+        A_ref[:] = Anew
+        # masked column maxima, arithmetically (fill = -1 where row retired)
+        um = urowf[:, None]
+        colmax_ref[:] = jnp.max(_abs2(Anew) * um - (fone - um), axis=0)
 
-        magvec = mags_ref[:]
-        mags_ref[:] = jnp.where(
-            (jax.lax.broadcasted_iota(jnp.int32, (rmax, 1), 0)[:, 0] == k)
-            & do,
-            newerr,
-            magvec,
-        )
+        mags_ref[:] = jnp.where((ridx == k) & do, newerr, mags_ref[:])
         return (
             k + do.astype(jnp.int32),
             jnp.where(do, jnp.maximum(maxerror, newerr), maxerror),
@@ -151,7 +239,6 @@ def _rrlu_kernel(scalars_ref, A_ref, rowperm_ref, colperm_ref, mags_ref,
             stop,
         )
 
-    ftype = out_scalars_ref.dtype
     k, maxerror, err, done = jax.lax.while_loop(
         cond, body,
         (
@@ -193,16 +280,13 @@ def pallas_rrlu_call(A, m_true, n_true, maxrank, reltol, abstol,
         jax.ShapeDtypeStruct((2,), ftype),               # [npivot, err]
     )
 
-    def wrapper(scalars_ref, A_in_ref, tol_in_ref, A_out_ref, rowperm_ref,
-                colperm_ref, mags_ref, outsc_ref):
-        # A_in/A_out and tol_in/outsc are aliased buffers; operate on outs
-        _rrlu_kernel(
-            scalars_ref, A_out_ref, rowperm_ref, colperm_ref, mags_ref,
-            outsc_ref, leftorthogonal=leftorthogonal,
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         )
-
     A_out, rowperm, colperm, mags, out_sc = pl.pallas_call(
-        wrapper,
+        functools.partial(_rrlu_kernel, leftorthogonal=leftorthogonal),
         out_shape=out_shapes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -219,10 +303,20 @@ def pallas_rrlu_call(A, m_true, n_true, maxrank, reltol, abstol,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
-        input_output_aliases={1: 0, 2: 4},
+        scratch_shapes=[
+            pltpu.VMEM((mp,), jnp.int32),    # rowpos
+            pltpu.VMEM((npd,), jnp.int32),   # colpos
+            pltpu.VMEM((npd,), ftype),       # cached per-column maxima
+        ],
         interpret=interpret,
+        **kwargs,
     )(scalars, A, tol_io)
 
+    # The kernel leaves A in the ORIGINAL layout (swap-free elimination);
+    # materialize the swapped-layout LU buffer callers consume with one XLA
+    # gather — gathers don't lower inside Mosaic, and this costs a single
+    # panel pass.
+    A_sw = A_out[rowperm, :][:, colperm]
     k = out_sc[0].astype(jnp.int32)
     err = out_sc[1]
-    return A_out, rowperm, colperm, k, mags, err
+    return A_sw, rowperm, colperm, k, mags, err

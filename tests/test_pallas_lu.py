@@ -32,10 +32,58 @@ def test_pallas_matches_xla(dtype, leftorthogonal, rng):
         o = np.asarray(o)
         if n == "mags":
             r = r[: len(o)]
+        if n == "A":
+            # Contract covers the true extents only (rrlu_raw slices to
+            # [:m_true, :n_true]); the swap-based XLA kernel updates the
+            # padding region while the swap-free Pallas kernel leaves it
+            # untouched.
+            r = r[:12, :14]
+            o = o[:12, :14]
         assert np.allclose(
             r.astype(np.float64), o.astype(np.float64), atol=1e-5,
             equal_nan=True,
         ), n
+
+
+def test_f32_dispatch_gated_off_on_cpu(rng):
+    """On the CPU backend rrlu_raw must take the f64 XLA path for f32 input
+    (the Pallas fast path is TPU-only) and still factorize correctly."""
+    from tci_tpu.ops import lu_kernel
+
+    assert not lu_kernel._pallas_f32_eligible(
+        rng.standard_normal((8, 8)).astype(np.float32)
+    )
+    A = rng.standard_normal((20, 15)).astype(np.float32)
+    LU, rp, cp, k, mags, err = lu_kernel.rrlu_raw(
+        A, maxrank=15, reltol=1e-6, abstol=0.0, leftorthogonal=True
+    )
+    assert k == 15 and LU.shape == (20, 15)
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_rrlu_raw_pallas_f32_matches_xla(rng, monkeypatch):
+    """The f32 Pallas dispatch target (run in interpret mode here) returns
+    the same factorization as the f64 XLA path on an exactly-representable
+    f32 panel."""
+    import functools
+
+    from tci_tpu.ops import lu_kernel, pallas_lu
+
+    monkeypatch.setattr(
+        pallas_lu, "pallas_rrlu_call",
+        functools.partial(pallas_rrlu_call, interpret=True),
+    )
+    A = rng.standard_normal((20, 15)).astype(np.float32)
+    pal = lu_kernel._rrlu_raw_pallas_f32(
+        A, maxrank=15, reltol=1e-6, abstol=0.0, leftorthogonal=True
+    )
+    ref = lu_kernel._rrlu_raw_impl(
+        A, maxrank=15, reltol=1e-6, abstol=0.0, leftorthogonal=True
+    )
+    assert pal[3] == ref[3]
+    np.testing.assert_array_equal(pal[1], ref[1])
+    np.testing.assert_array_equal(pal[2], ref[2])
+    np.testing.assert_allclose(pal[0], ref[0], atol=1e-5)
 
 
 @pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
