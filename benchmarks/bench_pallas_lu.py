@@ -6,7 +6,10 @@ f32 workloads (serving-side compression of f32 tensor trains). This
 benchmark compiles both kernels on hardware for f32 panels (and the XLA
 kernel for f64 as context) and reports warm walls.
 
-Usage: python bench_pallas_lu.py [--n 1024] [--rank 128]
+Usage: python bench_pallas_lu.py [--n 256] [--rank 32]
+
+N defaults to the PALLAS_MAX_EDGE envelope (256): above it Mosaic register
+allocation fails ("register allocator spill slots", measured at 512).
 """
 
 import json
@@ -18,7 +21,7 @@ import numpy as np
 from _common import finish, setup_cache
 
 
-def main(N: int = 1024, rank: int = 128):
+def main(N: int = 256, rank: int = 32):
     setup_cache()
     import jax
     import jax.numpy as jnp
@@ -85,10 +88,10 @@ if __name__ == "__main__":
     import os
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 1024
+    n = int(sys.argv[sys.argv.index("--n") + 1]) if "--n" in sys.argv else 256
     r = (
         int(sys.argv[sys.argv.index("--rank") + 1])
-        if "--rank" in sys.argv else 128
+        if "--rank" in sys.argv else 32
     )
     main(n, r)
     finish()

@@ -391,8 +391,19 @@ def rrlu_raw(
     return _rrlu_raw_impl(A, maxrank, reltol, abstol, leftorthogonal)
 
 
+# Largest padded panel edge the Pallas kernel compiles for on hardware.
+# Measured 2026-08-17: 256 compiles in ~13 s and runs at the dispatch floor;
+# 512 fails Mosaic register allocation ("register allocator spill slots"
+# exhaust the scoped allocation — the masked elimination body keeps too many
+# panel-sized vector temporaries live); 1024 ground >23 min before the same.
+PALLAS_MAX_EDGE = 256
+
+
 def _pallas_f32_eligible(A) -> bool:
     if np.asarray(A).dtype != np.float32:
+        return False
+    m, n = A.shape
+    if bucket(m) > PALLAS_MAX_EDGE or bucket(n) > PALLAS_MAX_EDGE:
         return False
     try:
         from .pallas_lu import HAVE_PALLAS

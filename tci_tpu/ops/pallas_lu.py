@@ -43,11 +43,17 @@ failure first):
 
 Status: TPU Mosaic has no f64 vector support, so on hardware this kernel is
 an f32-only fast path (hardware-validated 2026-08-17: bit-exact vs the
-interpret path and the XLA kernels at N in {8..128}, stable across repeated
-executions). TCI's tolerance semantics need f64, so the f64 sweep machinery
-never dispatches here; `rrlu_raw` dispatches EXPLICITLY-f32 panels here when
-the compute backend is a TPU (see lu_kernel.rrlu_raw), and `pallas_rrlu_call`
-is the direct entry point (same contract as lu_kernel._rrlu_while).
+interpret path and the XLA kernels at N in {8..256}, stable across repeated
+executions; warm wall at N=256 is the ~29 ms tunnel dispatch floor, equal to
+the XLA kernels there). Above a padded edge of 256 the Mosaic register
+allocator runs out of spill slots in the scoped allocation
+("register allocator spill slots", measured at 512) — the mask-based
+elimination body keeps too many panel-sized vector temporaries live — so
+`rrlu_raw` only dispatches EXPLICITLY-f32 panels up to
+`lu_kernel.PALLAS_MAX_EDGE` here (TPU backends only); everything else takes
+the XLA path. `pallas_rrlu_call` is the direct entry point (same contract
+as lu_kernel._rrlu_while). A grid-tiled body would lift the edge limit;
+not needed while TCI panels at these sizes are dispatch-bound anyway.
 """
 
 from __future__ import annotations

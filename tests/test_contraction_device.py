@@ -270,3 +270,25 @@ def test_device_naive_complex_pair_matches_exact(rng):
     devm = contract(A, B, algorithm="naive", tolerance=1e-12, maxbonddim=5,
                     jax_native=True)
     assert max(devm.linkdims()) <= 5
+
+
+def test_device_naive_rank_deficient_no_nan(rng):
+    """Exactly rank-deficient Kronecker merges (duplicated bond channels)
+    previously hit a zero pivot in the reltol=abstol=0 exact pass and
+    returned all-NaN (round-2 advisor finding)."""
+    A = _rand_mpo(rng, 4, 2, 3, 3)
+    # duplicate a bond channel so intermediate merges are exactly singular
+    site = np.asarray(A.sitetensors()[1])
+    site[..., 1] = site[..., 0]
+    core = [np.asarray(t) for t in A.sitetensors()]
+    core[1] = site
+    nxt = np.asarray(core[2])
+    nxt[1, ...] = nxt[0, ...]
+    core[2] = nxt
+    A = TensorTrain(core)
+    B = _rand_mpo(rng, 4, 3, 3, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = contract(A, B, algorithm="naive", jax_native=True)
+    out = fulltensor(dev)
+    assert np.all(np.isfinite(out))
+    assert np.allclose(out, exact, atol=1e-8 * max(1.0, np.abs(exact).max()))

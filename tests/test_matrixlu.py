@@ -222,3 +222,44 @@ class TestRRLU:
         A = rng.random((6, 6)) + 1j * rng.random((6, 6))
         lu = tci.rrlu(A)
         assert np.allclose(lu.left() @ lu.right(), A)
+
+
+class TestEliminationEdgeCases:
+    """Regression tests for the round-3 elimination-kernel fixes: rank
+    overrun on unpadded power-of-two panels and exactly-zero pivots on
+    reltol=abstol=0 'exact' passes."""
+
+    def test_fused_kernel_stops_at_true_rank_unpadded(self, rng):
+        # bucket(8) == 8: the column buffer has NO padding, so before the
+        # exhaustion fix the fallback pivot re-eliminated an already-
+        # pivoted column and the reported rank overran the true rank.
+        import jax.numpy as jnp
+
+        from tci_tpu.ops.lu_kernel import _rrlu_while
+
+        A = rng.standard_normal((64, 8))
+        out = _rrlu_while(
+            jnp.asarray(A), jnp.int32(64), jnp.int32(8), jnp.int32(32),
+            jnp.float64(0.0), jnp.float64(0.0), leftorthogonal=True,
+        )
+        k = int(out[3])
+        assert k == 8
+        mags = np.asarray(out[4])[:k]
+        assert np.all(np.isfinite(mags)) and np.all(mags > 0)
+
+    def test_exact_pass_zero_pivot_stops(self):
+        # Exactly rank-1 matrix, reltol=abstol=0: the second pivot is
+        # exactly zero; before the fix the kernel divided by zero.
+        import jax.numpy as jnp
+
+        from tci_tpu.ops.lu_kernel import _rrlu_while
+
+        A = np.outer([1.0, 2.0, 3.0, 4.0], [2.0, 1.0, 0.5, 0.25])
+        out = _rrlu_while(
+            jnp.asarray(A), jnp.int32(4), jnp.int32(4), jnp.int32(4),
+            jnp.float64(0.0), jnp.float64(0.0), leftorthogonal=True,
+        )
+        k = int(out[3])
+        LU = np.asarray(out[0])
+        assert k == 1
+        assert np.all(np.isfinite(LU))

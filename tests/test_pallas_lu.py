@@ -45,6 +45,19 @@ def test_pallas_matches_xla(dtype, leftorthogonal, rng):
         ), n
 
 
+def test_f32_dispatch_gated_by_edge(rng, monkeypatch):
+    """Panels above PALLAS_MAX_EDGE never dispatch to the Pallas kernel,
+    even on a TPU backend (Mosaic register allocation fails there)."""
+    from tci_tpu.ops import lu_kernel
+
+    monkeypatch.setattr(lu_kernel.jax, "default_backend", lambda: "tpu")
+    ok = rng.standard_normal((200, 100)).astype(np.float32)
+    too_big = rng.standard_normal((300, 100)).astype(np.float32)
+    if HAVE_PALLAS:
+        assert lu_kernel._pallas_f32_eligible(ok)
+    assert not lu_kernel._pallas_f32_eligible(too_big)
+
+
 def test_f32_dispatch_gated_off_on_cpu(rng):
     """On the CPU backend rrlu_raw must take the f64 XLA path for f32 input
     (the Pallas fast path is TPU-only) and still factorize correctly."""
