@@ -1297,13 +1297,17 @@ class DeviceSweepEngine:
         # (and large fused programs stress the backend); callers fall back
         # to the per-bond fused tier
         self.imax_cap = imax_cap
-        # Whole-sweep programs whose per-bond panel edge Imax*(dmax+1)
-        # exceeds this crash the TPU worker (observed: d=15 L=10 unrolled at
-        # edge 2048 faults; edges 1024 and 1536 run at 0.1 s/sweep steady
-        # state; the PER-BOND fused program at edge 2048 is fine). Above the
-        # guard the engine declines and callers fall back to the per-bond
-        # tier.
-        self.max_panel_edge = 1536
+        # Probed upper bound on the per-bond panel edge Imax*(dmax+1) for
+        # whole-sweep programs. History: a round-2 TPU-worker fault at edge
+        # 2048 (d=15 L=10 unrolled) no longer reproduces after a backend
+        # update — re-probed round 3 (benchmarks/probe_panel_edge.py +
+        # direct _run_sweep): the identical 9-bond program runs clean at
+        # edges 2048/3072/4096 (0.055/0.079/0.117 s warm). 4096 is the
+        # largest probed edge (Imax=256 at d=15; state arrays scale as
+        # L·Imax²·dmax f64 — Imax=512 would approach HBM capacity). Above
+        # the guard the engine declines and callers fall back to the
+        # per-bond tier.
+        self.max_panel_edge = 4096
         # Separate, stricter edge guard for the whole-sweep ROOK program:
         # its nested while/cond slab machinery makes a much larger XLA
         # program than the full-search sweep at the same edge. Probed on

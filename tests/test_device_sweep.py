@@ -231,16 +231,18 @@ def test_long_chain_engine_fill_and_sweep1():
 
 def test_engine_panel_edge_guard():
     """The engine declines (returns False) when Imax*(dmax+1) would exceed
-    max_panel_edge — whole-sweep programs at that size crash the TPU worker;
-    callers then fall back to the per-bond fused tier."""
+    max_panel_edge (the probed program-size bound, 4096 by default in round
+    3); callers then fall back to the per-bond fused tier. Pin a smaller
+    edge here to exercise the guard mechanism itself."""
     from tci_tpu.models.device_sweep import DeviceSweepEngine
     from tci_tpu.models.tensorci2 import TensorCI2
 
     localdims = [15] * 4
     t = TensorCI2.from_function(lambda v: 1.0, localdims, dtype=np.float64)
-    # grow the needed capacity above the edge: 128 * 16 = 2048 > 1024
+    # grow the needed capacity above the pinned edge: 128 * 16 = 2048 > 1024
     t.Iset[1] = [(i % 15,) for i in range(15)] * 9  # 135 entries
     eng = DeviceSweepEngine(_fjax_lorentz, localdims, imax=64)
+    eng.max_panel_edge = 1024
     empty = [[] for _ in range(4)]
     assert eng.sweep2site(t, True, 1e-14, 1e-8, 1000, empty, empty) is False
     assert eng.fillsitetensors(t) is False
