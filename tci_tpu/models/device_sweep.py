@@ -780,6 +780,213 @@ def _make_sweep_rook(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
     return sweep
 
 
+def _make_sweep_rook_scan(fjax: Callable, localdims: Tuple[int, ...],
+                          Imax: int, forward: bool, dtype,
+                          numrookiter: int = 5, shard_rows=None):
+    """Scan-based whole-sweep ROOK program: one traced bond body (slab
+    alternation included) + lax.scan over bonds.
+
+    Same semantics as _make_sweep_rook (slab machinery documented there);
+    compile time is constant in the chain length L instead of linear —
+    the unrolled rook's compile is the binding constraint at scale (d=15
+    L=10: 348 s at panel edge 512, never finished at 1536). Bond-dependent
+    quantities (candidate assembly, panel prefix length, pivot
+    continuation) follow the dynamic-b patterns of _make_sweep_scan:
+    `_kron_is_scan` one-hot writes, `_panel_dyn` rolled suffixes, and
+    full-slot `_match_positions` (rows are zero-padded beyond their
+    prefix/suffix, so comparing all L slots is exact)."""
+    L = len(localdims)
+    dmax = max(localdims)
+    dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+
+    def bond_update(carry, b):
+        (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
+         bonderrs, perrs, maxsample, nevals, reltol, abstol, maxbonddim,
+         base_key) = carry
+
+        d_b = dims_arr[b]
+        d_b1 = dims_arr[b + 1]
+        pos = jnp.arange(L, dtype=jnp.int32)
+        nl = b + 1
+
+        # --- candidate sets (identical to _make_sweep_scan) ----------------
+        kron = _kron_is_scan(Iset[b], b, Imax, dmax, L)
+        ridk = jnp.arange(Imax * dmax)
+        valid_kron = ((ridk // dmax) < Ilen[b]) & ((ridk % dmax) < d_b)
+        Ic_all = jnp.concatenate([kron, extraI[b + 1]], axis=0)
+        validI = jnp.concatenate(
+            [valid_kron, jnp.arange(Imax) < extraIlen[b + 1]]
+        )
+        orderI = jnp.argsort(~validI, stable=True)
+        Ic = Ic_all[orderI]
+        if shard_rows is not None:
+            Ic = shard_rows(Ic)
+        mI = jnp.sum(validI).astype(jnp.int32)
+
+        shifted = jnp.roll(Jset[b + 1], 1, axis=1)
+        kronJ = jnp.broadcast_to(shifted[None, :, :], (dmax, Imax, L))
+        svalsJ = jnp.broadcast_to(
+            jnp.arange(dmax, dtype=jnp.int32)[:, None], (dmax, Imax)
+        )
+        kronJ = jnp.where((pos[None, None, :] == 0), svalsJ[:, :, None],
+                          kronJ)
+        kronJ = kronJ.reshape(dmax * Imax, L)
+        ridj = jnp.arange(dmax * Imax)
+        valid_kronJ = ((ridj % Imax) < Jlen[b + 1]) & ((ridj // Imax) < d_b1)
+        Jc_all = jnp.concatenate([kronJ, extraJ[b]], axis=0)
+        validJ = jnp.concatenate(
+            [valid_kronJ, jnp.arange(Imax) < extraJlen[b]]
+        )
+        orderJ = jnp.argsort(~validJ, stable=True)
+        Jc = Jc_all[orderJ]
+        mJ = jnp.sum(validJ).astype(jnp.int32)
+        Icap = Ic.shape[0]
+        Jcap = Jc.shape[0]
+
+        # --- pivot continuation (full-slot equality match) -----------------
+        posI, foundI = _match_positions(Iset[b + 1], Ilen[b + 1], Ic, mI, L)
+        ordI = jnp.argsort(~foundI, stable=True)
+        I0m = posI[ordI].astype(jnp.int32)
+        nmI = jnp.sum(foundI).astype(jnp.int32)
+
+        posJ, foundJ = _match_positions(Jset[b], Jlen[b], Jc, mJ, L)
+        ordJ = jnp.argsort(~foundJ, stable=True)
+        J0m = posJ[ordJ].astype(jnp.int32)
+        nmJ = jnp.sum(foundJ).astype(jnp.int32)
+
+        key_b = jax.random.fold_in(base_key, b)
+        if forward:
+            J0, J0len = _fill_random(J0m, nmJ, mJ, Jcap, key_b, Imax)
+            I0, I0len = I0m, nmI
+        else:
+            I0, I0len = _fill_random(I0m, nmI, mI, Icap, key_b, Imax)
+            J0, J0len = J0m, nmJ
+
+        maxrank_bond = jnp.minimum(
+            jnp.minimum(maxbonddim, jnp.int32(Imax)),
+            jnp.minimum(mI, mJ),
+        )
+
+        def col_slab(st):
+            """Factorize A[:, J0]: all candidate rows x selected cols."""
+            I0_, I0len_, J0_, J0len_ = st
+            Jsel = Jc[J0_]
+            Pi = _panel_dyn(fjax, Ic, Jsel, nl, mI, J0len_, dtype)
+            mr = jnp.minimum(maxrank_bond, J0len_)
+            _, rp, cp, k, mags, err = _rrlu_state(
+                Pi, mI, J0len_, mr, reltol, abstol,
+                leftorthogonal=forward,
+            )
+            newI = rp[:Imax].astype(jnp.int32)
+            newJ = J0_[cp[:Imax]].astype(jnp.int32)
+            smin = jnp.minimum(mI, J0len_)
+            return (newI, k, newJ, k, k, mags[:Imax], err, smin,
+                    jnp.max(jnp.abs(Pi)),
+                    jnp.float64(Icap * Imax))
+
+        def row_slab(st):
+            """Factorize A[I0, :]: selected rows x all candidate cols."""
+            I0_, I0len_, J0_, J0len_ = st
+            Isel = Ic[I0_]
+            Pi = _panel_dyn(fjax, Isel, Jc, nl, I0len_, mJ, dtype)
+            mr = jnp.minimum(maxrank_bond, I0len_)
+            _, rp, cp, k, mags, err = _rrlu_state(
+                Pi, I0len_, mJ, mr, reltol, abstol,
+                leftorthogonal=forward,
+            )
+            newI = I0_[rp[:Imax]].astype(jnp.int32)
+            newJ = cp[:Imax].astype(jnp.int32)
+            smin = jnp.minimum(I0len_, mJ)
+            return (newI, k, newJ, k, k, mags[:Imax], err, smin,
+                    jnp.max(jnp.abs(Pi)),
+                    jnp.float64(Imax * Jcap))
+
+        def rook_body(st):
+            (I0_, I0len_, J0_, J0len_, k_, mags_, err_, errw_, smin_,
+             it_, done_, ms_, ne_) = st
+            rookiter = it_ + 1
+            colmove = ((rookiter % 2) == 0) == forward
+            out = jax.lax.cond(
+                colmove, row_slab, col_slab,
+                (I0_, I0len_, J0_, J0len_),
+            )
+            (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, smin2, ms2,
+             ne2) = out
+            # residual bookkeeping: see _make_sweep_rook
+            errw2 = jnp.where(k2 < smin2, err2, errw_)
+            idx = jnp.arange(Imax)
+            sameI = (nIlen == I0len_) & jnp.all(
+                (idx >= nIlen) | (nI_ == I0_)
+            )
+            sameJ = (nJlen == J0len_) & jnp.all(
+                (idx >= nJlen) | (nJ_ == J0_)
+            )
+            return (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, errw2,
+                    smin2, it_ + 1, sameI & sameJ,
+                    jnp.maximum(ms_, ms2), ne_ + ne2)
+
+        def rook_cond(st):
+            return (~st[10]) & (st[9] < numrookiter)
+
+        st0 = (
+            I0, I0len, J0, J0len, jnp.int32(0),
+            jnp.zeros((Imax,), dtype=jnp.float64),
+            jnp.float64(jnp.nan), jnp.float64(jnp.nan), jnp.int32(0),
+            jnp.int32(0), False, jnp.float64(0.0), jnp.float64(0.0),
+        )
+        st = jax.lax.while_loop(rook_cond, rook_body, st0)
+        (I0f, _, J0f, _, k, mags, err, errw, smin, _, _, ms, ne) = st
+        err_final = jnp.where(
+            jnp.isnan(errw), jnp.where(k >= smin, 0.0, err), errw
+        )
+
+        # --- write back (identical layout to _make_sweep_scan) -------------
+        selI = Ic[I0f[:Imax], :]
+        keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+        Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+        Ilen = Ilen.at[b + 1].set(k)
+        selJ = Jc[J0f[:Imax], :]
+        Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+        Jlen = Jlen.at[b].set(k)
+
+        bonderrs = bonderrs.at[b].set(err_final)
+        pv = jnp.where(
+            jnp.arange(Imax + 1) < k,
+            jnp.concatenate([mags, jnp.zeros(1)]),
+            0.0,
+        )
+        pv = pv.at[k].set(err_final)
+        perrs = perrs.at[b].set(pv)
+        maxsample = jnp.maximum(maxsample, ms)
+        nevals = nevals + ne
+
+        carry = (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ,
+                 extraJlen, bonderrs, perrs, maxsample, nevals, reltol,
+                 abstol, maxbonddim, base_key)
+        return carry, None
+
+    @jax.jit
+    def sweep(Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
+              reltol, abstol, maxbonddim, seed):
+        bonderrs = jnp.zeros((L - 1,), dtype=jnp.float64)
+        perrs = jnp.zeros((L - 1, Imax + 1), dtype=jnp.float64)
+        base_key = jax.random.PRNGKey(seed)
+        bonds = (
+            jnp.arange(L - 1, dtype=jnp.int32)
+            if forward
+            else jnp.arange(L - 2, -1, -1, dtype=jnp.int32)
+        )
+        carry = (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ,
+                 extraJlen, bonderrs, perrs, jnp.float64(0.0),
+                 jnp.float64(0.0), reltol, abstol, maxbonddim, base_key)
+        carry, _ = jax.lax.scan(bond_update, carry, bonds)
+        (Iset, Ilen, Jset, Jlen, _, _, _, _, bonderrs, perrs, maxsample,
+         nevals, _, _, _, _) = carry
+        return Iset, Ilen, Jset, Jlen, bonderrs, perrs, maxsample, nevals
+
+    return sweep
+
+
 def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                      forward: bool, dtype, pair: bool = False,
                      shard_rows=None):
@@ -1308,26 +1515,47 @@ class DeviceSweepEngine:
         # the guard the engine declines and callers fall back to the
         # per-bond tier.
         self.max_panel_edge = 4096
-        # Separate, stricter edge guard for the whole-sweep ROOK program:
+        # Separate, stricter edge guard for the UNROLLED whole-sweep ROOK
+        # program (short non-uniform chains only — see _rook_uses_scan):
         # its nested while/cond slab machinery makes a much larger XLA
         # program than the full-search sweep at the same edge. Probed on
         # hardware (round 3): edge 176 (d=10 L=8) compiles in ~99 s and
         # runs 0.76 s/optimization; edge 512 (d=15 L=10) compiles in 348 s
         # and runs 1.06 s; edge 1536 never returned from compilation in
-        # 38 min (the full program at the same edge compiles in ~9 min).
-        # Above this guard the engine transparently runs the FULL
+        # 38 min. Above this guard the engine transparently runs the FULL
         # whole-sweep program instead (still one dispatch per sweep; rook
         # is a sampling optimization, not a semantic knob — the reference
-        # itself falls back rook->full, tensorci2.jl:892-906).
+        # itself falls back rook->full, tensorci2.jl:892-906). The
+        # SCAN-based rook body compiles flat in edge (5.6-7.6 s at edges
+        # 512/1536/4096, warm 0.04 s) and is bounded by max_panel_edge
+        # alone.
         self.max_panel_edge_rook = 768
         self._sweeps = {}
         self.nevals = 0
         self._rng = np.random.default_rng()
 
+    def _rook_uses_scan(self) -> bool:
+        """Scan-based rook body for uniform chains and all long chains.
+
+        The unrolled rook's compile time is the binding constraint at
+        scale (d=15 L=10: 348 s at panel edge 512, never finished at edge
+        1536 in 38 min); the scan body compiles in ~6-8 s at edges
+        512-4096 (measured round 3) with identical warm walls. Unrolled
+        remains only for short NON-uniform chains, where its exact
+        per-bond panel shapes avoid dmax padding."""
+        return (
+            len(self.localdims) >= 16
+            or len(set(self.localdims)) == 1
+        )
+
     def _get_sweep_rook(self, forward: bool):
         key = (forward, self.Imax, "rook")
         if key not in self._sweeps:
-            self._sweeps[key] = _make_sweep_rook(
+            maker = (
+                _make_sweep_rook_scan if self._rook_uses_scan()
+                else _make_sweep_rook
+            )
+            self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward,
                 self._jdtype, shard_rows=self._shard_rows,
             )
@@ -1388,13 +1616,13 @@ class DeviceSweepEngine:
         falls back to the per-bond path).
 
         pivotsearch='rook' runs the whole-sweep rook program
-        (_make_sweep_rook): same single dispatch per sweep, slab sampling
-        instead of full panels. Unsupported for pair-valued (complex)
-        integrands and for long chains (the scan-based sweep has no rook
-        body yet) — those return False and fall back."""
+        (_make_sweep_rook / _make_sweep_rook_scan for long chains): same
+        single dispatch per sweep, slab sampling instead of full panels.
+        Unsupported for pair-valued (complex) integrands — those return
+        False and fall back."""
         L = len(self.localdims)
         rook = pivotsearch == "rook"
-        if rook and (self.pair or L >= 16):
+        if rook and self.pair:
             return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
@@ -1406,9 +1634,15 @@ class DeviceSweepEngine:
         target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
-        if rook and target * (max(self.localdims) + 1) > self.max_panel_edge_rook:
-            # rook program too large for this edge: run the full-search
-            # whole-sweep program instead (see max_panel_edge_rook)
+        if (
+            rook
+            and not self._rook_uses_scan()
+            and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
+        ):
+            # The UNROLLED rook program's compile time explodes with edge
+            # (see max_panel_edge_rook): run the full-search whole-sweep
+            # program instead. The scan-based rook body compiles flat in
+            # edge and shares max_panel_edge above.
             rook = False
         self.Imax = target
 

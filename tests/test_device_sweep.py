@@ -317,3 +317,90 @@ def test_whole_sweep_rook_no_global_search():
     assert errs[-1] < 1e-10
     for v in [(0, 0, 0, 0), (1, 2, 3, 4), (4, 3, 2, 1), (2, 0, 4, 1)]:
         assert abs(t.evaluate(v) - fpy(v)) < 1e-8
+
+
+def test_rook_scan_matches_unrolled_exactly():
+    """_make_sweep_rook_scan must reproduce _make_sweep_rook bit-for-bit:
+    the same seed drives the same random slab fills (fold_in(key, b) in
+    both variants), so pivot sets, bond errors and sample counts agree."""
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import (
+        _make_sweep_rook,
+        _make_sweep_rook_scan,
+    )
+
+    localdims = (5,) * 6
+    L = len(localdims)
+    Imax = 8
+
+    def fjax(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        return 1.0 / (1.0 + jnp.sum(v * v))
+
+    rng = np.random.default_rng(3)
+    Iset = np.zeros((L, Imax, L), dtype=np.int32)
+    Jset = np.zeros((L, Imax, L), dtype=np.int32)
+    Ilen = np.zeros((L,), dtype=np.int32)
+    Jlen = np.zeros((L,), dtype=np.int32)
+    for b in range(L):
+        nI = 1 if b == 0 else 3
+        Ilen[b] = nI
+        Iset[b, :nI, :b] = rng.integers(0, 5, (nI, b))
+        nJ = 1 if b == L - 1 else 3
+        Jlen[b] = nJ
+        Jset[b, :nJ, : L - b - 1] = rng.integers(0, 5, (nJ, L - b - 1))
+    eI = np.zeros((L, Imax, L), dtype=np.int32)
+    eJ = np.zeros((L, Imax, L), dtype=np.int32)
+    elen = np.zeros((L,), dtype=np.int32)
+
+    for forward in (True, False):
+        unrolled = _make_sweep_rook(fjax, localdims, Imax, forward,
+                                    jnp.float64)
+        scanned = _make_sweep_rook_scan(fjax, localdims, Imax, forward,
+                                        jnp.float64)
+        args = (
+            jnp.asarray(Iset), jnp.asarray(Ilen),
+            jnp.asarray(Jset), jnp.asarray(Jlen),
+            jnp.asarray(eI), jnp.asarray(elen),
+            jnp.asarray(eJ), jnp.asarray(elen),
+            jnp.float64(1e-10), jnp.float64(0.0), jnp.int32(Imax),
+            jnp.int32(42),
+        )
+        out_u = [np.asarray(x) for x in unrolled(*args)]
+        out_s = [np.asarray(x) for x in scanned(*args)]
+        names = ["Iset", "Ilen", "Jset", "Jlen", "bonderrs", "perrs",
+                 "maxsample", "nevals"]
+        for n, u, s in zip(names, out_u, out_s):
+            np.testing.assert_allclose(s, u, rtol=0, atol=0, err_msg=n)
+
+
+def test_rook_long_chain_uses_scan_and_converges():
+    """L>=16 rook no longer falls back to per-bond: the scan-based rook
+    program runs and converges to the full-search interpolation."""
+    L = 16
+    localdims = [2] * L
+
+    def fjax(idx):
+        import jax.numpy as jnp
+
+        # smooth function of the binary fraction encoded by the chain
+        w = 2.0 ** -jnp.arange(1, L + 1, dtype=jnp.float64)
+        x = jnp.sum(idx.astype(jnp.float64) * w)
+        return jnp.exp(-3.0 * x) * jnp.cos(4.0 * x)
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    t1, r1, e1 = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-10, pivotsearch="rook",
+        rng=np.random.default_rng(5),
+    )
+    assert e1[-1] < 1e-10
+    eng = bf.device_sweep_engine
+    assert eng is not None and eng.nevals > 0
+
+    def fpy(v):
+        x = sum(int(b) * 2.0 ** -(i + 1) for i, b in enumerate(v))
+        return float(np.exp(-3.0 * x) * np.cos(4.0 * x))
+
+    for v in [(0,) * L, (1,) * L, tuple(i % 2 for i in range(L))]:
+        assert abs(t1.evaluate(v) - fpy(v)) < 1e-9
