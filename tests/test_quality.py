@@ -127,3 +127,32 @@ def test_rook_sweep_lowering_static():
             S((L, Imax, L), i32), S((L,), i32),
             S((), f64), S((), f64), S((), i32), S((), jnp.uint32),
         )
+
+
+def test_rook_sweep_scan_lowering_static():
+    """Static lowering of the SCAN-based whole-sweep rook program
+    (_make_sweep_rook_scan): the dynamic-b bond body (candidate assembly,
+    pivot continuation, slab while-loop) must lower for both directions."""
+    import jax
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import _make_sweep_rook_scan
+
+    S = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    f64 = jnp.float64
+    localdims = (3, 3, 3, 3)
+    L = len(localdims)
+    Imax = 8
+    for forward in (True, False):
+        sweep = _make_sweep_rook_scan(
+            lambda idx: 1.0 / (1.0 + jnp.sum(idx.astype(jnp.float64) ** 2)),
+            localdims, Imax, forward, jnp.float64,
+        )
+        sweep.lower(
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((), f64), S((), f64), S((), i32), S((), jnp.uint32),
+        )
