@@ -376,13 +376,15 @@ def rrlu_raw(
     residual_err) restricted to the true extents.
     """
     dev = _host_compute_device()
-    if dev is None and _pallas_f32_eligible(A):
-        # Explicitly-f32 panel + TPU compute backend: the VMEM-resident
-        # Pallas kernel (ops/pallas_lu.py) does the whole elimination out of
-        # VMEM — one HBM read + one write for the panel instead of one
-        # round trip per pivot. Only reachable when HOST_RRLU_BACKEND is
-        # "default" (host->device transfers are cheap, e.g. local PCIe);
-        # f64 panels keep the reference tolerance semantics on the XLA path.
+    if dev is None and _pallas_f32_eligible(A, reltol, abstol):
+        # Explicitly-f32 panel + TPU compute backend + f32-achievable
+        # tolerance: the VMEM-resident Pallas kernel (ops/pallas_lu.py)
+        # does the whole elimination out of VMEM — one HBM read + one
+        # write for the panel instead of one round trip per pivot. Only
+        # reachable when HOST_RRLU_BACKEND is "default" (host->device
+        # transfers are cheap, e.g. local PCIe); f64 panels and
+        # sub-f32-roundoff tolerances keep the reference semantics on the
+        # XLA path.
         return _rrlu_raw_pallas_f32(A, maxrank, reltol, abstol,
                                     leftorthogonal)
     if dev is not None:
@@ -399,18 +401,30 @@ def rrlu_raw(
 PALLAS_MAX_EDGE = 256
 
 
-def _pallas_f32_eligible(A) -> bool:
+# Tolerances below f32 round-off cannot be resolved by an f32 elimination
+# (the Schur updates leave ~1e-7-relative residual pivots), so the Pallas
+# dispatch requires the caller's stop rule to be achievable in f32 —
+# otherwise the f64 XLA path keeps the reference truncation semantics.
+PALLAS_F32_MIN_TOL = 1e-6
+
+
+def _pallas_f32_eligible(A, reltol: float, abstol: float) -> bool:
     if np.asarray(A).dtype != np.float32:
         return False
     m, n = A.shape
     if bucket(m) > PALLAS_MAX_EDGE or bucket(n) > PALLAS_MAX_EDGE:
+        return False
+    if max(float(reltol), float(abstol)) < PALLAS_F32_MIN_TOL:
         return False
     try:
         from .pallas_lu import HAVE_PALLAS
 
         if not HAVE_PALLAS:
             return False
-        return jax.default_backend() not in ("cpu",)
+        # Mosaic is TPU-only: "tpu" locally, "axon" on the tunneled chip.
+        # Any other non-CPU backend (GPU, METAL) must keep the XLA path —
+        # pltpu memory spaces do not lower there.
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover - conservative fallback
         return False
 
@@ -433,12 +447,14 @@ def _rrlu_raw_pallas_f32(A, maxrank, reltol, abstol, leftorthogonal):
         (Aout[:m, :n], rowperm[:m], colperm[:n], k, mags, err)
     )
     k = int(k)
+    # Every rrlu_raw path returns f64 factors/magnitudes; the elimination
+    # itself ran in f32, this only normalizes the container dtype.
     return (
-        np.asarray(Aout),
+        np.asarray(Aout, dtype=np.float64),
         np.asarray(rowperm),
         np.asarray(colperm),
         k,
-        np.asarray(mags[:k]),
+        np.asarray(mags[:k], dtype=np.float64),
         float(err),
     )
 

@@ -114,7 +114,6 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
     ridx = jax.lax.broadcasted_iota(jnp.int32, (rmax, 1), 0)[:, 0]
     BIG = jnp.int32(2**30)
     ineg = jnp.int32(-1)
-    izero = jnp.int32(0)
 
     ftype = out_scalars_ref.dtype
     fzero = jnp.asarray(0, ftype)
@@ -276,10 +275,11 @@ def pallas_rrlu_call(A, m_true, n_true, maxrank, reltol, abstol,
         [m_true.astype(jnp.int32), n_true.astype(jnp.int32),
          maxrank.astype(jnp.int32)]
     )
-    tol_io = jnp.stack([reltol.astype(ftype), abstol.astype(ftype)])
+    tol = jnp.stack([reltol.astype(ftype), abstol.astype(ftype)])
 
     out_shapes = (
-        jax.ShapeDtypeStruct((mp, npd), A.dtype),       # A (aliased in/out)
+        jax.ShapeDtypeStruct((mp, npd), A.dtype),       # A (kernel copies
+        #   A_in into this output itself — NO aliasing; see module docstring)
         jax.ShapeDtypeStruct((mp,), jnp.int32),          # rowperm
         jax.ShapeDtypeStruct((npd,), jnp.int32),         # colperm
         jax.ShapeDtypeStruct((rmax,), ftype),            # mags
@@ -316,7 +316,7 @@ def pallas_rrlu_call(A, m_true, n_true, maxrank, reltol, abstol,
         ],
         interpret=interpret,
         **kwargs,
-    )(scalars, A, tol_io)
+    )(scalars, A, tol)
 
     # The kernel leaves A in the ORIGINAL layout (swap-free elimination);
     # materialize the swapped-layout LU buffer callers consume with one XLA

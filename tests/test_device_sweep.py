@@ -404,3 +404,41 @@ def test_rook_long_chain_uses_scan_and_converges():
 
     for v in [(0,) * L, (1,) * L, tuple(i % 2 for i in range(L))]:
         assert abs(t1.evaluate(v) - fpy(v)) < 1e-9
+
+
+def test_rook_scan_nonuniform_dims_converges():
+    """Non-uniform localdims exercise the scan rook body's dmax padding and
+    validity masks (the only path that differs nontrivially from the
+    uniform case, where scan == unrolled bit-for-bit). L>=16 so the engine
+    picks the scan body; results must match the full-search interpolation
+    pointwise."""
+    L = 16
+    localdims = [3, 2] * (L // 2)
+
+    def fjax(idx):
+        import jax.numpy as jnp
+
+        w = 1.0 / (1.0 + jnp.arange(L, dtype=jnp.float64))
+        x = jnp.sum(idx.astype(jnp.float64) * w)
+        return 1.0 / (1.0 + x * x)
+
+    def fpy(v):
+        w = 1.0 / (1.0 + np.arange(L, dtype=float))
+        x = float(np.sum(np.asarray(v, float) * w))
+        return 1.0 / (1.0 + x * x)
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    t1, r1, e1 = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-10, pivotsearch="rook",
+        rng=np.random.default_rng(11),
+    )
+    assert e1[-1] < 1e-10
+    bf2 = JaxBatchEvaluator(fjax, localdims)
+    t2, _, _ = tci.crossinterpolate2(
+        np.float64, bf2, localdims, tolerance=1e-10, pivotsearch="full",
+        rng=np.random.default_rng(11),
+    )
+    assert t1.rank() == t2.rank()
+    for v in [(0,) * L, tuple((i + 1) % 2 for i in range(L)),
+              tuple(min(i, localdims[i] - 1) % localdims[i] for i in range(L))]:
+        assert abs(t1.evaluate(v) - fpy(v)) < 1e-9

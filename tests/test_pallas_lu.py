@@ -54,8 +54,14 @@ def test_f32_dispatch_gated_by_edge(rng, monkeypatch):
     ok = rng.standard_normal((200, 100)).astype(np.float32)
     too_big = rng.standard_normal((300, 100)).astype(np.float32)
     if HAVE_PALLAS:
-        assert lu_kernel._pallas_f32_eligible(ok)
-    assert not lu_kernel._pallas_f32_eligible(too_big)
+        assert lu_kernel._pallas_f32_eligible(ok, 1e-4, 0.0)
+    assert not lu_kernel._pallas_f32_eligible(too_big, 1e-4, 0.0)
+    # sub-f32-roundoff tolerances must keep the f64 XLA path (the f32
+    # elimination cannot resolve them)
+    assert not lu_kernel._pallas_f32_eligible(ok, 1e-14, 0.0)
+    # non-TPU accelerators must keep the XLA path (Mosaic is TPU-only)
+    monkeypatch.setattr(lu_kernel.jax, "default_backend", lambda: "gpu")
+    assert not lu_kernel._pallas_f32_eligible(ok, 1e-4, 0.0)
 
 
 def test_f32_dispatch_gated_off_on_cpu(rng):
@@ -64,7 +70,7 @@ def test_f32_dispatch_gated_off_on_cpu(rng):
     from tci_tpu.ops import lu_kernel
 
     assert not lu_kernel._pallas_f32_eligible(
-        rng.standard_normal((8, 8)).astype(np.float32)
+        rng.standard_normal((8, 8)).astype(np.float32), 1e-4, 0.0
     )
     A = rng.standard_normal((20, 15)).astype(np.float32)
     LU, rp, cp, k, mags, err = lu_kernel.rrlu_raw(
