@@ -84,6 +84,18 @@ def _abs2(x):
     return x * x
 
 
+# Max rows per tile of the elimination body (see the tiling comment in
+# _rrlu_kernel); module-level so probes/tests can pin a different size.
+ROW_TILE = 256
+
+
+def _pick_row_tile(mp: int) -> int:
+    for t in (ROW_TILE, 128, 64, 32, 16, 8):
+        if t <= ROW_TILE and mp % t == 0:
+            return t
+    return mp
+
+
 def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
                  colperm_ref, mags_ref, out_scalars_ref, rowpos_ref,
                  colpos_ref, colmax_ref, *, leftorthogonal: bool):
@@ -127,10 +139,28 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
     rowpos_ref[:] = rows
     colpos_ref[:] = cols
     mags_ref[:] = jnp.zeros((rmax,), dtype=mags_ref.dtype)
-    A0 = A_ref[:]
-    colmax_ref[:] = jnp.max(
-        jnp.where((rows < m_true)[:, None], _abs2(A0), fneg1), axis=0
-    )
+
+    # Row tiling for every panel-sized expression: the Mosaic register
+    # allocator runs out of spill slots when a fused op chain keeps several
+    # (mp, npd) temporaries live (measured at mp = npd = 512); bounding the
+    # chain to TR-row tiles with a static unrolled loop keeps the live set
+    # ~TR/mp as large. One tile (mp <= 256) reproduces the untiled program.
+    TR = _pick_row_tile(mp)
+    ntiles = mp // TR
+    tiles = [slice(t * TR, (t + 1) * TR) for t in range(ntiles)]
+
+    # init cached per-column maxima (tiled like every panel pass)
+    cmax0 = jnp.full((npd,), fneg1, ftype)
+    for sl in tiles:
+        A0t = A_ref[sl, :]
+        cmax0 = jnp.maximum(
+            cmax0,
+            jnp.max(
+                jnp.where((rows[sl] < m_true)[:, None], _abs2(A0t), fneg1),
+                axis=0,
+            ),
+        )
+    colmax_ref[:] = cmax0
 
     def cond(state):
         k, maxerror, err, done = state
@@ -138,7 +168,6 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
 
     def body(state):
         k, maxerror, err, done = state
-        A = A_ref[:]
         rowperm = rowperm_ref[:]
         colperm = colperm_ref[:]
         rowpos = rowpos_ref[:]
@@ -154,7 +183,13 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
         pc = jnp.max(jnp.where(cols == bestcolpos, colperm, ineg))
 
         # --- pivot row within column pc: ties -> smallest position ---------
-        Acol = jnp.sum(jnp.where((cols == pc)[None, :], A, fzero), axis=1)
+        acol_tiles = [
+            jnp.sum(jnp.where((cols == pc)[None, :], A_ref[sl, :], fzero),
+                    axis=1)
+            for sl in tiles
+        ]
+        Acol = (jnp.concatenate(acol_tiles) if ntiles > 1
+                else acol_tiles[0])
         validr = (rowpos >= k) & (rows < m_true)
         met = jnp.where(validr, _abs2(Acol), fneg1)
         Mr = jnp.max(met)
@@ -204,7 +239,13 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
         safe = jnp.where(do & (piv != fzero), piv, fone)
         urow = (rowpos >= k + 1) & (rows < m_true)
         ucol = (colpos >= k + 1) & (cols < n_true)
-        Arow = jnp.sum(jnp.where((rows == pr_eff)[:, None], A, fzero), axis=0)
+        Arow = jnp.zeros((npd,), ftype)
+        for sl in tiles:
+            Arow = Arow + jnp.sum(
+                jnp.where((rows[sl] == pr_eff)[:, None], A_ref[sl, :],
+                          fzero),
+                axis=0,
+            )
         # All 2-D masks below are built as f32 OUTER PRODUCTS of 1-D masks,
         # never as (1,N)&(N,1) bool broadcasts: a broadcast-AND of two
         # dynamically-computed 1-D bool vectors crashes the Mosaic compiler
@@ -215,26 +256,38 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
             udo = (urow & do).astype(ftype)
             x = mult * udo
             y = Arow * ucol.astype(ftype)
-            Anew = A - x[:, None] * y[None, :]
             # store multipliers in the pivot column's unpivoted rows
             ohc = (cols == pc_eff).astype(ftype)
-            sel = udo[:, None] * ohc[None, :]
-            Anew = Anew * (fone - sel) + x[:, None] * ohc[None, :]
             urowf = udo
         else:
             divr = Arow / safe
             udo = (ucol & do).astype(ftype)
             y = divr * udo
             x = Acol * urow.astype(ftype)
-            Anew = A - x[:, None] * y[None, :]
-            ohr = (rows == pr_eff).astype(ftype)
-            sel = ohr[:, None] * udo[None, :]
-            Anew = Anew * (fone - sel) + ohr[:, None] * y[None, :]
             urowf = urow.astype(ftype)
-        A_ref[:] = Anew
-        # masked column maxima, arithmetically (fill = -1 where row retired)
-        um = urowf[:, None]
-        colmax_ref[:] = jnp.max(_abs2(Anew) * um - (fone - um), axis=0)
+        cmax = jnp.full((npd,), fneg1, ftype)
+        for sl in tiles:
+            At = A_ref[sl, :]
+            xt = x[sl]
+            Anew_t = At - xt[:, None] * y[None, :]
+            if leftorthogonal:
+                sel_t = udo[sl][:, None] * ohc[None, :]
+                Anew_t = (Anew_t * (fone - sel_t)
+                          + xt[:, None] * ohc[None, :])
+            else:
+                ohr_t = (rows[sl] == pr_eff).astype(ftype)
+                sel_t = ohr_t[:, None] * udo[None, :]
+                Anew_t = (Anew_t * (fone - sel_t)
+                          + ohr_t[:, None] * y[None, :])
+            A_ref[sl, :] = Anew_t
+            # masked column maxima, arithmetically (fill = -1 where the
+            # row is retired)
+            um_t = urowf[sl][:, None]
+            cmax = jnp.maximum(
+                cmax,
+                jnp.max(_abs2(Anew_t) * um_t - (fone - um_t), axis=0),
+            )
+        colmax_ref[:] = cmax
 
         mags_ref[:] = jnp.where((ridx == k) & do, newerr, mags_ref[:])
         return (

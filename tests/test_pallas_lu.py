@@ -117,3 +117,29 @@ def test_pallas_truncation(rng):
     )
     k = int(out[3])
     assert k == 3
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+def test_pallas_tiled_rows_match_xla(rng):
+    """Panels above one row tile (mp > 256) run the tiled body (ntiles=2
+    here); results must match the XLA kernel exactly like the untiled
+    path."""
+    A = rng.standard_normal((512, 64)).astype(np.float32)
+    args = (
+        jnp.asarray(A), jnp.int32(500), jnp.int32(60), jnp.int32(24),
+        jnp.float64(1e-6), jnp.float64(0.0),
+    )
+    ref = _rrlu_while(*args, leftorthogonal=True)
+    out = pallas_rrlu_call(*args, leftorthogonal=True, interpret=True)
+    assert int(ref[3]) == int(out[3])
+    np.testing.assert_array_equal(
+        np.asarray(ref[1])[:500], np.asarray(out[1])[:500]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref[2])[:60], np.asarray(out[2])[:60]
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref[0])[:500, :60].astype(np.float64),
+        np.asarray(out[0])[:500, :60].astype(np.float64),
+        atol=1e-4,
+    )
