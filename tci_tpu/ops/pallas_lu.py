@@ -46,14 +46,15 @@ an f32-only fast path (hardware-validated 2026-08-17: bit-exact vs the
 interpret path and the XLA kernels at N in {8..256}, stable across repeated
 executions; warm wall at N=256 is the ~29 ms tunnel dispatch floor, equal to
 the XLA kernels there). Above a padded edge of 256 the Mosaic register
-allocator runs out of spill slots in the scoped allocation
-("register allocator spill slots", measured at 512) — the mask-based
-elimination body keeps too many panel-sized vector temporaries live — so
-`rrlu_raw` only dispatches EXPLICITLY-f32 panels up to
-`lu_kernel.PALLAS_MAX_EDGE` here (TPU backends only); everything else takes
-the XLA path. `pallas_rrlu_call` is the direct entry point (same contract
-as lu_kernel._rrlu_while). A grid-tiled body would lift the edge limit;
-not needed while TCI panels at these sizes are dispatch-bound anyway.
+allocator ran out of spill slots in the scoped allocation
+("register allocator spill slots", measured at 512) with fused full-panel
+op chains; the body is now ROW-TILED (ROW_TILE) to bound the live set, but
+the tiled program is not yet hardware-validated above 256 (the dev tunnel
+went down mid-probe), so `rrlu_raw` only dispatches EXPLICITLY-f32 panels
+up to `lu_kernel.PALLAS_MAX_EDGE` here (TPU backends only); everything
+else takes the XLA path. `pallas_rrlu_call` is the direct entry point
+(same contract as lu_kernel._rrlu_while). TCI panels at these sizes are
+dispatch-bound over the tunnel either way.
 """
 
 from __future__ import annotations
