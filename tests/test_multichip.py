@@ -81,3 +81,30 @@ def test_graft_entry_dryrun_subprocess():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
+def test_rook_on_mesh_matches_single_device():
+    """The scan rook body carries the same mesh sharding constraint on its
+    slab panels (shard_rows on the candidate-row axis): mesh-sharded rook
+    must select identical pivots to the single-device rook run."""
+    import tci_tpu as tci
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+    from tci_tpu.parallel.mesh import default_mesh
+
+    localdims = [3] * 5
+
+    def run(mesh):
+        bf = JaxBatchEvaluator(_lorentz, localdims, mesh=mesh)
+        t, ranks, errors = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-8, maxiter=4,
+            pivotsearch="rook", rng=np.random.default_rng(7),
+        )
+        return t, ranks, errors
+
+    t1, ranks1, errors1 = run(None)
+    t8, ranks8, errors8 = run(default_mesh(8))
+    assert ranks8 == ranks1
+    np.testing.assert_allclose(errors8, errors1, rtol=1e-10, atol=1e-14)
+    pt = (1, 2, 0, 2, 1)
+    assert abs(t8(pt) - t1(pt)) < 1e-12
