@@ -55,14 +55,11 @@ def evaluate_mps(tensors: Sequence[np.ndarray], indexset) -> complex:
     return v[0, 0]
 
 
-def to_quimb_mps(tt: TensorTrain):
-    """Convert to a quimb MatrixProductState (requires quimb installed)."""
-    try:
-        import quimb.tensor as qtn
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError(
-            "quimb is not installed; use to_mps_tensors for raw arrays."
-        ) from e
+def to_quimb_arrays(tt: TensorTrain) -> List[np.ndarray]:
+    """Site arrays in quimb's ``shape="lrp"`` MatrixProductState layout:
+    first site (right, phys), middle sites (left, right, phys), last site
+    (left, phys). This is the entire conversion; `to_quimb_mps` only hands
+    the result to quimb's constructor. Inverse of `from_quimb_mps`."""
     arrays = []
     tensors = to_mps_tensors(tt)
     for i, t in enumerate(tensors):
@@ -72,7 +69,18 @@ def to_quimb_mps(tt: TensorTrain):
             arrays.append(t[:, :, 0])  # (left, phys)
         else:
             arrays.append(t.transpose(0, 2, 1))  # (left, right, phys)
-    return qtn.MatrixProductState(arrays, shape="lrp")
+    return arrays
+
+
+def to_quimb_mps(tt: TensorTrain):
+    """Convert to a quimb MatrixProductState (requires quimb installed)."""
+    try:
+        import quimb.tensor as qtn
+    except ImportError as e:  # pragma: no cover - optional dependency
+        raise ImportError(
+            "quimb is not installed; use to_mps_tensors for raw arrays."
+        ) from e
+    return qtn.MatrixProductState(to_quimb_arrays(tt), shape="lrp")
 
 
 def from_quimb_mps(mps) -> TensorTrain:

@@ -115,7 +115,12 @@ class _FakeQuimbMPS:
 
 
 def test_from_quimb_layout_roundtrip(rng):
-    from tci_tpu.interop.mps import evaluate_mps, from_quimb_mps, to_mps_tensors
+    from tci_tpu.interop.mps import (
+        evaluate_mps,
+        from_quimb_mps,
+        to_mps_tensors,
+        to_quimb_arrays,
+    )
 
     tt = TensorTrain(
         [
@@ -124,15 +129,12 @@ def test_from_quimb_layout_roundtrip(rng):
         ]
     )
     raw = to_mps_tensors(tt)
-    # repackage in quimb's lrp layout (what to_quimb_mps produces)
-    arrays = []
-    for i, t in enumerate(raw):
-        if i == 0:
-            arrays.append(t[0, :, :].transpose(1, 0))
-        elif i == len(raw) - 1:
-            arrays.append(t[:, :, 0])
-        else:
-            arrays.append(t.transpose(0, 2, 1))
+    # the production lrp layout (everything to_quimb_mps does except the
+    # quimb constructor call itself)
+    arrays = to_quimb_arrays(tt)
+    assert arrays[0].shape == (3, 2)
+    assert arrays[1].shape == (3, 4, 2)
+    assert arrays[-1].shape == (3, 2)
     back = from_quimb_mps(_FakeQuimbMPS(arrays))
     for idx in [(0, 0, 0, 0), (1, 1, 1, 1), (0, 1, 0, 1)]:
         assert abs(back.evaluate(idx) - tt.evaluate(idx)) < 1e-12
