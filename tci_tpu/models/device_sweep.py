@@ -1610,7 +1610,8 @@ class DeviceSweepEngine:
                    maxbonddim: int,
                    extraIset: List[List[MultiIndex]],
                    extraJset: List[List[MultiIndex]],
-                   pivotsearch: str = "full") -> bool:
+                   pivotsearch: str = "full",
+                   fill_sites: bool = False) -> bool:
         """Run one full 2-site sweep on device, updating tci in place.
         Returns False when the required capacity exceeds imax_cap (caller
         falls back to the per-bond path).
@@ -1619,8 +1620,14 @@ class DeviceSweepEngine:
         (_make_sweep_rook / _make_sweep_rook_scan for long chains): same
         single dispatch per sweep, slab sampling instead of full panels.
         Unsupported for pair-valued (complex) integrands — those return
-        False and fall back."""
+        False and fall back.
+
+        fill_sites=True additionally computes ALL site tensors inside the
+        same device program (_get_sweep_fused) and stores them on tci —
+        saving the separate fill dispatch; success is recorded on
+        `self.last_sweep_filled`."""
         L = len(self.localdims)
+        self.last_sweep_filled = False
         rook = pivotsearch == "rook"
         if rook and self.pair:
             return False
@@ -1661,14 +1668,20 @@ class DeviceSweepEngine:
         )
         if rook:
             seed = jnp.uint32(self._rng.integers(0, 2**31 - 1))
-            out = self._get_sweep_rook(forward)(*args, seed)
+            fn = (self._get_sweep_fused(forward, True) if fill_sites
+                  else self._get_sweep_rook(forward))
+            out = jax.device_get(fn(*args, seed))
             (Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample,
-             nevals_dev) = jax.device_get(out)
+             nevals_dev) = out[:8]
+            fill_res = out[8:] if fill_sites else None
         else:
-            out = self._get_sweep(forward)(*args)
+            fn = (self._get_sweep_fused(forward, False) if fill_sites
+                  else self._get_sweep(forward))
+            out = jax.device_get(fn(*args))
             Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample = (
-                jax.device_get(out)
+                out[:7]
             )
+            fill_res = out[7:] if fill_sites else None
             nevals_dev = None
         # saturation check: if any bond hit the cap and more rank is allowed,
         # grow and re-run this sweep with larger buffers (until imax_cap,
@@ -1685,7 +1698,7 @@ class DeviceSweepEngine:
             self.Imax = nxt
             return self.sweep2site(
                 tci, forward, reltol, abstol, maxbonddim, extraIset,
-                extraJset, pivotsearch=pivotsearch,
+                extraJset, pivotsearch=pivotsearch, fill_sites=fill_sites,
             )
 
         prefix_lens = list(range(L))
@@ -1704,6 +1717,11 @@ class DeviceSweepEngine:
                 Icap = self.Imax * self.localdims[b] + self.Imax
                 Jcap = self.localdims[b + 1] * self.Imax + self.Imax
                 self.nevals += Icap * Jcap
+        if fill_res is not None:
+            # site tensors computed inside the same program, against the
+            # final Iset/Jset just stored on tci above
+            self._store_sitetensors(tci, fill_res)
+            self.last_sweep_filled = True
         return True
 
     def _get_fill(self):
@@ -1718,6 +1736,51 @@ class DeviceSweepEngine:
                 pair=self.pair,
             )
         return self._sweeps[key]
+
+    def _get_sweep_fused(self, forward: bool, rook: bool):
+        """Sweep + site-tensor fill composed into ONE device program.
+
+        A separate fill dispatch (engine.fillsitetensors) costs one extra
+        program launch plus an Iset/Jset re-upload per optimize iteration —
+        over a tunneled link that is ~15-20% of the warm wall. Composing the
+        two jitted programs inside an outer jit inlines them into a single
+        executable; the fill consumes the sweep's on-device output sets
+        directly, so no index bytes cross the link between the two stages."""
+        key = (forward, self.Imax, "fused_rook" if rook else "fused_full")
+        if key not in self._sweeps:
+            sweep_fn = (
+                self._get_sweep_rook(forward) if rook
+                else self._get_sweep(forward)
+            )
+            fill_fn = self._get_fill()
+
+            @jax.jit
+            def fused(*args):
+                out = sweep_fn(*args)
+                return tuple(out) + tuple(fill_fn(*out[:4]))
+
+            self._sweeps[key] = fused
+        return self._sweeps[key]
+
+    def _store_sitetensors(self, tci, res) -> None:
+        """Write a fill program's output stack into tci._sitetensors
+        (unpadding each site to its true (|I_b|, d_b, |I_{b+1}|) shape)."""
+        L = len(self.localdims)
+        if self.pair:
+            outr, outi, maxsample = res
+            out = np.asarray(outr) + 1j * np.asarray(outi)
+        else:
+            out, maxsample = res
+        tci.maxsamplevalue = max(tci.maxsamplevalue, float(maxsample))
+        for b in range(L):
+            nr_rows = len(tci.Iset[b])
+            d_b = self.localdims[b]
+            ncols = len(tci.Iset[b + 1]) if b < L - 1 else len(tci.Jset[b])
+            T = np.asarray(out[b][:nr_rows, :d_b, :ncols])
+            tci._sitetensors[b] = T
+            self.nevals += self.Imax * d_b * self.Imax
+            if b < L - 1:
+                self.nevals += self.Imax * self.Imax
 
     def _get_sweep1(self, forward: bool):
         key = ("sweep1", forward, self.Imax)
@@ -1754,21 +1817,7 @@ class DeviceSweepEngine:
                 jnp.asarray(Jset), jnp.asarray(Jlen),
             )
         )
-        if self.pair:
-            outr, outi, maxsample = res
-            out = np.asarray(outr) + 1j * np.asarray(outi)
-        else:
-            out, maxsample = res
-        tci.maxsamplevalue = max(tci.maxsamplevalue, float(maxsample))
-        for b in range(L):
-            nr_rows = len(tci.Iset[b])
-            d_b = self.localdims[b]
-            ncols = len(tci.Iset[b + 1]) if b < L - 1 else len(tci.Jset[b])
-            T = np.asarray(out[b][:nr_rows, :d_b, :ncols])
-            tci._sitetensors[b] = T
-            self.nevals += self.Imax * d_b * self.Imax
-            if b < L - 1:
-                self.nevals += self.Imax * self.Imax
+        self._store_sitetensors(tci, res)
         return True
 
     def sweep1site(self, tci, forward: bool, reltol: float, abstol: float,

