@@ -1530,6 +1530,11 @@ class DeviceSweepEngine:
         # 512/1536/4096, warm 0.04 s) and is bounded by max_panel_edge
         # alone.
         self.max_panel_edge_rook = 768
+        # Fuse BOTH sweeps of one optimize iteration (+ the site-tensor
+        # fill) into a single device program (sweep2site_pair). Saves one
+        # dispatch + one index upload per iteration over the tunneled
+        # link; set False to force the per-sweep programs.
+        self.use_sweep_pair = True
         self._sweeps = {}
         self.nevals = 0
         self._rng = np.random.default_rng()
@@ -1761,6 +1766,172 @@ class DeviceSweepEngine:
 
             self._sweeps[key] = fused
         return self._sweeps[key]
+
+    def _get_sweep_pair(self, fwd1: bool, fwd2: bool, rook: bool):
+        """TWO consecutive 2-site sweeps + the site-tensor fill composed
+        into ONE device program (the shape of one optimize iteration:
+        back-and-forth sweeps, then fill).
+
+        The second sweep's non-strict-nesting extra sets are exactly the
+        first sweep's input sets (tensorci2.jl keeps the previous sweep's
+        Iset/Jset as history and feeds it to the next sweep), so the whole
+        pair closes over the program's own inputs — no host round trip
+        between the sweeps. `use_extra2` (0/1 scalar) gates the second
+        sweep's extras for strict nesting. Returns sweep2's full output
+        tuple, then sweep1's (Iset, Ilen, Jset, Jlen, maxsample[, nevals]),
+        then the fill outputs."""
+        key = (fwd1, fwd2, self.Imax, "pair_rook" if rook else "pair_full")
+        if key not in self._sweeps:
+            s1 = (self._get_sweep_rook(fwd1) if rook
+                  else self._get_sweep(fwd1))
+            s2 = (self._get_sweep_rook(fwd2) if rook
+                  else self._get_sweep(fwd2))
+            fill_fn = self._get_fill()
+
+            if rook:
+                @jax.jit
+                def fused(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
+                          reltol, abstol, maxbonddim, use_extra2,
+                          seed1, seed2):
+                    o1 = s1(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
+                            reltol, abstol, maxbonddim, seed1)
+                    I1, Il1, J1, Jl1 = o1[:4]
+                    o2 = s2(I1, Il1, J1, Jl1,
+                            Iset, Ilen * use_extra2, Jset, Jlen * use_extra2,
+                            reltol, abstol, maxbonddim, seed2)
+                    return (tuple(o2) + (I1, Il1, J1, Jl1, o1[6], o1[7])
+                            + tuple(fill_fn(*o2[:4])))
+            else:
+                @jax.jit
+                def fused(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
+                          reltol, abstol, maxbonddim, use_extra2):
+                    o1 = s1(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
+                            reltol, abstol, maxbonddim)
+                    I1, Il1, J1, Jl1 = o1[:4]
+                    o2 = s2(I1, Il1, J1, Jl1,
+                            Iset, Ilen * use_extra2, Jset, Jlen * use_extra2,
+                            reltol, abstol, maxbonddim)
+                    return (tuple(o2) + (I1, Il1, J1, Jl1, o1[6])
+                            + tuple(fill_fn(*o2[:4])))
+
+            self._sweeps[key] = fused
+        return self._sweeps[key]
+
+    def sweep2site_pair(self, tci, fwd1: bool, fwd2: bool, reltol: float,
+                        abstol: float, maxbonddim: int,
+                        extraIset: List[List[MultiIndex]],
+                        extraJset: List[List[MultiIndex]],
+                        pivotsearch: str = "full",
+                        strictlynested: bool = False) -> bool:
+        """One optimize iteration's two sweeps + fill as a single dispatch.
+
+        Updates tci in place exactly like two sweep2site calls with a fill
+        on the second (incl. appending the mid-point pivot sets to
+        tci.Iset_history/Jset_history — the host bookkeeping the second
+        sweep's extra sets would otherwise be read from). Error series kept
+        from the second sweep only, matching the per-iteration
+        flushpivoterror semantics of the caller. Returns False when the
+        capacity/edge guards decline (caller falls back to per-sweep)."""
+        L = len(self.localdims)
+        self.last_sweep_filled = False
+        rook = pivotsearch == "rook"
+        if rook and self.pair:
+            return False
+        needed = max(
+            [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
+            + [len(s) for s in extraIset] + [len(s) for s in extraJset]
+            + [1]
+        )
+        if needed > self.imax_cap:
+            return False
+        target = _imax_target(self.Imax, needed)
+        if target * (max(self.localdims) + 1) > self.max_panel_edge:
+            return False
+        if (
+            rook
+            and not self._rook_uses_scan()
+            and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
+        ):
+            rook = False
+        self.Imax = target
+
+        Iset, Ilen = self._pack(tci.Iset, "left")
+        Jset, Jlen = self._pack(tci.Jset, "left")
+        eI, eIlen = self._pack(extraIset, "left")
+        eJ, eJlen = self._pack(extraJset, "left")
+        args = (
+            jnp.asarray(Iset), jnp.asarray(Ilen),
+            jnp.asarray(Jset), jnp.asarray(Jlen),
+            jnp.asarray(eI), jnp.asarray(eIlen),
+            jnp.asarray(eJ), jnp.asarray(eJlen),
+            jnp.float64(reltol), jnp.float64(abstol),
+            jnp.int32(min(maxbonddim, 2**31 - 1)),
+            jnp.int32(0 if strictlynested else 1),
+        )
+        if rook:
+            # two SEPARATE scalar draws so the RNG stream matches two
+            # sequential sweep2site calls exactly (bit-parity tests)
+            seed1 = jnp.uint32(self._rng.integers(0, 2**31 - 1))
+            seed2 = jnp.uint32(self._rng.integers(0, 2**31 - 1))
+            out = jax.device_get(self._get_sweep_pair(fwd1, fwd2, True)(
+                *args, seed1, seed2
+            ))
+            (Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample,
+             nevals2) = out[:8]
+            I1, Il1, J1, Jl1, ms1, nevals1 = out[8:14]
+            fill_res = out[14:]
+            self.nevals += int(nevals1) + int(nevals2)
+        else:
+            out = jax.device_get(self._get_sweep_pair(fwd1, fwd2, False)(
+                *args
+            ))
+            Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample = (
+                out[:7]
+            )
+            I1, Il1, J1, Jl1, ms1 = out[7:12]
+            fill_res = out[12:]
+            for b in range(L - 1):
+                Icap = self.Imax * self.localdims[b] + self.Imax
+                Jcap = self.localdims[b + 1] * self.Imax + self.Imax
+                self.nevals += 2 * Icap * Jcap
+        maxsample = max(float(maxsample), float(ms1))
+
+        # saturation: if either sweep hit the capacity, grow and redo both
+        if (
+            max(int(np.max(Ilen_b)), int(np.max(Il1))) >= self.Imax
+            and self.Imax < maxbonddim
+        ):
+            nxt = _imax_target(self.Imax, self.Imax + 1)
+            if nxt > self.imax_cap or (
+                nxt * (max(self.localdims) + 1) > self.max_panel_edge
+            ):
+                return False
+            self.Imax = nxt
+            return self.sweep2site_pair(
+                tci, fwd1, fwd2, reltol, abstol, maxbonddim, extraIset,
+                extraJset, pivotsearch=pivotsearch,
+                strictlynested=strictlynested,
+            )
+
+        prefix_lens = list(range(L))
+        suffix_lens = [L - b - 1 for b in range(L)]
+        # history bookkeeping matching two sequential sweep iterations:
+        # first the pair's INPUT sets (tci.Iset is not yet mutated here),
+        # then the mid-point sets (what the second sweep saw as extras)
+        tci.Iset_history.append([list(s) for s in tci.Iset])
+        tci.Jset_history.append([list(s) for s in tci.Jset])
+        tci.Iset_history.append(self._unpack(I1, Il1, prefix_lens))
+        tci.Jset_history.append(self._unpack(J1, Jl1, suffix_lens))
+        tci.Iset = self._unpack(Iset_b, Ilen_b, prefix_lens)
+        tci.Jset = self._unpack(Jset_b, Jlen_b, suffix_lens)
+        tci.maxsamplevalue = max(tci.maxsamplevalue, maxsample)
+        for b in range(L - 1):
+            tci.updateerrors(
+                b, list(perrs[b][: int(Ilen_b[b + 1]) + 1])
+            )
+        self._store_sitetensors(tci, fill_res)
+        self.last_sweep_filled = True
+        return True
 
     def _store_sitetensors(self, tci, res) -> None:
         """Write a fill program's output stack into tci._sitetensors

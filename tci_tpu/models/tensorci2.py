@@ -631,6 +631,33 @@ class TensorCI2(AbstractTensorTrain):
         self.invalidatesitetensors()
         n = len(self)
         engine_filled = False
+        engine = getattr(f, "device_sweep_engine", None)
+        if (
+            niter == 2
+            and engine is not None
+            and getattr(engine, "use_sweep_pair", False)
+            and pivotsearch in ("full", "rook")
+            and fillsitetensors
+        ):
+            # One optimize iteration = two sweeps + fill as a SINGLE device
+            # program (device_sweep.sweep2site_pair): halves the dispatch
+            # count per iteration vs sweep-then-fused-sweep. The pair
+            # handles the history bookkeeping itself; on capacity decline
+            # it returns False and we fall through to the per-sweep loop.
+            extraIset: List[List[MultiIndex]] = [[] for _ in range(n)]
+            extraJset: List[List[MultiIndex]] = [[] for _ in range(n)]
+            if not strictlynested and len(self.Iset_history) > 0:
+                extraIset = self.Iset_history[-1]
+                extraJset = self.Jset_history[-1]
+            self.flushpivoterror()
+            if engine.sweep2site_pair(
+                self,
+                forwardsweep(sweepstrategy, iter1),
+                forwardsweep(sweepstrategy, iter1 + 1),
+                1e-14, abstol, maxbonddim, extraIset, extraJset,
+                pivotsearch=pivotsearch, strictlynested=strictlynested,
+            ):
+                return
         for it in range(iter1, iter1 + niter):
             extraIset: List[List[MultiIndex]] = [[] for _ in range(n)]
             extraJset: List[List[MultiIndex]] = [[] for _ in range(n)]

@@ -487,3 +487,74 @@ def test_optimize_skips_separate_fill_dispatch():
     assert hasattr(engine, "last_sweep_filled")
     for idx in [(0, 1, 2, 3, 0), (3, 3, 3, 3, 3)]:
         assert abs(t1(idx) - _fpy_lorentz(idx)) < 1e-8
+
+
+@pytest.mark.parametrize("strictlynested", [False, True])
+def test_sweep_pair_equals_per_sweep(strictlynested):
+    """The fused two-sweep pair program (one dispatch per optimize
+    iteration) must reproduce the per-sweep engine path exactly: same
+    pivot sets, same history bookkeeping, same error series, same site
+    tensors."""
+    localdims = [4] * 5
+    results = []
+    for use_pair in (True, False):
+        bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+        bf.device_sweep_engine.use_sweep_pair = use_pair
+        t, r, e = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-10,
+            strictlynested=strictlynested,
+        )
+        results.append((t, r, e))
+    (t1, r1, e1), (t2, r2, e2) = results
+    assert t1.Iset == t2.Iset
+    assert t1.Jset == t2.Jset
+    assert t1.Iset_history == t2.Iset_history
+    assert t1.Jset_history == t2.Jset_history
+    assert r1 == r2
+    assert np.allclose(e1, e2)
+    for a, b in zip(t1.sitetensors(), t2.sitetensors()):
+        assert np.allclose(a, b, atol=1e-12)
+
+
+def test_sweep_pair_rook_parity():
+    """Pair program with rook: identical RNG seeding must give identical
+    results to two sequential rook sweeps (the pair draws its two seeds
+    as two scalar draws to match the sequential stream)."""
+    localdims = [4] * 5  # uniform chain -> scan rook body
+    results = []
+    for use_pair in (True, False):
+        bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+        eng = bf.device_sweep_engine
+        eng.use_sweep_pair = use_pair
+        eng._rng = np.random.default_rng(7)
+        t, r, e = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-10, pivotsearch="rook",
+        )
+        results.append((t, r, e))
+    (t1, r1, e1), (t2, r2, e2) = results
+    assert t1.Iset == t2.Iset
+    assert t1.Jset == t2.Jset
+    assert t1.Iset_history == t2.Iset_history
+    assert r1 == r2
+    assert np.allclose(e1, e2)
+    for a, b in zip(t1.sitetensors(), t2.sitetensors()):
+        assert np.allclose(a, b, atol=1e-12)
+
+
+def test_sweep_pair_capacity_growth():
+    """Pair path under forced buffer growth still matches the host path."""
+    from tci_tpu.models.device_sweep import DeviceSweepEngine as DSE
+
+    localdims = [4] * 4
+    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+    bf._device_sweep_engine = DSE(_fjax_lorentz, localdims, imax=2)
+    t1, _, _ = tci.crossinterpolate2(np.float64, bf, localdims,
+                                     tolerance=1e-12)
+    t2, _, _ = tci.crossinterpolate2(np.float64, _fpy_lorentz, localdims,
+                                     tolerance=1e-12)
+    assert t1.linkdims() == t2.linkdims()
+    assert np.allclose(
+        tci.fulltensor(tci.tensortrain(t1)),
+        tci.fulltensor(tci.tensortrain(t2)),
+    )
+    assert bf._device_sweep_engine.Imax > 2
