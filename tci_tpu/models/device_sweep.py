@@ -443,6 +443,92 @@ def _panel_pair(fjax_pair, Ic, Jc, nl, nr, mI, mJ):
     return Pr, Pi_
 
 
+def _tt_search_on_cores(fjax, localdims, Imax, dtype, pair,
+                        cores, coresi, Ilen, Jlen, starts):
+    """Global-pivot candidate search against a just-filled padded core
+    stack, traceable inside a sweep program.
+
+    Evaluates |f - tt| on every single-coordinate variant of each start
+    point — exactly DefaultGlobalPivotFinder's candidate set
+    (globalpivotfinder.jl:217-252) — and returns, per start, the FIRST
+    maximum in (leg, value) iteration order:
+
+      (best_flat (S,) int32, best_err (S,) f64)
+
+    where best_flat = leg * dmax + value. The tt is evaluated directly on
+    the fill program's padded cores (L, Imax, dmax, Imax): rows beyond
+    |Iset[b]| and columns beyond the true right bond hold garbage f
+    samples from padding, so the carried state vector is re-masked to the
+    true right bond length after every site (the zero left components then
+    annihilate garbage rows at the next site). Local-index selection is a
+    one-hot contraction, not a gather (table gathers lower ~27x slower
+    inside whole-sweep TPU programs). pair=True carries the complex tt as
+    (re, im) f64 pairs and uses |.| = hypot, matching numpy complex abs."""
+    L = len(localdims)
+    dmax = max(localdims)
+    dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+    S = starts.shape[0]
+    vgrid = jnp.arange(dmax, dtype=jnp.int32)
+    # cand[s, p, v, q] = starts[s, q] except leg q == p carries value v
+    # (clamped to the leg's local dim; clamped duplicates are masked out of
+    # the argmax below, so they never affect the result)
+    legsel = jnp.eye(L, dtype=bool)[None, :, None, :]
+    vclamped = jnp.minimum(vgrid[None, :], dims_arr[:, None] - 1)
+    cand = jnp.where(
+        legsel, vclamped[None, :, :, None], starts[:, None, None, :]
+    )
+    rows = cand.reshape(S * L * dmax, L).astype(jnp.int32)
+    N = rows.shape[0]
+
+    # right bond length per site: |Iset[b+1]| for b < L-1, |Jset[L-1]| (=1)
+    # for the last site (see _store_sitetensors)
+    lens_r = jnp.concatenate([Ilen[1:], Jlen[-1:]])
+    col = jnp.arange(Imax)
+
+    if pair:
+        pv = _mapped_rows(fjax, rows)
+        fr = pv[..., 0].astype(jnp.float64)
+        fi = pv[..., 1].astype(jnp.float64)
+        vr0 = jnp.zeros((N, Imax), jnp.float64).at[:, 0].set(1.0)
+        vi0 = jnp.zeros((N, Imax), jnp.float64)
+
+        def body(carry, inp):
+            vr, vi = carry
+            cr, ci, x, nr = inp
+            oh = (x[:, None] == vgrid[None, :]).astype(jnp.float64)
+            Mr = jnp.einsum("idj,nd->nij", cr, oh)
+            Mi = jnp.einsum("idj,nd->nij", ci, oh)
+            nvr = (jnp.einsum("ni,nij->nj", vr, Mr)
+                   - jnp.einsum("ni,nij->nj", vi, Mi))
+            nvi = (jnp.einsum("ni,nij->nj", vr, Mi)
+                   + jnp.einsum("ni,nij->nj", vi, Mr))
+            m = col[None, :] < nr
+            return (jnp.where(m, nvr, 0.0), jnp.where(m, nvi, 0.0)), None
+
+        (vr, vi), _ = jax.lax.scan(
+            body, (vr0, vi0), (cores, coresi, rows.T, lens_r)
+        )
+        err = jnp.sqrt((fr - vr[:, 0]) ** 2 + (fi - vi[:, 0]) ** 2)
+    else:
+        fv = _mapped_rows(fjax, rows).astype(dtype)
+        v0 = jnp.zeros((N, Imax), dtype).at[:, 0].set(1.0)
+
+        def body(v, inp):
+            core, x, nr = inp
+            oh = (x[:, None] == vgrid[None, :]).astype(dtype)
+            M = jnp.einsum("idj,nd->nij", core, oh)
+            v = jnp.einsum("ni,nij->nj", v, M)
+            return jnp.where(col[None, :] < nr, v, 0), None
+
+        v, _ = jax.lax.scan(body, v0, (cores, rows.T, lens_r))
+        err = jnp.abs(fv - v[:, 0]).astype(jnp.float64)
+
+    err = err.reshape(S, L, dmax)
+    valid = vgrid[None, None, :] < dims_arr[None, :, None]
+    flat = jnp.where(valid, err, -jnp.inf).reshape(S, L * dmax)
+    return jnp.argmax(flat, axis=1).astype(jnp.int32), jnp.max(flat, axis=1)
+
+
 def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 forward: bool, dtype, pair: bool = False, shard_rows=None):
     """Trace one full 2-site sweep (forward or backward) into a jit program.
@@ -1537,6 +1623,7 @@ class DeviceSweepEngine:
         self.use_sweep_pair = True
         self._sweeps = {}
         self.nevals = 0
+        self.last_search = None
         self._rng = np.random.default_rng()
 
     def _rook_uses_scan(self) -> bool:
@@ -1767,7 +1854,8 @@ class DeviceSweepEngine:
             self._sweeps[key] = fused
         return self._sweeps[key]
 
-    def _get_sweep_pair(self, fwd1: bool, fwd2: bool, rook: bool):
+    def _get_sweep_pair(self, fwd1: bool, fwd2: bool, rook: bool,
+                        nsearch: int = 0):
         """TWO consecutive 2-site sweeps + the site-tensor fill composed
         into ONE device program (the shape of one optimize iteration:
         back-and-forth sweeps, then fill).
@@ -1779,40 +1867,67 @@ class DeviceSweepEngine:
         between the sweeps. `use_extra2` (0/1 scalar) gates the second
         sweep's extras for strict nesting. Returns sweep2's full output
         tuple, then sweep1's (Iset, Ilen, Jset, Jlen, maxsample[, nevals]),
-        then the fill outputs."""
-        key = (fwd1, fwd2, self.Imax, "pair_rook" if rook else "pair_full")
+        then the fill outputs.
+
+        nsearch > 0 additionally folds the DefaultGlobalPivotFinder
+        candidate search into the same program (one `starts` (nsearch, L)
+        trailing argument; appends (best_flat, best_err) to the outputs):
+        the optimize loop's global search then costs no extra dispatch —
+        the full iteration is ONE program launch."""
+        key = (fwd1, fwd2, self.Imax,
+               "pair_rook" if rook else "pair_full", nsearch)
         if key not in self._sweeps:
             s1 = (self._get_sweep_rook(fwd1) if rook
                   else self._get_sweep(fwd1))
             s2 = (self._get_sweep_rook(fwd2) if rook
                   else self._get_sweep(fwd2))
             fill_fn = self._get_fill()
+            fjax, localdims, Imax = self.fjax, self.localdims, self.Imax
+            jdtype, pair_mode = self._jdtype, self.pair
+
+            def search_tail(o2, fill_out):
+                def run(starts):
+                    if pair_mode:
+                        cores, coresi = fill_out[0], fill_out[1]
+                    else:
+                        cores, coresi = fill_out[0], None
+                    return _tt_search_on_cores(
+                        fjax, localdims, Imax, jdtype, pair_mode,
+                        cores, coresi, o2[1], o2[3], starts,
+                    )
+                return run
 
             if rook:
                 @jax.jit
                 def fused(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
                           reltol, abstol, maxbonddim, use_extra2,
-                          seed1, seed2):
+                          seed1, seed2, *starts):
                     o1 = s1(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
                             reltol, abstol, maxbonddim, seed1)
                     I1, Il1, J1, Jl1 = o1[:4]
                     o2 = s2(I1, Il1, J1, Jl1,
                             Iset, Ilen * use_extra2, Jset, Jlen * use_extra2,
                             reltol, abstol, maxbonddim, seed2)
+                    fill_out = tuple(fill_fn(*o2[:4]))
+                    tail = (search_tail(o2, fill_out)(starts[0])
+                            if nsearch else ())
                     return (tuple(o2) + (I1, Il1, J1, Jl1, o1[6], o1[7])
-                            + tuple(fill_fn(*o2[:4])))
+                            + fill_out + tuple(tail))
             else:
                 @jax.jit
                 def fused(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
-                          reltol, abstol, maxbonddim, use_extra2):
+                          reltol, abstol, maxbonddim, use_extra2, *starts):
                     o1 = s1(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
                             reltol, abstol, maxbonddim)
                     I1, Il1, J1, Jl1 = o1[:4]
                     o2 = s2(I1, Il1, J1, Jl1,
                             Iset, Ilen * use_extra2, Jset, Jlen * use_extra2,
                             reltol, abstol, maxbonddim)
+                    fill_out = tuple(fill_fn(*o2[:4]))
+                    tail = (search_tail(o2, fill_out)(starts[0])
+                            if nsearch else ())
                     return (tuple(o2) + (I1, Il1, J1, Jl1, o1[6])
-                            + tuple(fill_fn(*o2[:4])))
+                            + fill_out + tuple(tail))
 
             self._sweeps[key] = fused
         return self._sweeps[key]
@@ -1822,7 +1937,8 @@ class DeviceSweepEngine:
                         extraIset: List[List[MultiIndex]],
                         extraJset: List[List[MultiIndex]],
                         pivotsearch: str = "full",
-                        strictlynested: bool = False) -> bool:
+                        strictlynested: bool = False,
+                        search_starts=None) -> bool:
         """One optimize iteration's two sweeps + fill as a single dispatch.
 
         Updates tci in place exactly like two sweep2site calls with a fill
@@ -1831,9 +1947,17 @@ class DeviceSweepEngine:
         sweep's extra sets would otherwise be read from). Error series kept
         from the second sweep only, matching the per-iteration
         flushpivoterror semantics of the caller. Returns False when the
-        capacity/edge guards decline (caller falls back to per-sweep)."""
+        capacity/edge guards decline (caller falls back to per-sweep).
+
+        search_starts: optional (S, L) int array of global-search start
+        points; the DefaultGlobalPivotFinder candidate search then runs
+        inside the same program against the just-filled site tensors, and
+        (best_flat, best_err) per start lands on `self.last_search` —
+        making the whole optimize iteration (2 sweeps + fill + global
+        search) ONE device dispatch."""
         L = len(self.localdims)
         self.last_sweep_filled = False
+        self.last_search = None
         rook = pivotsearch == "rook"
         if rook and self.pair:
             return False
@@ -1868,32 +1992,44 @@ class DeviceSweepEngine:
             jnp.int32(min(maxbonddim, 2**31 - 1)),
             jnp.int32(0 if strictlynested else 1),
         )
+        nsearch = 0 if search_starts is None else int(len(search_starts))
+        starts_arg = (
+            (jnp.asarray(np.asarray(search_starts, dtype=np.int32)),)
+            if nsearch else ()
+        )
         if rook:
             # two SEPARATE scalar draws so the RNG stream matches two
             # sequential sweep2site calls exactly (bit-parity tests)
             seed1 = jnp.uint32(self._rng.integers(0, 2**31 - 1))
             seed2 = jnp.uint32(self._rng.integers(0, 2**31 - 1))
-            out = jax.device_get(self._get_sweep_pair(fwd1, fwd2, True)(
-                *args, seed1, seed2
-            ))
+            out = jax.device_get(
+                self._get_sweep_pair(fwd1, fwd2, True, nsearch)(
+                    *args, seed1, seed2, *starts_arg
+                )
+            )
             (Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample,
              nevals2) = out[:8]
             I1, Il1, J1, Jl1, ms1, nevals1 = out[8:14]
-            fill_res = out[14:]
+            rest = out[14:]
             self.nevals += int(nevals1) + int(nevals2)
         else:
-            out = jax.device_get(self._get_sweep_pair(fwd1, fwd2, False)(
-                *args
-            ))
+            out = jax.device_get(
+                self._get_sweep_pair(fwd1, fwd2, False, nsearch)(
+                    *args, *starts_arg
+                )
+            )
             Iset_b, Ilen_b, Jset_b, Jlen_b, bonderrs, perrs, maxsample = (
                 out[:7]
             )
             I1, Il1, J1, Jl1, ms1 = out[7:12]
-            fill_res = out[12:]
+            rest = out[12:]
             for b in range(L - 1):
                 Icap = self.Imax * self.localdims[b] + self.Imax
                 Jcap = self.localdims[b + 1] * self.Imax + self.Imax
                 self.nevals += 2 * Icap * Jcap
+        n_fill = 3 if self.pair else 2
+        fill_res = rest[:n_fill]
+        search_res = rest[n_fill:]
         maxsample = max(float(maxsample), float(ms1))
 
         # saturation: if either sweep hit the capacity, grow and redo both
@@ -1910,7 +2046,7 @@ class DeviceSweepEngine:
             return self.sweep2site_pair(
                 tci, fwd1, fwd2, reltol, abstol, maxbonddim, extraIset,
                 extraJset, pivotsearch=pivotsearch,
-                strictlynested=strictlynested,
+                strictlynested=strictlynested, search_starts=search_starts,
             )
 
         prefix_lens = list(range(L))
@@ -1931,6 +2067,12 @@ class DeviceSweepEngine:
             )
         self._store_sitetensors(tci, fill_res)
         self.last_sweep_filled = True
+        if nsearch:
+            self.last_search = (
+                np.asarray(search_res[0]), np.asarray(search_res[1])
+            )
+            # actual device f evaluations of the in-program search
+            self.nevals += nsearch * L * max(self.localdims)
         return True
 
     def _store_sitetensors(self, tci, res) -> None:

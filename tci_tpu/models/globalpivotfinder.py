@@ -73,6 +73,43 @@ class DefaultGlobalPivotFinder(AbstractGlobalPivotFinder):
         self.maxnglobalpivot = maxnglobalpivot
         self.tolmarginglobalsearch = tolmarginglobalsearch
 
+    def draw_starts(
+        self, localdims: Sequence[int], rng: np.random.Generator
+    ) -> List[MultiIndex]:
+        """The finder's random start points, exposed so a device engine can
+        draw them host-side (same rng stream) and run the candidate search
+        inside its sweep program (device_sweep._tt_search_on_cores)."""
+        L = len(localdims)
+        return [
+            tuple(int(rng.integers(0, localdims[p])) for p in range(L))
+            for _ in range(self.nsearch)
+        ]
+
+    def select_device_result(
+        self,
+        starts: Sequence[MultiIndex],
+        best_flat: np.ndarray,
+        best_err: np.ndarray,
+        dmax: int,
+        abstol: float,
+        verbosity: int = 0,
+    ) -> List[MultiIndex]:
+        """Turn the device search output (per-start first-max flat index
+        leg*dmax+value and its error) into the found-pivot list, applying
+        the same threshold/cap as __call__."""
+        found: List[MultiIndex] = []
+        for s, point in enumerate(starts):
+            if float(best_err[s]) > abstol * self.tolmarginglobalsearch:
+                p, v = divmod(int(best_flat[s]), dmax)
+                best_point = list(point)
+                best_point[p] = v
+                found.append(tuple(best_point))
+        if len(found) > self.maxnglobalpivot:
+            found = found[: self.maxnglobalpivot]
+        if verbosity > 0:
+            print(f"Found {len(found)} global pivots")
+        return found
+
     def __call__(
         self,
         input: GlobalPivotSearchInput,
@@ -80,6 +117,7 @@ class DefaultGlobalPivotFinder(AbstractGlobalPivotFinder):
         abstol: float,
         verbosity: int = 0,
         rng: Optional[np.random.Generator] = None,
+        initial_points: Optional[Sequence[MultiIndex]] = None,
     ) -> List[MultiIndex]:
         from ..parallel.batcheval import evaluate_rows
 
@@ -89,10 +127,8 @@ class DefaultGlobalPivotFinder(AbstractGlobalPivotFinder):
         localdims = input.localdims
         tt = input.current_tt
 
-        initial_points = [
-            tuple(int(rng.integers(0, localdims[p])) for p in range(L))
-            for _ in range(self.nsearch)
-        ]
+        if initial_points is None:
+            initial_points = self.draw_starts(localdims, rng)
         if not initial_points:
             return []
 

@@ -627,10 +627,12 @@ class TensorCI2(AbstractTensorTrain):
         verbosity: int = 0,
         strictlynested: bool = False,
         fillsitetensors: bool = True,
+        _search_starts=None,
     ) -> None:
         self.invalidatesitetensors()
         n = len(self)
         engine_filled = False
+        self._pair_search = None
         engine = getattr(f, "device_sweep_engine", None)
         if (
             niter == 2
@@ -644,6 +646,8 @@ class TensorCI2(AbstractTensorTrain):
             # count per iteration vs sweep-then-fused-sweep. The pair
             # handles the history bookkeeping itself; on capacity decline
             # it returns False and we fall through to the per-sweep loop.
+            # _search_starts (from optimize) additionally folds the global
+            # pivot candidate search into the same program.
             extraIset: List[List[MultiIndex]] = [[] for _ in range(n)]
             extraJset: List[List[MultiIndex]] = [[] for _ in range(n)]
             if not strictlynested and len(self.Iset_history) > 0:
@@ -656,7 +660,9 @@ class TensorCI2(AbstractTensorTrain):
                 forwardsweep(sweepstrategy, iter1 + 1),
                 1e-14, abstol, maxbonddim, extraIset, extraJset,
                 pivotsearch=pivotsearch, strictlynested=strictlynested,
+                search_starts=_search_starts,
             ):
+                self._pair_search = getattr(engine, "last_search", None)
                 return
         for it in range(iter1, iter1 + niter):
             extraIset: List[List[MultiIndex]] = [[] for _ in range(n)]
@@ -795,6 +801,24 @@ class TensorCI2(AbstractTensorTrain):
             "nglobalpivots": [],
         }
 
+        # Fused global search: when the sweep runs as the single pair
+        # program and the finder is the stock DefaultGlobalPivotFinder, the
+        # candidate search evaluates inside the SAME device program against
+        # the just-filled site tensors — the whole optimize iteration is
+        # then one dispatch. Start points are drawn host-side in the same
+        # rng order the finder itself would use, so trajectories match the
+        # unfused path; if the engine declines the pair, the finder runs
+        # host-side with those exact points (identical rng stream).
+        _fused_search_ok = (
+            type(finder) is DefaultGlobalPivotFinder
+            and finder.nsearch > 0
+            and pivotsearch in ("full", "rook")
+            and getattr(
+                getattr(f, "device_sweep_engine", None),
+                "use_sweep_pair", False,
+            )
+        )
+
         globalpivots: List[MultiIndex] = []
         for it in range(1, maxiter + 1):
             titer = time.time()
@@ -806,12 +830,17 @@ class TensorCI2(AbstractTensorTrain):
                     f"  Walltime {time.time() - tstart:.3f} sec: "
                     "starting 2site sweep"
                 )
+            starts = (
+                finder.draw_starts(self.localdims, rng)
+                if _fused_search_ok else None
+            )
             tsweep = time.time()
             self.sweep2site(
                 f, 2, iter1=1,
                 abstol=abstol, maxbonddim=maxbonddim, pivotsearch=pivotsearch,
                 strictlynested=strictlynested, verbosity=verbosity,
                 sweepstrategy=sweepstrategy, fillsitetensors=True,
+                _search_starts=starts,
             )
             self.stats["sweep_walltime"].append(time.time() - tsweep)
             if verbosity > 0 and len(globalpivots) > 0 and it % loginterval == 0:
@@ -836,8 +865,22 @@ class TensorCI2(AbstractTensorTrain):
                     "start searching global pivots"
                 )
             tsearch = time.time()
-            input_ = GlobalPivotSearchInput.from_tci(self)
-            globalpivots = finder(input_, f, abstol, verbosity=verbosity, rng=rng)
+            pair_search = getattr(self, "_pair_search", None)
+            if starts is not None and pair_search is not None:
+                # search already ran inside the sweep-pair device program
+                best_flat, best_err = pair_search
+                globalpivots = finder.select_device_result(
+                    starts, best_flat, best_err, max(self.localdims),
+                    abstol, verbosity=verbosity,
+                )
+            else:
+                input_ = GlobalPivotSearchInput.from_tci(self)
+                globalpivots = finder(
+                    input_, f, abstol, verbosity=verbosity, rng=rng,
+                    initial_points=starts,
+                ) if starts is not None else finder(
+                    input_, f, abstol, verbosity=verbosity, rng=rng
+                )
             self.addglobalpivots(globalpivots)
             nglobalpivots.append(len(globalpivots))
             self.stats["globalsearch_walltime"].append(time.time() - tsearch)

@@ -558,3 +558,109 @@ def test_sweep_pair_capacity_growth():
         tci.fulltensor(tci.tensortrain(t2)),
     )
     assert bf._device_sweep_engine.Imax > 2
+
+
+def test_fused_search_matches_host_finder():
+    """The in-program global-pivot candidate search (search_starts on the
+    sweep-pair program) must select the same pivots as the host
+    DefaultGlobalPivotFinder run from the same start points against the
+    same (post-pair) tensor train."""
+    from tci_tpu.models.globalpivotfinder import (
+        DefaultGlobalPivotFinder,
+        GlobalPivotSearchInput,
+    )
+
+    localdims = [4, 3, 5, 4]  # non-uniform: exercises clamp + mask
+    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+    t, _, _ = tci.crossinterpolate2(np.float64, bf, localdims,
+                                    tolerance=1e-8)
+    engine = bf.device_sweep_engine
+    rng = np.random.default_rng(11)
+    finder = DefaultGlobalPivotFinder(nsearch=6, maxnglobalpivot=6)
+    starts = finder.draw_starts(localdims, rng)
+    n = len(localdims)
+    ok = engine.sweep2site_pair(
+        t, True, False, 1e-14, 1e-8, 2**31 - 1,
+        [[] for _ in range(n)], [[] for _ in range(n)],
+        search_starts=np.asarray(starts, dtype=np.int32),
+    )
+    assert ok and engine.last_search is not None
+    best_flat, best_err = engine.last_search
+
+    # tiny abstol: every start's best point passes the threshold, so the
+    # comparison covers the full per-start argmax, not just the filter
+    abstol = 1e-16
+    dev = finder.select_device_result(
+        starts, best_flat, best_err, max(localdims), abstol
+    )
+    host = finder(
+        GlobalPivotSearchInput.from_tci(t), bf, abstol,
+        initial_points=starts,
+    )
+    assert dev == host
+
+
+def test_fused_search_complex_pair():
+    """Same in-program search parity for a complex integrand carried as
+    (re, im) pairs."""
+    from tci_tpu.models.globalpivotfinder import (
+        DefaultGlobalPivotFinder,
+        GlobalPivotSearchInput,
+    )
+
+    import jax.numpy as jnp
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        s = jnp.sum(v)
+        den = 1.0 + jnp.sum(v * v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    localdims = [3] * 4
+    bg = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                           pair_output=True)
+    t, _, _ = tci.crossinterpolate2(np.complex128, bg, localdims,
+                                    tolerance=1e-8)
+    engine = bg.device_sweep_engine
+    assert engine.pair
+    finder = DefaultGlobalPivotFinder(nsearch=5, maxnglobalpivot=5)
+    starts = finder.draw_starts(localdims, np.random.default_rng(4))
+    n = len(localdims)
+    ok = engine.sweep2site_pair(
+        t, True, False, 1e-14, 1e-8, 2**31 - 1,
+        [[] for _ in range(n)], [[] for _ in range(n)],
+        search_starts=np.asarray(starts, dtype=np.int32),
+    )
+    assert ok and engine.last_search is not None
+    best_flat, best_err = engine.last_search
+    abstol = 1e-16
+    dev = finder.select_device_result(
+        starts, best_flat, best_err, max(localdims), abstol
+    )
+    host = finder(
+        GlobalPivotSearchInput.from_tci(t), bg, abstol,
+        initial_points=starts,
+    )
+    assert dev == host
+
+
+def test_optimize_fused_search_end_to_end():
+    """optimize() with the fused in-program search must follow the same
+    trajectory as the unfused path (pair disabled -> host finder), given
+    the same rng seed: the start points come from the same stream and the
+    candidate argmax agrees."""
+    localdims = [4] * 5
+    results = []
+    for use_pair in (True, False):
+        bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+        bf.device_sweep_engine.use_sweep_pair = use_pair
+        t, r, e = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-10,
+            rng=np.random.default_rng(21),
+        )
+        results.append((t, r, e))
+    (t1, r1, e1), (t2, r2, e2) = results
+    assert t1.Iset == t2.Iset
+    assert t1.Jset == t2.Jset
+    assert r1 == r2
+    assert np.allclose(e1, e2)
