@@ -664,3 +664,43 @@ def test_optimize_fused_search_end_to_end():
     assert t1.Jset == t2.Jset
     assert r1 == r2
     assert np.allclose(e1, e2)
+
+
+def test_optimize_is_one_dispatch_per_iteration(monkeypatch):
+    """With the pair program + fused global search, the optimize loop's
+    only per-iteration device work is ONE sweep2site_pair call; the finder
+    must not trigger any separate batched-evaluation dispatch."""
+    from tci_tpu.models.device_sweep import DeviceSweepEngine
+
+    localdims = [4] * 5
+    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+
+    pair_calls = {"n": 0}
+    orig_pair = DeviceSweepEngine.sweep2site_pair
+
+    def counting_pair(self, *a, **k):
+        # count only top-level calls (capacity-growth recursion re-enters)
+        pair_calls["n"] += 1
+        return orig_pair(self, *a, **k)
+
+    eval_calls = {"n": 0}
+    orig_many = type(bf).evaluate_many
+
+    def counting_many(self, rows):
+        eval_calls["n"] += 1
+        return orig_many(self, rows)
+
+    monkeypatch.setattr(DeviceSweepEngine, "sweep2site_pair", counting_pair)
+    monkeypatch.setattr(type(bf), "evaluate_many", counting_many)
+
+    t, ranks, errors = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-10
+    )
+    assert errors[-1] < 1e-10
+    niter = len(ranks)
+    # every iteration ran the single-dispatch pair path (recursive growth
+    # re-entries also count, so >= niter; no iteration fell back)
+    assert pair_calls["n"] >= niter
+    # the global search ran inside the pair program: no evaluate_many
+    # dispatches beyond the initial-pivot evaluation of from_function
+    assert eval_calls["n"] <= 2, eval_calls["n"]
