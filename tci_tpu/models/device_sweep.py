@@ -1621,6 +1621,15 @@ class DeviceSweepEngine:
         # dispatch + one index upload per iteration over the tunneled
         # link; set False to force the per-sweep programs.
         self.use_sweep_pair = True
+        # Run up to loop_kmax PIVOT-FREE optimize iterations inside ONE
+        # lax.while_loop device program (optimize_loop): sweeps, fills,
+        # global-pivot candidate search and the convergence criterion all
+        # evaluate on device; control returns to the host only when a
+        # global pivot fires, the rank saturates the buffer, convergence
+        # is reached, or the budget runs out. A full crossinterpolate2
+        # then costs O(1) dispatches instead of O(iterations).
+        self.use_optimize_loop = True
+        self.loop_kmax = 32
         self._sweeps = {}
         self.nevals = 0
         self.last_search = None
@@ -2074,6 +2083,270 @@ class DeviceSweepEngine:
             # actual device f evaluations of the in-program search
             self.nevals += nsearch * L * max(self.localdims)
         return True
+
+    def _get_optimize_loop(self, fwd1: bool, fwd2: bool, nsearch: int,
+                           nch: int):
+        """Up to loop_kmax optimize iterations as ONE lax.while_loop
+        program.
+
+        Each loop step is the sweep-pair body (sweep fwd1, sweep fwd2 with
+        the first sweep's inputs as non-strict extras, site-tensor fill,
+        global-search candidates vs the filled cores) plus the reference's
+        convergence bookkeeping (tensorci2.jl:947-966: error/rank windows
+        over the last `nch` iterations, the global-pivot column handled by
+        the precomputed ngp_ok vector since in-loop iterations contribute
+        zeros). The loop exits with a code: 0 converged, 1 a start point's
+        best candidate exceeded abstol*tolmargin (host inserts the global
+        pivots), 2 a sweep saturated the Imax capacity (that iteration's
+        state is DISCARDED — every carried field keeps its pre-iteration
+        value — and the host re-runs it with a grown buffer), 3 budget
+        exhausted. Per-iteration errors/ranks and the two pivot-set history
+        snapshots (input + mid) are stacked into fixed (loop_kmax, ...)
+        buffers so the host can replay the exact bookkeeping of the
+        per-iteration path."""
+        Kmax = self.loop_kmax
+        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch)
+        if key not in self._sweeps:
+            s1 = self._get_sweep(fwd1)
+            s2 = self._get_sweep(fwd2)
+            fill_fn = self._get_fill()
+            fjax, localdims, Imax = self.fjax, self.localdims, self.Imax
+            jdtype, pair_mode = self._jdtype, self.pair
+            L = len(localdims)
+            dmax = max(localdims)
+            S = max(nsearch, 1)
+            cdtype = jnp.float64 if pair_mode else jdtype
+
+            @jax.jit
+            def loop(Iset, Ilen, Jset, Jlen, eI, eIl, eJ, eJl,
+                     reltol, tol, use_norm, maxbonddim, use_extra2,
+                     starts_block, tolmargin, maxsample0,
+                     win_err0, win_rank0, ngp_ok_vec, count0, check_ngp,
+                     k_budget):
+                def cond(c):
+                    return (~c["done"]) & (c["k"] < k_budget)
+
+                def body(c):
+                    norm = jnp.where(use_norm > 0, c["ms"], 1.0)
+                    abstol = tol * norm
+                    o1 = s1(c["I"], c["Il"], c["J"], c["Jl"],
+                            c["eI"], c["eIl"] * use_extra2,
+                            c["eJ"], c["eJl"] * use_extra2,
+                            reltol, abstol, maxbonddim)
+                    I1, Il1, J1, Jl1 = o1[:4]
+                    o2 = s2(I1, Il1, J1, Jl1,
+                            c["I"], c["Il"] * use_extra2,
+                            c["J"], c["Jl"] * use_extra2,
+                            reltol, abstol, maxbonddim)
+                    I2, Il2, J2, Jl2, _bonderrs2, perrs2, ms2 = o2
+                    fill_out = fill_fn(I2, Il2, J2, Jl2)
+                    if pair_mode:
+                        cores_n, coresi_n, fms = fill_out
+                    else:
+                        cores_n, fms = fill_out
+                        coresi_n = c["coresi"]
+                    ms_new = jnp.maximum(jnp.maximum(c["ms"], o1[6]),
+                                         jnp.maximum(ms2, fms))
+                    err_k = jnp.max(_bonderrs2)
+                    rank_k = jnp.max(Il2[1:]).astype(jnp.int32)
+
+                    sat = (
+                        jnp.maximum(jnp.max(Il2), jnp.max(Il1))
+                        >= jnp.int32(Imax)
+                    ) & (jnp.int32(Imax) < maxbonddim)
+
+                    if nsearch:
+                        starts_k = jax.lax.dynamic_index_in_dim(
+                            starts_block, c["k"], 0, keepdims=False
+                        )
+                        bflat, berr = _tt_search_on_cores(
+                            fjax, localdims, Imax, jdtype, pair_mode,
+                            cores_n, coresi_n if pair_mode else None,
+                            Il2, Jl2, starts_k,
+                        )
+                        found = jnp.any(berr > abstol * tolmargin)
+                    else:
+                        bflat = c["bflat"]
+                        berr = c["berr"]
+                        found = jnp.bool_(False)
+
+                    win_err = jnp.concatenate([c["werr"][1:], err_k[None]])
+                    win_rank = jnp.concatenate(
+                        [c["wrank"][1:], rank_k[None]]
+                    )
+                    count = c["count"] + 1
+                    ngp_ok = ngp_ok_vec[jnp.minimum(c["k"], nch - 1)]
+                    window_full = count >= nch
+                    conv = (
+                        window_full
+                        & jnp.all(win_err < abstol)
+                        & jnp.where(check_ngp > 0, ngp_ok, True)
+                        & (jnp.min(win_rank) == win_rank[-1])
+                    ) | (window_full & jnp.all(win_rank >= maxbonddim))
+
+                    done = sat | found | conv
+                    code = jnp.where(
+                        sat, 2,
+                        jnp.where(found, 1, jnp.where(conv, 0, c["code"])),
+                    ).astype(jnp.int32)
+
+                    out_err = c["oerr"].at[c["k"]].set(err_k)
+                    out_rank = c["orank"].at[c["k"]].set(rank_k)
+                    hI = c["hI"].at[c["k"], 0].set(c["I"])
+                    hI = hI.at[c["k"], 1].set(I1)
+                    hIl = c["hIl"].at[c["k"], 0].set(c["Il"])
+                    hIl = hIl.at[c["k"], 1].set(Il1)
+                    hJ = c["hJ"].at[c["k"], 0].set(c["J"])
+                    hJ = hJ.at[c["k"], 1].set(J1)
+                    hJl = c["hJl"].at[c["k"], 0].set(c["Jl"])
+                    hJl = hJl.at[c["k"], 1].set(Jl1)
+
+                    # a saturated iteration is discarded: every carried
+                    # field keeps its pre-iteration value and k does not
+                    # advance, so the host resumes from the exact state
+                    # the per-iteration path would re-run from
+                    def keep(new, old):
+                        return jnp.where(sat, old, new)
+
+                    return {
+                        "k": keep(c["k"] + 1, c["k"]),
+                        "done": done,
+                        "code": code,
+                        "I": keep(I2, c["I"]), "Il": keep(Il2, c["Il"]),
+                        "J": keep(J2, c["J"]), "Jl": keep(Jl2, c["Jl"]),
+                        "eI": keep(I1, c["eI"]),
+                        "eIl": keep(Il1, c["eIl"]),
+                        "eJ": keep(J1, c["eJ"]),
+                        "eJl": keep(Jl1, c["eJl"]),
+                        "ms": keep(ms_new, c["ms"]),
+                        "abstol": keep(abstol, c["abstol"]),
+                        "werr": keep(win_err, c["werr"]),
+                        "wrank": keep(win_rank, c["wrank"]),
+                        "count": keep(count, c["count"]),
+                        "oerr": keep(out_err, c["oerr"]),
+                        "orank": keep(out_rank, c["orank"]),
+                        "hI": keep(hI, c["hI"]), "hIl": keep(hIl, c["hIl"]),
+                        "hJ": keep(hJ, c["hJ"]), "hJl": keep(hJl, c["hJl"]),
+                        "perrs": keep(perrs2, c["perrs"]),
+                        "cores": keep(cores_n, c["cores"]),
+                        "coresi": keep(coresi_n, c["coresi"]),
+                        "bflat": keep(bflat, c["bflat"]),
+                        "berr": keep(berr, c["berr"]),
+                    }
+
+                init = {
+                    "k": jnp.int32(0),
+                    "done": jnp.bool_(False),
+                    "code": jnp.int32(3),
+                    "I": Iset, "Il": Ilen, "J": Jset, "Jl": Jlen,
+                    "eI": eI, "eIl": eIl, "eJ": eJ, "eJl": eJl,
+                    "ms": jnp.float64(maxsample0),
+                    "abstol": jnp.float64(0.0),
+                    "werr": win_err0, "wrank": win_rank0,
+                    "count": jnp.int32(count0),
+                    "oerr": jnp.zeros((Kmax,), jnp.float64),
+                    "orank": jnp.zeros((Kmax,), jnp.int32),
+                    "hI": jnp.zeros((Kmax, 2, L, Imax, L), jnp.int32),
+                    "hIl": jnp.zeros((Kmax, 2, L), jnp.int32),
+                    "hJ": jnp.zeros((Kmax, 2, L, Imax, L), jnp.int32),
+                    "hJl": jnp.zeros((Kmax, 2, L), jnp.int32),
+                    "perrs": jnp.zeros((L - 1, Imax + 1), jnp.float64),
+                    "cores": jnp.zeros((L, Imax, dmax, Imax), cdtype),
+                    "coresi": jnp.zeros(
+                        (L, Imax, dmax, Imax) if pair_mode else (1,), cdtype
+                    ),
+                    "bflat": jnp.zeros((S,), jnp.int32),
+                    "berr": jnp.full((S,), -jnp.inf, jnp.float64),
+                }
+                return jax.lax.while_loop(cond, body, init)
+
+            self._sweeps[key] = loop
+        return self._sweeps[key]
+
+    def _grow_capacity(self, maxbonddim: int) -> bool:
+        """Grow Imax one capacity step (for a saturated loop/pair sweep);
+        False when the capacity or program-size guards forbid it."""
+        nxt = _imax_target(self.Imax, self.Imax + 1)
+        if nxt > self.imax_cap or (
+            nxt * (max(self.localdims) + 1) > self.max_panel_edge
+        ):
+            return False
+        self.Imax = nxt
+        return True
+
+    def optimize_loop(self, tci, fwd1: bool, fwd2: bool, reltol: float,
+                      tol: float, use_norm: bool, maxbonddim: int,
+                      extraIset, extraJset, strictlynested: bool,
+                      starts_block, tolmargin: float,
+                      prev_errors, prev_ranks, prev_ngp,
+                      nch: int, check_ngp: bool, k_budget: int):
+        """Dispatch the multi-iteration loop program; returns the fetched
+        result dict (numpy values) or None when capacity/edge guards
+        decline. Does NOT mutate tci — the caller replays the per-iteration
+        bookkeeping from the stacked outputs."""
+        L = len(self.localdims)
+        needed = max(
+            [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
+            + [len(s) for s in extraIset] + [len(s) for s in extraJset]
+            + [1]
+        )
+        if needed > self.imax_cap or k_budget <= 0:
+            return None
+        target = _imax_target(self.Imax, needed)
+        if target * (max(self.localdims) + 1) > self.max_panel_edge:
+            return None
+        self.Imax = target
+
+        Kmax = self.loop_kmax
+        nsearch = 0 if starts_block is None else int(starts_block.shape[1])
+        S = max(nsearch, 1)
+        sb = np.zeros((Kmax, S, L), dtype=np.int32)
+        if nsearch:
+            kfill = min(Kmax, starts_block.shape[0])
+            sb[:kfill] = starts_block[:kfill]
+
+        # convergence windows seeded with the host's last nch-1 entries
+        # (left-padded so an unfilled window can never satisfy the
+        # criterion before `count` reaches nch)
+        win_err0 = np.full((nch,), np.inf, dtype=np.float64)
+        win_rank0 = np.full((nch,), 2**30, dtype=np.int32)
+        tail_e = list(prev_errors)[-(nch - 1):] if nch > 1 else []
+        tail_r = list(prev_ranks)[-(nch - 1):] if nch > 1 else []
+        if tail_e:
+            win_err0[-len(tail_e):] = tail_e
+        if tail_r:
+            win_rank0[-len(tail_r):] = tail_r
+        # ngp_ok_vec[j]: with j+1 in-loop iterations appended (all zero
+        # global pivots), is the last-nch ngp window all-zero?
+        ngp_tail = list(prev_ngp)
+        ngp_ok = np.zeros((nch,), dtype=bool)
+        for j in range(nch):
+            host_part = ngp_tail[-(nch - 1 - j):] if (nch - 1 - j) > 0 else []
+            ngp_ok[j] = all(g == 0 for g in host_part)
+
+        Iset, Ilen = self._pack(tci.Iset, "left")
+        Jset, Jlen = self._pack(tci.Jset, "left")
+        eIb, eIlen = self._pack(extraIset, "left")
+        eJb, eJlen = self._pack(extraJset, "left")
+        fn = self._get_optimize_loop(fwd1, fwd2, nsearch, nch)
+        res = jax.device_get(fn(
+            jnp.asarray(Iset), jnp.asarray(Ilen),
+            jnp.asarray(Jset), jnp.asarray(Jlen),
+            jnp.asarray(eIb), jnp.asarray(eIlen),
+            jnp.asarray(eJb), jnp.asarray(eJlen),
+            jnp.float64(reltol), jnp.float64(tol),
+            jnp.int32(1 if use_norm else 0),
+            jnp.int32(min(maxbonddim, 2**31 - 1)),
+            jnp.int32(0 if strictlynested else 1),
+            jnp.asarray(sb), jnp.float64(tolmargin),
+            jnp.float64(tci.maxsamplevalue),
+            jnp.asarray(win_err0), jnp.asarray(win_rank0),
+            jnp.asarray(ngp_ok),
+            jnp.int32(len(prev_errors)),
+            jnp.int32(1 if check_ngp else 0),
+            jnp.int32(min(k_budget, Kmax)),
+        ))
+        return res
 
     def _store_sitetensors(self, tci, res) -> None:
         """Write a fill program's output stack into tci._sitetensors

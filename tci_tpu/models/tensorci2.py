@@ -715,6 +715,124 @@ class TensorCI2(AbstractTensorTrain):
         if fillsitetensors and not engine_filled:
             self.fillsitetensors(f)
 
+    def _optimize_device_block(self, f, engine, finder, tol, normalizeerror,
+                               maxbonddim, strictlynested, sweepstrategy,
+                               all_starts, it, maxiter, errors, ranks,
+                               nglobalpivots, ncheckhistory,
+                               checkconvglobalpivot):
+        """Run up to loop_kmax pivot-free optimize iterations as ONE device
+        program (DeviceSweepEngine.optimize_loop) and replay the exact
+        per-iteration bookkeeping from its stacked outputs.
+
+        Returns None when the engine declines (caller falls through to the
+        per-iteration path for this iteration), else (niter, stop): niter
+        iterations were fully accounted (0 means the first iteration
+        saturated and the buffer was grown — retry), stop True means the
+        convergence criterion fired."""
+        n = len(self)
+        k_budget = min(maxiter - it + 1, engine.loop_kmax)
+        sb = None
+        if all_starts is not None:
+            sb = np.asarray(
+                [all_starts[j] for j in range(it - 1, it - 1 + k_budget)],
+                dtype=np.int32,
+            )
+        extraIset: List[List[MultiIndex]] = [[] for _ in range(n)]
+        extraJset: List[List[MultiIndex]] = [[] for _ in range(n)]
+        if not strictlynested and len(self.Iset_history) > 0:
+            extraIset = self.Iset_history[-1]
+            extraJset = self.Jset_history[-1]
+        t0 = time.time()
+        res = engine.optimize_loop(
+            self,
+            forwardsweep(sweepstrategy, 1), forwardsweep(sweepstrategy, 2),
+            1e-14, tol, normalizeerror, maxbonddim, extraIset, extraJset,
+            strictlynested, sb, finder.tolmarginglobalsearch,
+            errors, ranks, nglobalpivots, ncheckhistory,
+            checkconvglobalpivot, k_budget,
+        )
+        if res is None:
+            return None
+        wall = time.time() - t0
+        K_done = int(res["k"])
+        code = int(res["code"])
+        if K_done == 0:
+            # the first in-loop iteration saturated the buffer: grow and
+            # retry; if growth is impossible the fused path declines
+            if code == 2 and engine._grow_capacity(maxbonddim):
+                return (0, False)
+            return None
+
+        L = len(self.localdims)
+        prefix_lens = list(range(L))
+        suffix_lens = [L - b - 1 for b in range(L)]
+        for j in range(K_done):
+            for h in (0, 1):
+                self.Iset_history.append(engine._unpack(
+                    res["hI"][j, h], res["hIl"][j, h], prefix_lens
+                ))
+                self.Jset_history.append(engine._unpack(
+                    res["hJ"][j, h], res["hJl"][j, h], suffix_lens
+                ))
+        self.Iset = engine._unpack(res["I"], res["Il"], prefix_lens)
+        self.Jset = engine._unpack(res["J"], res["Jl"], suffix_lens)
+        self.maxsamplevalue = max(self.maxsamplevalue, float(res["ms"]))
+        self.invalidatesitetensors()
+        self.flushpivoterror()
+        Il = res["Il"]
+        for b in range(L - 1):
+            self.updateerrors(
+                b, list(res["perrs"][b][: int(Il[b + 1]) + 1])
+            )
+        if engine.pair:
+            engine._store_sitetensors(
+                self, (res["cores"], res["coresi"], res["ms"])
+            )
+        else:
+            engine._store_sitetensors(self, (res["cores"], res["ms"]))
+        engine.last_sweep_filled = True
+        for j in range(K_done):
+            for b in range(L - 1):
+                Icap = engine.Imax * self.localdims[b] + engine.Imax
+                Jcap = self.localdims[b + 1] * engine.Imax + engine.Imax
+                engine.nevals += 2 * Icap * Jcap
+        if sb is not None:
+            engine.nevals += K_done * finder.nsearch * L * max(self.localdims)
+
+        abstol_exit = float(res["abstol"])
+        stop = False
+        for j in range(K_done):
+            errors.append(float(res["oerr"][j]))
+            if code == 1 and j == K_done - 1:
+                pivots = finder.select_device_result(
+                    all_starts[it - 1 + j], res["bflat"], res["berr"],
+                    max(self.localdims), abstol_exit,
+                )
+                self.addglobalpivots(pivots)
+                nglobalpivots.append(len(pivots))
+                ranks.append(self.rank())
+            else:
+                nglobalpivots.append(0)
+                ranks.append(int(res["orank"][j]))
+            self.stats["sweep_walltime"].append(wall / K_done)
+            self.stats["globalsearch_walltime"].append(0.0)
+            self.stats["iteration_walltime"].append(wall / K_done)
+            self.stats["ranks"].append(ranks[-1])
+            self.stats["errors"].append(errors[-1])
+            self.stats["nglobalpivots"].append(nglobalpivots[-1])
+        if code == 0:
+            stop = True
+        elif code == 1:
+            stop = convergencecriterion(
+                ranks, errors, nglobalpivots, abstol_exit, maxbonddim,
+                ncheckhistory, checkconvglobalpivot=checkconvglobalpivot,
+            )
+        elif code == 2:
+            # saturation after >= 1 completed iterations: bookkeeping above
+            # covers the completed ones; grow (best effort) and re-enter
+            engine._grow_capacity(maxbonddim)
+        return (K_done, stop)
+
     # -- main optimization loop (tensorci2.jl:1018-1172) ----------------------
 
     def optimize(
@@ -801,39 +919,67 @@ class TensorCI2(AbstractTensorTrain):
             "nglobalpivots": [],
         }
 
-        # Fused global search: when the sweep runs as the single pair
-        # program and the finder is the stock DefaultGlobalPivotFinder, the
-        # candidate search evaluates inside the SAME device program against
-        # the just-filled site tensors — the whole optimize iteration is
-        # then one dispatch. Start points are drawn host-side in the same
-        # rng order the finder itself would use, so trajectories match the
-        # unfused path; if the engine declines the pair, the finder runs
-        # host-side with those exact points (identical rng stream).
+        # With the stock DefaultGlobalPivotFinder, ALL search start points
+        # are drawn upfront (maxiter blocks, in the finder's own
+        # per-iteration rng order). Every execution tier then sees the SAME
+        # start points for iteration k — the host finder (via
+        # initial_points), the sweep-pair fused search, and the
+        # multi-iteration device loop — so trajectories agree exactly
+        # across tiers regardless of where each tier exits, re-enters, or
+        # grows buffers.
+        _default_finder = type(finder) is DefaultGlobalPivotFinder
+        all_starts = (
+            [finder.draw_starts(self.localdims, rng) for _ in range(maxiter)]
+            if _default_finder and finder.nsearch > 0 else None
+        )
+        engine = getattr(f, "device_sweep_engine", None)
+        # Fused global search (sweep-pair program): the candidate search
+        # evaluates inside the same device program against the just-filled
+        # site tensors — one dispatch per optimize iteration.
         _fused_search_ok = (
-            type(finder) is DefaultGlobalPivotFinder
-            and finder.nsearch > 0
+            all_starts is not None
             and pivotsearch in ("full", "rook")
-            and getattr(
-                getattr(f, "device_sweep_engine", None),
-                "use_sweep_pair", False,
-            )
+            and getattr(engine, "use_sweep_pair", False)
+        )
+        # Multi-iteration device loop: pivot-free iterations are pure
+        # device state transitions — run up to loop_kmax of them inside
+        # ONE lax.while_loop program, exiting to the host only for
+        # global-pivot insertion, buffer growth, or convergence.
+        _fused_loop_ok = (
+            verbosity == 0
+            and _default_finder
+            and pivotsearch == "full"
+            and engine is not None
+            and getattr(engine, "use_optimize_loop", False)
         )
 
         globalpivots: List[MultiIndex] = []
-        for it in range(1, maxiter + 1):
+        it = 1
+        while it <= maxiter:
             titer = time.time()
             errornormalization = self.maxsamplevalue if normalizeerror else 1.0
             abstol = tol * errornormalization
+
+            if _fused_loop_ok:
+                blk = self._optimize_device_block(
+                    f, engine, finder, tol, normalizeerror, maxbonddim,
+                    strictlynested, sweepstrategy, all_starts, it, maxiter,
+                    errors, ranks, nglobalpivots, ncheckhistory,
+                    checkconvglobalpivot,
+                )
+                if blk is not None:
+                    niter_blk, stop_blk = blk
+                    it += niter_blk
+                    if stop_blk:
+                        break
+                    continue
 
             if verbosity > 1:
                 print(
                     f"  Walltime {time.time() - tstart:.3f} sec: "
                     "starting 2site sweep"
                 )
-            starts = (
-                finder.draw_starts(self.localdims, rng)
-                if _fused_search_ok else None
-            )
+            starts = all_starts[it - 1] if all_starts is not None else None
             tsweep = time.time()
             self.sweep2site(
                 f, 2, iter1=1,
@@ -907,6 +1053,7 @@ class TensorCI2(AbstractTensorTrain):
                 checkconvglobalpivot=checkconvglobalpivot,
             ):
                 break
+            it += 1
 
         # Remove unnecessary pivots added by global pivot insertion and
         # compute site tensors (tensorci2.jl:1157-1167)

@@ -666,31 +666,39 @@ def test_optimize_fused_search_end_to_end():
     assert np.allclose(e1, e2)
 
 
-def test_optimize_is_one_dispatch_per_iteration(monkeypatch):
-    """With the pair program + fused global search, the optimize loop's
-    only per-iteration device work is ONE sweep2site_pair call; the finder
-    must not trigger any separate batched-evaluation dispatch."""
+def test_optimize_dispatch_counts(monkeypatch):
+    """Dispatch accounting of the fused execution tiers.
+
+    Default path (multi-iteration loop): a whole pivot-free optimization
+    is O(1) optimize_loop dispatches — NOT O(iterations) — and the finder
+    triggers no separate batched-evaluation dispatch. With the loop
+    disabled, every iteration is exactly one sweep2site_pair dispatch."""
     from tci_tpu.models.device_sweep import DeviceSweepEngine
 
     localdims = [4] * 5
-    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
 
-    pair_calls = {"n": 0}
+    calls = {"pair": 0, "loop": 0, "many": 0}
     orig_pair = DeviceSweepEngine.sweep2site_pair
+    orig_loop = DeviceSweepEngine.optimize_loop
 
     def counting_pair(self, *a, **k):
-        # count only top-level calls (capacity-growth recursion re-enters)
-        pair_calls["n"] += 1
+        calls["pair"] += 1
         return orig_pair(self, *a, **k)
 
-    eval_calls = {"n": 0}
+    def counting_loop(self, *a, **k):
+        calls["loop"] += 1
+        return orig_loop(self, *a, **k)
+
+    monkeypatch.setattr(DeviceSweepEngine, "sweep2site_pair", counting_pair)
+    monkeypatch.setattr(DeviceSweepEngine, "optimize_loop", counting_loop)
+
+    bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
     orig_many = type(bf).evaluate_many
 
     def counting_many(self, rows):
-        eval_calls["n"] += 1
+        calls["many"] += 1
         return orig_many(self, rows)
 
-    monkeypatch.setattr(DeviceSweepEngine, "sweep2site_pair", counting_pair)
     monkeypatch.setattr(type(bf), "evaluate_many", counting_many)
 
     t, ranks, errors = tci.crossinterpolate2(
@@ -698,9 +706,132 @@ def test_optimize_is_one_dispatch_per_iteration(monkeypatch):
     )
     assert errors[-1] < 1e-10
     niter = len(ranks)
-    # every iteration ran the single-dispatch pair path (recursive growth
-    # re-entries also count, so >= niter; no iteration fell back)
-    assert pair_calls["n"] >= niter
-    # the global search ran inside the pair program: no evaluate_many
-    # dispatches beyond the initial-pivot evaluation of from_function
-    assert eval_calls["n"] <= 2, eval_calls["n"]
+    assert niter >= 3
+    # whole optimization in O(1) loop dispatches (growth retries allowed)
+    assert calls["loop"] <= 3, calls
+    assert calls["pair"] == 0, calls
+    # no separate finder dispatches beyond from_function's initial pivot
+    assert calls["many"] <= 2, calls
+
+    # loop disabled -> exactly the per-iteration pair path
+    calls.update(pair=0, loop=0, many=0)
+    bf2 = JaxBatchEvaluator(_fjax_lorentz, localdims)
+    monkeypatch.setattr(type(bf2), "evaluate_many", counting_many)
+    bf2.device_sweep_engine.use_optimize_loop = False
+    t2, ranks2, errors2 = tci.crossinterpolate2(
+        np.float64, bf2, localdims, tolerance=1e-10
+    )
+    assert errors2[-1] < 1e-10
+    assert calls["loop"] == 0
+    assert calls["pair"] >= len(ranks2)
+    assert calls["many"] <= 2, calls
+
+
+def _loop_vs_pair(localdims, make_bf, seed, _vt=np.float64,
+                  initialpivots=None, **kwargs):
+    """Run crossinterpolate2 with the multi-iteration device loop on/off
+    and assert full trajectory parity (ranks, error series, pivot sets,
+    history, site tensors)."""
+    res = []
+    for use_loop in (True, False):
+        bf = make_bf()
+        bf.device_sweep_engine.use_optimize_loop = use_loop
+        t, r, e = tci.crossinterpolate2(
+            _vt, bf, localdims, initialpivots,
+            rng=np.random.default_rng(seed), **kwargs,
+        )
+        res.append((t, r, e))
+    (t1, r1, e1), (t2, r2, e2) = res
+    assert r1 == r2
+    assert np.allclose(e1, e2)
+    assert t1.Iset == t2.Iset
+    assert t1.Jset == t2.Jset
+    assert t1.Iset_history == t2.Iset_history
+    assert t1.Jset_history == t2.Jset_history
+    for a, b in zip(t1.sitetensors(), t2.sitetensors()):
+        assert np.allclose(a, b, atol=1e-12)
+    return res
+
+
+@pytest.mark.parametrize("strictlynested", [False, True])
+def test_optimize_loop_equals_per_iteration(strictlynested):
+    """The multi-iteration lax.while_loop program must reproduce the
+    per-iteration sweep-pair path exactly."""
+    localdims = [4] * 5
+    _loop_vs_pair(
+        localdims,
+        lambda: JaxBatchEvaluator(_fjax_lorentz, localdims),
+        seed=21, tolerance=1e-10, strictlynested=strictlynested,
+    )
+
+
+def test_optimize_loop_global_pivot_exit():
+    """When the in-loop search finds global pivots, the loop exits to the
+    host for insertion and re-enters; the whole trajectory (incl. the
+    inserted pivots and history bookkeeping) must match the per-iteration
+    path. The nasty oscillatory quantics function makes the finder fire
+    (5 global pivots in iteration 1)."""
+    import jax.numpy as jnp
+
+    n = 10
+    w = 2.0 ** -(np.arange(1, n + 1, dtype=np.float64))
+
+    def fj(bits):
+        x = jnp.sum(bits.astype(jnp.float64) * jnp.asarray(w))
+        return jnp.exp(-10 * x) * jnp.sin(2 * jnp.pi * 100 * x ** 1.1)
+
+    def fpy(bits):
+        x = float(np.sum(np.asarray(bits, float) * w))
+        return np.exp(-10 * x) * np.sin(2 * np.pi * 100 * x ** 1.1)
+
+    localdims = [2] * n
+    fp = tuple(tci.optfirstpivot(fpy, localdims, [1] * n))
+    res = _loop_vs_pair(
+        localdims, lambda: JaxBatchEvaluator(fj, localdims), seed=1234,
+        initialpivots=[fp], tolerance=1e-12, maxbonddim=100, maxiter=100,
+        nsearchglobalpivot=10, strictlynested=False,
+    )
+    t1, r1, e1 = res[0]
+    assert e1[-1] < 1e-10
+    assert sum(t1.stats["nglobalpivots"]) > 0  # pivots actually fired
+
+
+def test_optimize_loop_capacity_growth():
+    """Saturation inside the device loop exits with the saturated
+    iteration discarded; the host grows the buffer and re-enters with the
+    exact pre-iteration state."""
+    from tci_tpu.models.device_sweep import DeviceSweepEngine as DSE
+
+    localdims = [4] * 4
+    res = []
+    for use_loop in (True, False):
+        bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+        bf._device_sweep_engine = DSE(_fjax_lorentz, localdims, imax=2)
+        bf._device_sweep_engine.use_optimize_loop = use_loop
+        t, r, e = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-12,
+            rng=np.random.default_rng(3),
+        )
+        res.append((t, r, e, bf._device_sweep_engine.Imax))
+    (t1, r1, e1, im1), (t2, r2, e2, im2) = res
+    assert r1 == r2 and np.allclose(e1, e2)
+    assert t1.Iset == t2.Iset and t1.Iset_history == t2.Iset_history
+    assert im1 > 2
+
+
+def test_optimize_loop_complex_pair():
+    import jax.numpy as jnp
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        s = jnp.sum(v)
+        den = 1.0 + jnp.sum(v * v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    localdims = [3] * 4
+    _loop_vs_pair(
+        localdims,
+        lambda: JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                                  pair_output=True),
+        seed=2, tolerance=1e-10, _vt=np.complex128,
+    )
