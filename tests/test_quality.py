@@ -156,3 +156,46 @@ def test_rook_sweep_scan_lowering_static():
             S((L, Imax, L), i32), S((L,), i32),
             S((), f64), S((), f64), S((), i32), S((), jnp.uint32),
         )
+
+
+def test_optimize_loop_lowering_static():
+    """Static lowering of the multi-iteration optimize loop program
+    (DeviceSweepEngine._get_optimize_loop): the while_loop carry (padded
+    set buffers, history stacks, core stack, search state) must stay
+    shape/dtype-consistent for real and pair value modes, with and
+    without the fused search."""
+    import jax
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import DeviceSweepEngine
+
+    S = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    f64 = jnp.float64
+    localdims = (3, 4, 3)
+    L = len(localdims)
+    Imax = 8
+
+    def fjax(idx):
+        return 1.0 / (1.0 + jnp.sum(idx.astype(jnp.float64) ** 2))
+
+    def fpair(idx):
+        s = jnp.sum(idx.astype(jnp.float64))
+        return jnp.stack([jnp.cos(s), jnp.sin(s)])
+
+    for pair, nsearch in [(False, 5), (False, 0), (True, 5)]:
+        eng = DeviceSweepEngine(
+            fpair if pair else fjax, localdims, imax=Imax, pair=pair,
+        )
+        loop = eng._get_optimize_loop(True, False, nsearch, 3)
+        Kmax = eng.loop_kmax
+        loop.lower(
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((L, Imax, L), i32), S((L,), i32),
+            S((), f64), S((), f64), S((), i32), S((), i32), S((), i32),
+            S((Kmax, max(nsearch, 1), L), i32), S((), f64), S((), f64),
+            S((3,), f64), S((3,), i32), S((3,), jnp.bool_), S((), i32),
+            S((), i32), S((), i32),
+        )
