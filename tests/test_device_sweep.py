@@ -835,3 +835,24 @@ def test_optimize_loop_complex_pair():
                                   pair_output=True),
         seed=2, tolerance=1e-10, _vt=np.complex128,
     )
+
+
+@pytest.mark.slow
+def test_optimize_loop_scan_chain():
+    """The device loop composes with the lax.scan sweep/fill bodies used
+    for long chains (L >= 16): full trajectory parity vs the per-iteration
+    path on a quantics-length chain."""
+    import jax.numpy as jnp
+
+    L = 16
+    localdims = [2] * L
+
+    def fj(idx):
+        v = idx.astype(jnp.float64)
+        wj = 1.0 + 0.3 * jnp.arange(L, dtype=jnp.float64)
+        return 1.0 / (1.0 + jnp.sum(v * wj))
+
+    _loop_vs_pair(
+        localdims, lambda: JaxBatchEvaluator(fj, localdims),
+        seed=9, tolerance=1e-10,
+    )
