@@ -2085,7 +2085,7 @@ class DeviceSweepEngine:
         return True
 
     def _get_optimize_loop(self, fwd1: bool, fwd2: bool, nsearch: int,
-                           nch: int):
+                           nch: int, rook: bool = False):
         """Up to loop_kmax optimize iterations as ONE lax.while_loop
         program.
 
@@ -2105,10 +2105,10 @@ class DeviceSweepEngine:
         buffers so the host can replay the exact bookkeeping of the
         per-iteration path."""
         Kmax = self.loop_kmax
-        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch)
+        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch, rook)
         if key not in self._sweeps:
-            s1 = self._get_sweep(fwd1)
-            s2 = self._get_sweep(fwd2)
+            s1 = self._get_sweep_rook(fwd1) if rook else self._get_sweep(fwd1)
+            s2 = self._get_sweep_rook(fwd2) if rook else self._get_sweep(fwd2)
             fill_fn = self._get_fill()
             fjax, localdims, Imax = self.fjax, self.localdims, self.Imax
             jdtype, pair_mode = self._jdtype, self.pair
@@ -2122,23 +2122,36 @@ class DeviceSweepEngine:
                      reltol, tol, use_norm, maxbonddim, use_extra2,
                      starts_block, tolmargin, maxsample0,
                      win_err0, win_rank0, ngp_ok_vec, count0, check_ngp,
-                     k_budget):
+                     k_budget, *seeds):
                 def cond(c):
                     return (~c["done"]) & (c["k"] < k_budget)
 
                 def body(c):
                     norm = jnp.where(use_norm > 0, c["ms"], 1.0)
                     abstol = tol * norm
+                    if rook:
+                        sk = jax.lax.dynamic_index_in_dim(
+                            seeds[0], c["k"], 0, keepdims=False
+                        )
+                        seed_args1, seed_args2 = (sk[0],), (sk[1],)
+                    else:
+                        seed_args1 = seed_args2 = ()
                     o1 = s1(c["I"], c["Il"], c["J"], c["Jl"],
                             c["eI"], c["eIl"] * use_extra2,
                             c["eJ"], c["eJl"] * use_extra2,
-                            reltol, abstol, maxbonddim)
+                            reltol, abstol, maxbonddim, *seed_args1)
                     I1, Il1, J1, Jl1 = o1[:4]
                     o2 = s2(I1, Il1, J1, Jl1,
                             c["I"], c["Il"] * use_extra2,
                             c["J"], c["Jl"] * use_extra2,
-                            reltol, abstol, maxbonddim)
-                    I2, Il2, J2, Jl2, _bonderrs2, perrs2, ms2 = o2
+                            reltol, abstol, maxbonddim, *seed_args2)
+                    if rook:
+                        (I2, Il2, J2, Jl2, _bonderrs2, perrs2, ms2,
+                         nev2) = o2
+                        nev_new = c["nev"] + o1[7] + nev2
+                    else:
+                        I2, Il2, J2, Jl2, _bonderrs2, perrs2, ms2 = o2
+                        nev_new = c["nev"]
                     fill_out = fill_fn(I2, Il2, J2, Jl2)
                     if pair_mode:
                         cores_n, coresi_n, fms = fill_out
@@ -2219,6 +2232,7 @@ class DeviceSweepEngine:
                         "eJ": keep(J1, c["eJ"]),
                         "eJl": keep(Jl1, c["eJl"]),
                         "ms": keep(ms_new, c["ms"]),
+                        "nev": keep(nev_new, c["nev"]),
                         "abstol": keep(abstol, c["abstol"]),
                         "werr": keep(win_err, c["werr"]),
                         "wrank": keep(win_rank, c["wrank"]),
@@ -2241,6 +2255,7 @@ class DeviceSweepEngine:
                     "I": Iset, "Il": Ilen, "J": Jset, "Jl": Jlen,
                     "eI": eI, "eIl": eIl, "eJ": eJ, "eJl": eJl,
                     "ms": jnp.float64(maxsample0),
+                    "nev": jnp.float64(0.0),
                     "abstol": jnp.float64(0.0),
                     "werr": win_err0, "wrank": win_rank0,
                     "count": jnp.int32(count0),
@@ -2279,12 +2294,24 @@ class DeviceSweepEngine:
                       extraIset, extraJset, strictlynested: bool,
                       starts_block, tolmargin: float,
                       prev_errors, prev_ranks, prev_ngp,
-                      nch: int, check_ngp: bool, k_budget: int):
+                      nch: int, check_ngp: bool, k_budget: int,
+                      pivotsearch: str = "full"):
         """Dispatch the multi-iteration loop program; returns the fetched
         result dict (numpy values) or None when capacity/edge guards
         decline. Does NOT mutate tci — the caller replays the per-iteration
-        bookkeeping from the stacked outputs."""
+        bookkeeping from the stacked outputs.
+
+        pivotsearch='rook' traces the whole-sweep rook programs into the
+        loop body, with 2 slab-iteration seeds per iteration pre-drawn
+        from the engine rng in the same order the per-iteration pair path
+        draws them (bit-identical rook trajectories while a single block
+        covers the run; re-entries draw fresh seeds). Rook is unsupported
+        for pair-valued integrands and falls back to full search above the
+        unrolled rook's compile-time edge, exactly like sweep2site_pair."""
         L = len(self.localdims)
+        rook = pivotsearch == "rook"
+        if rook and self.pair:
+            return None
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
             + [len(s) for s in extraIset] + [len(s) for s in extraJset]
@@ -2295,6 +2322,12 @@ class DeviceSweepEngine:
         target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return None
+        if (
+            rook
+            and not self._rook_uses_scan()
+            and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
+        ):
+            rook = False
         self.Imax = target
 
         Kmax = self.loop_kmax
@@ -2324,11 +2357,21 @@ class DeviceSweepEngine:
             host_part = ngp_tail[-(nch - 1 - j):] if (nch - 1 - j) > 0 else []
             ngp_ok[j] = all(g == 0 for g in host_part)
 
+        seed_args = ()
+        if rook:
+            # scalar draws in the exact order the per-iteration pair path
+            # consumes them (2 per iteration)
+            sd = np.zeros((Kmax, 2), dtype=np.uint32)
+            for k in range(min(k_budget, Kmax)):
+                sd[k, 0] = self._rng.integers(0, 2**31 - 1)
+                sd[k, 1] = self._rng.integers(0, 2**31 - 1)
+            seed_args = (jnp.asarray(sd),)
+
         Iset, Ilen = self._pack(tci.Iset, "left")
         Jset, Jlen = self._pack(tci.Jset, "left")
         eIb, eIlen = self._pack(extraIset, "left")
         eJb, eJlen = self._pack(extraJset, "left")
-        fn = self._get_optimize_loop(fwd1, fwd2, nsearch, nch)
+        fn = self._get_optimize_loop(fwd1, fwd2, nsearch, nch, rook)
         res = jax.device_get(fn(
             jnp.asarray(Iset), jnp.asarray(Ilen),
             jnp.asarray(Jset), jnp.asarray(Jlen),
@@ -2345,7 +2388,9 @@ class DeviceSweepEngine:
             jnp.int32(len(prev_errors)),
             jnp.int32(1 if check_ngp else 0),
             jnp.int32(min(k_budget, Kmax)),
+            *seed_args,
         ))
+        res["rook"] = rook
         return res
 
     def _store_sitetensors(self, tci, res) -> None:

@@ -719,7 +719,7 @@ class TensorCI2(AbstractTensorTrain):
                                maxbonddim, strictlynested, sweepstrategy,
                                all_starts, it, maxiter, errors, ranks,
                                nglobalpivots, ncheckhistory,
-                               checkconvglobalpivot):
+                               checkconvglobalpivot, pivotsearch="full"):
         """Run up to loop_kmax pivot-free optimize iterations as ONE device
         program (DeviceSweepEngine.optimize_loop) and replay the exact
         per-iteration bookkeeping from its stacked outputs.
@@ -749,7 +749,7 @@ class TensorCI2(AbstractTensorTrain):
             1e-14, tol, normalizeerror, maxbonddim, extraIset, extraJset,
             strictlynested, sb, finder.tolmarginglobalsearch,
             errors, ranks, nglobalpivots, ncheckhistory,
-            checkconvglobalpivot, k_budget,
+            checkconvglobalpivot, k_budget, pivotsearch=pivotsearch,
         )
         if res is None:
             return None
@@ -791,11 +791,20 @@ class TensorCI2(AbstractTensorTrain):
         else:
             engine._store_sitetensors(self, (res["cores"], res["ms"]))
         engine.last_sweep_filled = True
-        for j in range(K_done):
-            for b in range(L - 1):
-                Icap = engine.Imax * self.localdims[b] + engine.Imax
-                Jcap = self.localdims[b + 1] * engine.Imax + engine.Imax
-                engine.nevals += 2 * Icap * Jcap
+        if res.get("rook"):
+            engine.nevals += int(res["nev"])
+        else:
+            for j in range(K_done):
+                for b in range(L - 1):
+                    Icap = engine.Imax * self.localdims[b] + engine.Imax
+                    Jcap = self.localdims[b + 1] * engine.Imax + engine.Imax
+                    engine.nevals += 2 * Icap * Jcap
+        # the device loop computes a fill EVERY iteration (the search needs
+        # it); _store_sitetensors above accounted for one
+        fill_per_iter = sum(
+            engine.Imax * d * engine.Imax for d in self.localdims
+        ) + (L - 1) * engine.Imax * engine.Imax
+        engine.nevals += (K_done - 1) * fill_per_iter
         if sb is not None:
             engine.nevals += K_done * finder.nsearch * L * max(self.localdims)
 
@@ -948,8 +957,9 @@ class TensorCI2(AbstractTensorTrain):
         _fused_loop_ok = (
             verbosity == 0
             and _default_finder
-            and pivotsearch == "full"
+            and pivotsearch in ("full", "rook")
             and engine is not None
+            and not (pivotsearch == "rook" and engine.pair)
             and getattr(engine, "use_optimize_loop", False)
         )
 
@@ -965,7 +975,7 @@ class TensorCI2(AbstractTensorTrain):
                     f, engine, finder, tol, normalizeerror, maxbonddim,
                     strictlynested, sweepstrategy, all_starts, it, maxiter,
                     errors, ranks, nglobalpivots, ncheckhistory,
-                    checkconvglobalpivot,
+                    checkconvglobalpivot, pivotsearch=pivotsearch,
                 )
                 if blk is not None:
                     niter_blk, stop_blk = blk

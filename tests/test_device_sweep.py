@@ -856,3 +856,29 @@ def test_optimize_loop_scan_chain():
         localdims, lambda: JaxBatchEvaluator(fj, localdims),
         seed=9, tolerance=1e-10,
     )
+
+
+def test_optimize_loop_rook_parity():
+    """Rook inside the device loop: seeds are pre-drawn in the pair
+    path's per-iteration order, so a single-block run follows the exact
+    per-iteration rook trajectory."""
+    localdims = [4] * 5  # uniform chain -> scan rook body
+    res = []
+    for use_loop in (True, False):
+        bf = JaxBatchEvaluator(_fjax_lorentz, localdims)
+        eng = bf.device_sweep_engine
+        eng.use_optimize_loop = use_loop
+        eng._rng = np.random.default_rng(7)
+        t, r, e = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-10, pivotsearch="rook",
+            rng=np.random.default_rng(5),
+        )
+        res.append((t, r, e, eng.nevals))
+    (t1, r1, e1, n1), (t2, r2, e2, n2) = res
+    assert r1 == r2
+    assert np.allclose(e1, e2)
+    assert t1.Iset == t2.Iset
+    assert t1.Iset_history == t2.Iset_history
+    for a, b in zip(t1.sitetensors(), t2.sitetensors()):
+        assert np.allclose(a, b, atol=1e-12)
+    assert n1 == n2  # eval accounting matches the per-iteration path
