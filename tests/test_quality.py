@@ -183,11 +183,14 @@ def test_optimize_loop_lowering_static():
         s = jnp.sum(idx.astype(jnp.float64))
         return jnp.stack([jnp.cos(s), jnp.sin(s)])
 
-    for pair, nsearch in [(False, 5), (False, 0), (True, 5)]:
+    for pair, nsearch, rook in [
+        (False, 5, False), (False, 0, False), (True, 5, False),
+        (False, 5, True),
+    ]:
         eng = DeviceSweepEngine(
             fpair if pair else fjax, localdims, imax=Imax, pair=pair,
         )
-        loop = eng._get_optimize_loop(True, False, nsearch, 3)
+        loop = eng._get_optimize_loop(True, False, nsearch, 3, rook)
         Kmax = eng.loop_kmax
         loop.lower(
             S((L, Imax, L), i32), S((L,), i32),
@@ -198,4 +201,5 @@ def test_optimize_loop_lowering_static():
             S((Kmax, max(nsearch, 1), L), i32), S((), f64), S((), f64),
             S((3,), f64), S((3,), i32), S((3,), jnp.bool_), S((), i32),
             S((), i32), S((), i32),
+            *((S((Kmax, 2), jnp.uint32),) if rook else ()),
         )
