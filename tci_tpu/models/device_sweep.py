@@ -529,6 +529,121 @@ def _tt_search_on_cores(fjax, localdims, Imax, dtype, pair,
     return jnp.argmax(flat, axis=1).astype(jnp.int32), jnp.max(flat, axis=1)
 
 
+def _make_floatingzone(fjax, localdims, chi: int, S: int, dtype,
+                       pair: bool = False):
+    """Whole floating-zone coordinate search (globalsearch.jl:119-186) as
+    ONE device program: a lax.while_loop over sweeps of a lax.scan over
+    legs, all S starts in lock-step.
+
+    Per leg, every start's d_leg single-coordinate variants evaluate as
+    one f vmap and one padded-core TT contraction (one-hot local-index
+    selection — no gathers); the per-start first-max update and the
+    host's active/stop bookkeeping (_floatingzone_batch semantics: a
+    start freezes when a full sweep leaves its running max unchanged)
+    are mask arithmetic. Cores are ZERO-padded (models/jaxeval.pad_cores
+    layout, boundaries embedded at index 0), so no validity masking of
+    the carried state is needed. pair=True takes (re, im) core stacks
+    and a pair-valued fjax.
+
+    Returns (pivots (S, L) int32, maxerr (S,) f64, nsweeps int32)."""
+    L = len(localdims)
+    dmax = max(localdims)
+    dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+    vgrid = jnp.arange(dmax, dtype=jnp.int32)
+
+    def tt_eval(cores, rows):
+        N = rows.shape[0]
+        v = jnp.zeros((N, chi), cores.dtype).at[:, 0].set(1.0)
+
+        def b(v, inp):
+            core, x = inp
+            oh = (x[:, None] == vgrid[None, :]).astype(core.dtype)
+            M = jnp.einsum("idj,nd->nij", core, oh)
+            return jnp.einsum("ni,nij->nj", v, M), None
+
+        v, _ = jax.lax.scan(b, v, (cores, rows.T))
+        return v[:, 0]
+
+    def tt_eval_pair(cr, ci, rows):
+        N = rows.shape[0]
+        vr = jnp.zeros((N, chi), jnp.float64).at[:, 0].set(1.0)
+        vi = jnp.zeros((N, chi), jnp.float64)
+
+        def b(carry, inp):
+            vr, vi = carry
+            corer, corei, x = inp
+            oh = (x[:, None] == vgrid[None, :]).astype(jnp.float64)
+            Mr = jnp.einsum("idj,nd->nij", corer, oh)
+            Mi = jnp.einsum("idj,nd->nij", corei, oh)
+            nvr = (jnp.einsum("ni,nij->nj", vr, Mr)
+                   - jnp.einsum("ni,nij->nj", vi, Mi))
+            nvi = (jnp.einsum("ni,nij->nj", vr, Mi)
+                   + jnp.einsum("ni,nij->nj", vi, Mr))
+            return (nvr, nvi), None
+
+        (vr, vi), _ = jax.lax.scan(b, (vr, vi), (cr, ci, rows.T))
+        return vr[:, 0], vi[:, 0]
+
+    def abs_err(rows, *cores_args):
+        if pair:
+            pv = _mapped_rows(fjax, rows)
+            tr, ti = tt_eval_pair(cores_args[0], cores_args[1], rows)
+            return jnp.sqrt(
+                (pv[..., 0].astype(jnp.float64) - tr) ** 2
+                + (pv[..., 1].astype(jnp.float64) - ti) ** 2
+            )
+        fv = _mapped_rows(fjax, rows).astype(dtype)
+        return jnp.abs(fv - tt_eval(cores_args[0], rows)).astype(jnp.float64)
+
+    @jax.jit
+    def fz(starts, nsweeps_cap, earlystoptol, *cores_args):
+        pivots = starts.astype(jnp.int32)
+        maxerr = abs_err(pivots, *cores_args)
+        active = jnp.ones((S,), dtype=bool)
+
+        def cond(c):
+            k, pivots, maxerr, active = c
+            return jnp.any(active) & (k < nsweeps_cap)
+
+        def sweep(c):
+            k, pivots, maxerr, active = c
+            prev = maxerr
+
+            def leg(carry, ipos):
+                pivots, maxerr = carry
+                d_i = dims_arr[ipos]
+                legsel = jnp.arange(L) == ipos
+                vclamp = jnp.minimum(vgrid, d_i - 1)
+                cand = jnp.where(
+                    legsel[None, None, :], vclamp[None, :, None],
+                    pivots[:, None, :],
+                )
+                err = abs_err(
+                    cand.reshape(S * dmax, L), *cores_args
+                ).reshape(S, dmax)
+                err = jnp.where(vgrid[None, :] < d_i, err, -jnp.inf)
+                best = jnp.argmax(err, axis=1).astype(jnp.int32)
+                newmax = jnp.maximum(maxerr, jnp.max(err, axis=1))
+                pivots = jnp.where(
+                    active[:, None] & legsel[None, :], best[:, None], pivots
+                )
+                maxerr = jnp.where(active, newmax, maxerr)
+                return (pivots, maxerr), None
+
+            (pivots, maxerr), _ = jax.lax.scan(
+                leg, (pivots, maxerr), jnp.arange(L)
+            )
+            done = (maxerr == prev) | (maxerr > earlystoptol)
+            return (k + 1, pivots, maxerr, active & ~done)
+
+        k, pivots, maxerr, _ = jax.lax.while_loop(
+            cond, sweep, (jnp.int32(0), pivots, maxerr, active)
+        )
+        return pivots, maxerr, k
+
+    return fz
+
+
 def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 forward: bool, dtype, pair: bool = False, shard_rows=None):
     """Trace one full 2-site sweep (forward or backward) into a jit program.
@@ -2277,6 +2392,57 @@ class DeviceSweepEngine:
 
             self._sweeps[key] = loop
         return self._sweeps[key]
+
+    def floatingzone(self, sitetensors, starts, nsweeps: int = 10**9,
+                     earlystoptol: float = float("inf")):
+        """Whole floating-zone search (estimatetrueerror's engine) as one
+        device dispatch against an arbitrary host tensor train.
+
+        sitetensors: the tt's ragged (χl, d, χr) cores; they are
+        zero-padded into a bond-bucketed (L, χ_b, dmax, χ_b) stack so the
+        compiled program is reused across tts of similar rank. Returns
+        (pivots (S, L) int32, maxerr (S,) f64) as numpy, or None when the
+        tt layout doesn't match this engine's localdims (caller falls
+        back to the host lock-step search)."""
+        L = len(self.localdims)
+        if len(sitetensors) != L:
+            return None
+        tensors = [np.asarray(t) for t in sitetensors]
+        for b, t in enumerate(tensors):
+            if t.ndim != 3 or t.shape[1] != self.localdims[b]:
+                return None
+        S = int(len(starts))
+        if S == 0:
+            return None
+        dmax = max(self.localdims)
+        chi = max(max(t.shape[0], t.shape[-1]) for t in tensors)
+        chi_b = max(8, 1 << (chi - 1).bit_length())
+        if self.pair:
+            cr = np.zeros((L, chi_b, dmax, chi_b), np.float64)
+            ci = np.zeros((L, chi_b, dmax, chi_b), np.float64)
+            for l, t in enumerate(tensors):
+                cr[l, : t.shape[0], : t.shape[1], : t.shape[2]] = t.real
+                ci[l, : t.shape[0], : t.shape[1], : t.shape[2]] = t.imag
+            cores_args = (jnp.asarray(cr), jnp.asarray(ci))
+        else:
+            cores = np.zeros((L, chi_b, dmax, chi_b), self.dtype)
+            for l, t in enumerate(tensors):
+                cores[l, : t.shape[0], : t.shape[1], : t.shape[2]] = t
+            cores_args = (jnp.asarray(cores),)
+        key = ("fzone", S, chi_b)
+        if key not in self._sweeps:
+            self._sweeps[key] = _make_floatingzone(
+                self.fjax, self.localdims, chi_b, S, self._jdtype,
+                pair=self.pair,
+            )
+        pivots, maxerr, k = jax.device_get(self._sweeps[key](
+            jnp.asarray(np.asarray(starts, dtype=np.int32)),
+            jnp.int32(min(nsweeps, 2**31 - 1)),
+            jnp.float64(earlystoptol),
+            *cores_args,
+        ))
+        self.nevals += S + int(k) * S * L * dmax
+        return np.asarray(pivots), np.asarray(maxerr)
 
     def _grow_capacity(self, maxbonddim: int) -> bool:
         """Grow Imax one capacity step (for a saturated loop/pair sweep);

@@ -44,6 +44,31 @@ def estimatetrueerror(
             tuple(int(rng.integers(0, d)) for d in dims) for _ in range(nsearch)
         ]
 
+    # Device tier: with a device-sweep-capable evaluator the WHOLE search
+    # (every sweep of every start) runs as one device program
+    # (DeviceSweepEngine.floatingzone); identical lock-step trajectories,
+    # ~(sweeps x legs) fewer dispatches than the batched host loop below.
+    engine = getattr(f, "device_sweep_engine", None)
+    if engine is not None and len(initialpoints) > 0:
+        dev = engine.floatingzone(
+            tt.sitetensors(),
+            np.asarray([list(p) for p in initialpoints], dtype=np.int32),
+        )
+        if dev is not None:
+            pivots, maxerr = dev
+            pivoterror = [
+                (tuple(int(x) for x in pivots[s]), float(maxerr[s]))
+                for s in range(len(initialpoints))
+            ]
+            pivoterror.sort(key=lambda pe: -pe[1])
+            seen = set()
+            out = []
+            for p, e in pivoterror:
+                if (p, e) not in seen:
+                    seen.add((p, e))
+                    out.append((p, e))
+            return out
+
     pivoterror = _floatingzone_batch(tt, f, initialpoints)
     pivoterror.sort(key=lambda pe: -pe[1])
     seen = set()

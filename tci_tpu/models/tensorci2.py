@@ -1174,10 +1174,26 @@ def searchglobalpivots(
         tuple(int(rng.integers(0, d)) for d in tci.localdims)
         for _ in range(nsearch)
     ]
-    results = _floatingzone_batch(
-        TensorTrain(tci.sitetensors()), f, initps,
-        earlystoptol=10 * abstol, nsweeps=100,
-    )
+    results = None
+    engine = getattr(f, "device_sweep_engine", None)
+    if engine is not None:
+        # whole search as ONE device program (identical lock-step
+        # trajectory up to float associativity in the TT contraction)
+        dev = engine.floatingzone(
+            tci.sitetensors(), np.asarray(initps, dtype=np.int32),
+            nsweeps=100, earlystoptol=10 * abstol,
+        )
+        if dev is not None:
+            parr, merr = dev
+            results = [
+                (tuple(int(x) for x in parr[s]), float(merr[s]))
+                for s in range(nsearch)
+            ]
+    if results is None:
+        results = _floatingzone_batch(
+            TensorTrain(tci.sitetensors()), f, initps,
+            earlystoptol=10 * abstol, nsweeps=100,
+        )
     pivots = {}
     for pivot, error in results:
         if error > abstol:

@@ -72,3 +72,96 @@ def test_floatingzone_batch_matches_sequential():
         for (p1, e1), (p2, e2) in zip(seq, bat):
             assert p1 == p2
             assert abs(e1 - e2) < 1e-10 * max(1.0, abs(e1))
+
+
+def test_estimatetrueerror_device_tier():
+    """With a device-sweep evaluator the whole floating-zone search runs
+    as one device program. The device trajectory is identical to the host
+    lock-step search up to float associativity in the TT contraction, so
+    we assert semantic equivalence: every returned (pivot, error) pair is
+    self-consistent against the host tt, the list is sorted descending,
+    and the best point/error match the host search."""
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.models.globalsearch import (
+        _floatingzone_batch,
+        estimatetrueerror,
+    )
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    def fj(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        return 1.0 / (1.0 + jnp.sum(v * v)) + 0.05 * jnp.cos(
+            2.7 * jnp.prod(v) ** 0.5
+        )
+
+    localdims = [4] * 5
+    bf = JaxBatchEvaluator(fj, localdims)
+    t, _, _ = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-2, maxbonddim=4
+    )
+    tt = tci.tensortrain(t)
+    starts = [
+        tuple(int(x) for x in row)
+        for row in np.random.default_rng(3).integers(0, 4, (12, 5))
+    ]
+
+    dev = estimatetrueerror(tt, bf, initialpoints=starts)
+    assert len(dev) > 0
+    errs = [e for _, e in dev]
+    assert errs == sorted(errs, reverse=True)
+    for p, e in dev:
+        true_err = abs(
+            float(np.asarray(bf.evaluate_many(
+                np.asarray([p], dtype=np.int32)
+            ))[0]) - complex(tt.evaluate(p)).real
+        )
+        assert np.isclose(true_err, e, rtol=1e-9, atol=1e-13), (p, e, true_err)
+
+    host = _floatingzone_batch(tt, bf, starts)
+    host_best = max(host, key=lambda pe: pe[1])
+    assert dev[0][0] == host_best[0]
+    assert np.isclose(dev[0][1], host_best[1], rtol=1e-10)
+
+
+def test_estimatetrueerror_device_tier_complex_pair():
+    """Pair-mode engines search complex |f - tt| on device via (re, im)
+    core stacks."""
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.models.globalsearch import (
+        _floatingzone_batch,
+        estimatetrueerror,
+    )
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        s = jnp.sum(v)
+        den = 1.0 + jnp.sum(v * v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    localdims = [3] * 4
+    bg = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                           pair_output=True)
+    t, _, _ = tci.crossinterpolate2(
+        np.complex128, bg, localdims, tolerance=1e-2, maxbonddim=3
+    )
+    tt = tci.tensortrain(t)
+    starts = [
+        tuple(int(x) for x in row)
+        for row in np.random.default_rng(5).integers(0, 3, (8, 4))
+    ]
+    dev = estimatetrueerror(tt, bg, initialpoints=starts)
+    assert len(dev) > 0
+    for p, e in dev:
+        fv = complex(np.asarray(bg.evaluate_many(
+            np.asarray([p], dtype=np.int32)
+        ))[0])
+        true_err = abs(fv - complex(tt.evaluate(p)))
+        assert np.isclose(true_err, e, rtol=1e-9, atol=1e-13), (p, e, true_err)
+    host = _floatingzone_batch(tt, bg, starts)
+    host_best = max(host, key=lambda pe: pe[1])
+    assert np.isclose(dev[0][1], host_best[1], rtol=1e-10)
