@@ -203,3 +203,36 @@ def test_optimize_loop_lowering_static():
             S((), i32), S((), i32),
             *((S((Kmax, 2), jnp.uint32),) if rook else ()),
         )
+
+
+def test_floatingzone_lowering_static():
+    """Static lowering of the device floating-zone search program for
+    real and pair value modes."""
+    import jax
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import _make_floatingzone
+
+    S = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    f64 = jnp.float64
+    localdims = (3, 4, 3)
+    L, chi, nst = len(localdims), 8, 6
+
+    def fjax(idx):
+        return 1.0 / (1.0 + jnp.sum(idx.astype(jnp.float64) ** 2))
+
+    def fpair(idx):
+        s = jnp.sum(idx.astype(jnp.float64))
+        return jnp.stack([jnp.cos(s), jnp.sin(s)])
+
+    for pair in (False, True):
+        fz = _make_floatingzone(
+            fpair if pair else fjax, localdims, chi, nst, jnp.float64,
+            pair=pair,
+        )
+        cores = (
+            (S((L, chi, 4, chi), f64), S((L, chi, 4, chi), f64))
+            if pair else (S((L, chi, 4, chi), f64),)
+        )
+        fz.lower(S((nst, L), i32), S((), i32), S((), f64), *cores)
