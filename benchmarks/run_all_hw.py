@@ -18,9 +18,11 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-threading.Timer(
+_wd = threading.Timer(
     3300.0, lambda: (print("WATCHDOG_EXIT", flush=True), os._exit(3))
-).start()
+)
+_wd.daemon = True
+_wd.start()
 
 
 def section(name, fn):

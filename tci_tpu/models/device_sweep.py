@@ -2135,7 +2135,7 @@ class DeviceSweepEngine:
              nevals2) = out[:8]
             I1, Il1, J1, Jl1, ms1, nevals1 = out[8:14]
             rest = out[14:]
-            self.nevals += int(nevals1) + int(nevals2)
+            nevals_run = int(nevals1) + int(nevals2)
         else:
             out = jax.device_get(
                 self._get_sweep_pair(fwd1, fwd2, False, nsearch)(
@@ -2147,31 +2147,31 @@ class DeviceSweepEngine:
             )
             I1, Il1, J1, Jl1, ms1 = out[7:12]
             rest = out[12:]
+            nevals_run = 0
             for b in range(L - 1):
                 Icap = self.Imax * self.localdims[b] + self.Imax
                 Jcap = self.localdims[b + 1] * self.Imax + self.Imax
-                self.nevals += 2 * Icap * Jcap
+                nevals_run += 2 * Icap * Jcap
         n_fill = 3 if self.pair else 2
         fill_res = rest[:n_fill]
         search_res = rest[n_fill:]
         maxsample = max(float(maxsample), float(ms1))
 
         # saturation: if either sweep hit the capacity, grow and redo both
+        # (the discarded attempt is NOT counted toward nevals, matching
+        # the per-sweep and optimize_loop tiers)
         if (
             max(int(np.max(Ilen_b)), int(np.max(Il1))) >= self.Imax
             and self.Imax < maxbonddim
         ):
-            nxt = _imax_target(self.Imax, self.Imax + 1)
-            if nxt > self.imax_cap or (
-                nxt * (max(self.localdims) + 1) > self.max_panel_edge
-            ):
+            if not self._grow_capacity():
                 return False
-            self.Imax = nxt
             return self.sweep2site_pair(
                 tci, fwd1, fwd2, reltol, abstol, maxbonddim, extraIset,
                 extraJset, pivotsearch=pivotsearch,
                 strictlynested=strictlynested, search_starts=search_starts,
             )
+        self.nevals += nevals_run
 
         prefix_lens = list(range(L))
         suffix_lens = [L - b - 1 for b in range(L)]
@@ -2220,7 +2220,7 @@ class DeviceSweepEngine:
         buffers so the host can replay the exact bookkeeping of the
         per-iteration path."""
         Kmax = self.loop_kmax
-        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch, rook)
+        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch, rook, Kmax)
         if key not in self._sweeps:
             s1 = self._get_sweep_rook(fwd1) if rook else self._get_sweep(fwd1)
             s2 = self._get_sweep_rook(fwd2) if rook else self._get_sweep(fwd2)
@@ -2411,6 +2411,15 @@ class DeviceSweepEngine:
         for b, t in enumerate(tensors):
             if t.ndim != 3 or t.shape[1] != self.localdims[b]:
                 return None
+        if (
+            any(np.iscomplexobj(t) for t in tensors)
+            and not self.pair
+            and not np.issubdtype(self.dtype, np.complexfloating)
+        ):
+            # a complex tt cannot ride a real-valued engine's program —
+            # decline so the caller's host path (which derives its dtype
+            # from the tt) handles it
+            return None
         S = int(len(starts))
         if S == 0:
             return None
@@ -2444,7 +2453,7 @@ class DeviceSweepEngine:
         self.nevals += S + int(k) * S * L * dmax
         return np.asarray(pivots), np.asarray(maxerr)
 
-    def _grow_capacity(self, maxbonddim: int) -> bool:
+    def _grow_capacity(self) -> bool:
         """Grow Imax one capacity step (for a saturated loop/pair sweep);
         False when the capacity or program-size guards forbid it."""
         nxt = _imax_target(self.Imax, self.Imax + 1)

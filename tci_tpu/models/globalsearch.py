@@ -48,6 +48,7 @@ def estimatetrueerror(
     # (every sweep of every start) runs as one device program
     # (DeviceSweepEngine.floatingzone); identical lock-step trajectories,
     # ~(sweeps x legs) fewer dispatches than the batched host loop below.
+    pivoterror = None
     engine = getattr(f, "device_sweep_engine", None)
     if engine is not None and len(initialpoints) > 0:
         dev = engine.floatingzone(
@@ -60,16 +61,8 @@ def estimatetrueerror(
                 (tuple(int(x) for x in pivots[s]), float(maxerr[s]))
                 for s in range(len(initialpoints))
             ]
-            pivoterror.sort(key=lambda pe: -pe[1])
-            seen = set()
-            out = []
-            for p, e in pivoterror:
-                if (p, e) not in seen:
-                    seen.add((p, e))
-                    out.append((p, e))
-            return out
-
-    pivoterror = _floatingzone_batch(tt, f, initialpoints)
+    if pivoterror is None:
+        pivoterror = _floatingzone_batch(tt, f, initialpoints)
     pivoterror.sort(key=lambda pe: -pe[1])
     seen = set()
     out = []

@@ -715,7 +715,7 @@ class TensorCI2(AbstractTensorTrain):
         if fillsitetensors and not engine_filled:
             self.fillsitetensors(f)
 
-    def _optimize_device_block(self, f, engine, finder, tol, normalizeerror,
+    def _optimize_device_block(self, engine, finder, tol, normalizeerror,
                                maxbonddim, strictlynested, sweepstrategy,
                                all_starts, it, maxiter, errors, ranks,
                                nglobalpivots, ncheckhistory,
@@ -759,7 +759,7 @@ class TensorCI2(AbstractTensorTrain):
         if K_done == 0:
             # the first in-loop iteration saturated the buffer: grow and
             # retry; if growth is impossible the fused path declines
-            if code == 2 and engine._grow_capacity(maxbonddim):
+            if code == 2 and engine._grow_capacity():
                 return (0, False)
             return None
 
@@ -839,7 +839,7 @@ class TensorCI2(AbstractTensorTrain):
         elif code == 2:
             # saturation after >= 1 completed iterations: bookkeeping above
             # covers the completed ones; grow (best effort) and re-enter
-            engine._grow_capacity(maxbonddim)
+            engine._grow_capacity()
         return (K_done, stop)
 
     # -- main optimization loop (tensorci2.jl:1018-1172) ----------------------
@@ -942,14 +942,6 @@ class TensorCI2(AbstractTensorTrain):
             if _default_finder and finder.nsearch > 0 else None
         )
         engine = getattr(f, "device_sweep_engine", None)
-        # Fused global search (sweep-pair program): the candidate search
-        # evaluates inside the same device program against the just-filled
-        # site tensors — one dispatch per optimize iteration.
-        _fused_search_ok = (
-            all_starts is not None
-            and pivotsearch in ("full", "rook")
-            and getattr(engine, "use_sweep_pair", False)
-        )
         # Multi-iteration device loop: pivot-free iterations are pure
         # device state transitions — run up to loop_kmax of them inside
         # ONE lax.while_loop program, exiting to the host only for
@@ -972,7 +964,7 @@ class TensorCI2(AbstractTensorTrain):
 
             if _fused_loop_ok:
                 blk = self._optimize_device_block(
-                    f, engine, finder, tol, normalizeerror, maxbonddim,
+                    engine, finder, tol, normalizeerror, maxbonddim,
                     strictlynested, sweepstrategy, all_starts, it, maxiter,
                     errors, ranks, nglobalpivots, ncheckhistory,
                     checkconvglobalpivot, pivotsearch=pivotsearch,

@@ -165,3 +165,33 @@ def test_estimatetrueerror_device_tier_complex_pair():
     host = _floatingzone_batch(tt, bg, starts)
     host_best = max(host, key=lambda pe: pe[1])
     assert np.isclose(dev[0][1], host_best[1], rtol=1e-10)
+
+
+def test_floatingzone_declines_complex_tt_on_real_engine():
+    """A complex tensor train must not ride a real engine's floatingzone
+    program (the core buffer would silently drop the imaginary part);
+    the engine declines and estimatetrueerror falls back to the host."""
+    import jax.numpy as jnp
+
+    import tci_tpu as tci
+    from tci_tpu.models.globalsearch import estimatetrueerror
+    from tci_tpu.models.tensortrain import TensorTrain
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+
+    def fj(idx):
+        return 1.0 / (1.0 + jnp.sum((idx.astype(jnp.float64) + 1.0) ** 2))
+
+    localdims = [3] * 4
+    bf = JaxBatchEvaluator(fj, localdims)  # real engine
+    t, _, _ = tci.crossinterpolate2(np.float64, bf, localdims,
+                                    tolerance=1e-8)
+    tt_c = TensorTrain([
+        np.asarray(c, dtype=np.complex128) for c in t.sitetensors()
+    ])
+    assert bf.device_sweep_engine.floatingzone(
+        tt_c.sitetensors(), np.zeros((4, 4), dtype=np.int32)
+    ) is None
+    # public API still answers through the host path
+    res = estimatetrueerror(tt_c, bf, nsearch=5,
+                            rng=np.random.default_rng(0))
+    assert len(res) > 0
