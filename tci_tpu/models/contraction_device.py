@@ -29,6 +29,19 @@ from .tensortrain import TensorTrain
 
 _INTMAX = 2**62
 
+# Whole-contraction programs: the per-bond steps below are individually
+# jitted, but a contraction still pays one dispatch per bond (several over
+# a remote link). The drivers compose ALL bonds into one jitted program,
+# cached here by the operand shape signature (cf. the whole-sweep programs
+# of models/device_sweep.py).
+_whole_programs: dict = {}
+
+
+def _cached_program(key, builder):
+    if key not in _whole_programs:
+        _whole_programs[key] = jax.jit(builder())
+    return _whole_programs[key]
+
 
 @partial(jax.jit, static_argnames=("cap", "last"))
 def _zip_step(R, a, b, reltol, cap: int, last: bool):
@@ -92,29 +105,43 @@ def contract_zipup_device(
     L = len(A)
     ajs = [jnp.asarray(A[n], dtype=jnp.float64) for n in range(L)]
     bjs = [jnp.asarray(B[n], dtype=jnp.float64) for n in range(L)]
-    reltol = jnp.float64(tolerance)
 
-    sites: List = []
-    kks: List = []
-    R = jnp.ones((1, 1, 1), dtype=jnp.float64)
+    caps = []
     P = 1
-    for n in range(L):
-        a, b = ajs[n], bjs[n]
-        if n == L - 1:
-            site, _, _ = _zip_step(R, a, b, reltol, cap=1, last=True)
-            sites.append(site)
-            break
-        m = P * a.shape[1] * b.shape[2]
-        nn = a.shape[3] * b.shape[3]
-        cap = int(min(maxbonddim, m, nn))
-        site, R, kk = _zip_step(R, a, b, reltol, cap=cap, last=False)
-        sites.append(site)
-        kks.append(kk)
-        P = cap
+    for n in range(L - 1):
+        m = P * ajs[n].shape[1] * bjs[n].shape[2]
+        nn = ajs[n].shape[3] * bjs[n].shape[3]
+        caps.append(int(min(maxbonddim, m, nn)))
+        P = caps[-1]
+    ash = tuple(t.shape for t in ajs)
+    bsh = tuple(t.shape for t in bjs)
 
-    ranks = [max(1, int(k)) for k in jax.device_get(kks)]
+    def builder():
+        def run(reltol, *cores):
+            ajs_, bjs_ = cores[:L], cores[L:]
+            sites, kks = [], []
+            R = jnp.ones((1, 1, 1), dtype=jnp.float64)
+            for n in range(L):
+                if n == L - 1:
+                    site, _, _ = _zip_step(
+                        R, ajs_[n], bjs_[n], reltol, cap=1, last=True
+                    )
+                    sites.append(site)
+                    break
+                site, R, kk = _zip_step(
+                    R, ajs_[n], bjs_[n], reltol, cap=caps[n], last=False
+                )
+                sites.append(site)
+                kks.append(kk)
+            return tuple(sites) + tuple(kks)
+
+        return run
+
+    prog = _cached_program(("zip", ash, bsh, tuple(caps)), builder)
+    outs = jax.device_get(prog(jnp.float64(tolerance), *ajs, *bjs))
+    host, kks = outs[:L], outs[L:]
+    ranks = [max(1, int(k)) for k in kks]
     out: List[np.ndarray] = []
-    host = jax.device_get(sites)
     for n in range(L):
         t = host[n]
         lo = 1 if n == 0 else ranks[n - 1]
@@ -264,50 +291,67 @@ def contract_naive_device(
         # complex operands run the (re, im) f64 pair programs
         return _contract_naive_device_pair(A, B, tolerance, maxbonddim)
     L = len(A)
-    tt = [
-        _merge_sites(jnp.asarray(A[n], dtype=jnp.float64),
-                     jnp.asarray(B[n], dtype=jnp.float64))
-        for n in range(L)
-    ]
-    if not (tolerance > 0 or maxbonddim < _INTMAX):
-        return TensorTrain([np.asarray(t, dtype=dtype) for t in tt])
+    ajs = [jnp.asarray(A[n], dtype=jnp.float64) for n in range(L)]
+    bjs = [jnp.asarray(B[n], dtype=jnp.float64) for n in range(L)]
+    ash = tuple(t.shape for t in ajs)
+    bsh = tuple(t.shape for t in bjs)
+    truncate = tolerance > 0 or maxbonddim < _INTMAX
+    mbd = int(min(maxbonddim, 2**31 - 1))
 
-    # L→R exact pass (tolerance 0, leftorthogonal)
-    zero = jnp.float64(0.0)
-    for ell in range(L - 1):
-        sh = tt[ell].shape
-        m = int(np.prod(sh[:-1]))
-        n = int(sh[-1])
-        cap = min(m, n)
-        left, right, _ = _lu_split(
-            tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n), zero,
-            cap=cap, leftorthogonal=True,
-        )
-        tt[ell] = left.reshape(*sh[:-1], cap)
-        shr = tt[ell + 1].shape
-        nxt = right @ tt[ell + 1].reshape(shr[0], int(np.prod(shr[1:])))
-        tt[ell + 1] = nxt.reshape(cap, *shr[1:])
+    def builder():
+        def run(reltol, *cores):
+            tt = [
+                _merge_sites(cores[n], cores[L + n]) for n in range(L)
+            ]
+            if not truncate:
+                return tuple(tt)
 
-    # R→L truncating pass
-    reltol = jnp.float64(tolerance)
-    ranks = []
-    for ell in range(L - 1, 0, -1):
-        sh = tt[ell].shape
-        m = int(sh[0])
-        n = int(np.prod(sh[1:]))
-        cap = int(min(m, n, maxbonddim))
-        left, right, kk = _lu_split(
-            tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n), reltol,
-            cap=cap, leftorthogonal=False,
-        )
-        tt[ell] = right.reshape(cap, *sh[1:])
-        shl = tt[ell - 1].shape
-        nxt = tt[ell - 1].reshape(int(np.prod(shl[:-1])), shl[-1]) @ left
-        tt[ell - 1] = nxt.reshape(*shl[:-1], cap)
-        ranks.append(kk)
+            # L→R exact pass (tolerance 0, leftorthogonal)
+            zero = jnp.float64(0.0)
+            for ell in range(L - 1):
+                sh = tt[ell].shape
+                m = int(np.prod(sh[:-1]))
+                n = int(sh[-1])
+                cap = min(m, n)
+                left, right, _ = _lu_split(
+                    tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n),
+                    zero, cap=cap, leftorthogonal=True,
+                )
+                tt[ell] = left.reshape(*sh[:-1], cap)
+                shr = tt[ell + 1].shape
+                nxt = right @ tt[ell + 1].reshape(
+                    shr[0], int(np.prod(shr[1:]))
+                )
+                tt[ell + 1] = nxt.reshape(cap, *shr[1:])
 
-    ranks = [max(1, int(k)) for k in jax.device_get(ranks)][::-1]
-    host = jax.device_get(tt)
+            # R→L truncating pass
+            ranks = []
+            for ell in range(L - 1, 0, -1):
+                sh = tt[ell].shape
+                m = int(sh[0])
+                n = int(np.prod(sh[1:]))
+                cap = int(min(m, n, mbd))
+                left, right, kk = _lu_split(
+                    tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n),
+                    reltol, cap=cap, leftorthogonal=False,
+                )
+                tt[ell] = right.reshape(cap, *sh[1:])
+                shl = tt[ell - 1].shape
+                nxt = tt[ell - 1].reshape(
+                    int(np.prod(shl[:-1])), shl[-1]
+                ) @ left
+                tt[ell - 1] = nxt.reshape(*shl[:-1], cap)
+                ranks.append(kk)
+            return tuple(tt) + tuple(ranks)
+
+        return run
+
+    prog = _cached_program(("naive", ash, bsh, mbd, truncate), builder)
+    outs = jax.device_get(prog(jnp.float64(tolerance), *ajs, *bjs))
+    if not truncate:
+        return TensorTrain([np.asarray(t, dtype=dtype) for t in outs])
+    host, kks = outs[:L], outs[L:]
+    ranks = [max(1, int(k)) for k in kks][::-1]
     out = []
     for n in range(L):
         t = host[n]
@@ -379,38 +423,54 @@ def _contract_zipup_device_pair(
     ais = [jnp.asarray(np.imag(A[n]), dtype=jnp.float64) for n in range(L)]
     brs = [jnp.asarray(np.real(B[n]), dtype=jnp.float64) for n in range(L)]
     bis = [jnp.asarray(np.imag(B[n]), dtype=jnp.float64) for n in range(L)]
-    reltol = jnp.float64(tolerance)
 
-    sites: List = []
-    kks: List = []
-    Rr = jnp.ones((1, 1, 1), dtype=jnp.float64)
-    Ri = jnp.zeros((1, 1, 1), dtype=jnp.float64)
+    caps = []
     P = 1
-    for n in range(L):
-        if n == L - 1:
-            sr, si, _, _, _ = _zip_step_pair(
-                Rr, Ri, ars[n], ais[n], brs[n], bis[n], reltol,
-                cap=1, last=True,
-            )
-            sites.append((sr, si))
-            break
+    for n in range(L - 1):
         m = P * ars[n].shape[1] * brs[n].shape[2]
         nn = ars[n].shape[3] * brs[n].shape[3]
-        cap = int(min(maxbonddim, m, nn))
-        lr, li, Rpair, kk, _ = _zip_step_pair(
-            Rr, Ri, ars[n], ais[n], brs[n], bis[n], reltol,
-            cap=cap, last=False,
-        )
-        sites.append((lr, li))
-        Rr, Ri = Rpair[0], Rpair[1]
-        kks.append(kk)
-        P = cap
+        caps.append(int(min(maxbonddim, m, nn)))
+        P = caps[-1]
+    ash = tuple(t.shape for t in ars)
+    bsh = tuple(t.shape for t in brs)
 
-    ranks = [max(1, int(k)) for k in jax.device_get(kks)]
+    def builder():
+        def run(reltol, *cores):
+            ars_, ais_ = cores[:L], cores[L:2 * L]
+            brs_, bis_ = cores[2 * L:3 * L], cores[3 * L:]
+            sites, kks = [], []
+            Rr = jnp.ones((1, 1, 1), dtype=jnp.float64)
+            Ri = jnp.zeros((1, 1, 1), dtype=jnp.float64)
+            for n in range(L):
+                if n == L - 1:
+                    sr, si, _, _, _ = _zip_step_pair(
+                        Rr, Ri, ars_[n], ais_[n], brs_[n], bis_[n],
+                        reltol, cap=1, last=True,
+                    )
+                    sites.append(sr)
+                    sites.append(si)
+                    break
+                lr, li, Rpair, kk, _ = _zip_step_pair(
+                    Rr, Ri, ars_[n], ais_[n], brs_[n], bis_[n],
+                    reltol, cap=caps[n], last=False,
+                )
+                sites.append(lr)
+                sites.append(li)
+                Rr, Ri = Rpair[0], Rpair[1]
+                kks.append(kk)
+            return tuple(sites) + tuple(kks)
+
+        return run
+
+    prog = _cached_program(("zip_pair", ash, bsh, tuple(caps)), builder)
+    outs = jax.device_get(
+        prog(jnp.float64(tolerance), *ars, *ais, *brs, *bis)
+    )
+    host, kks = outs[:2 * L], outs[2 * L:]
+    ranks = [max(1, int(k)) for k in kks]
     out: List[np.ndarray] = []
     for n in range(L):
-        sr, si = jax.device_get(sites[n])
-        t = np.asarray(sr) + 1j * np.asarray(si)
+        t = np.asarray(host[2 * n]) + 1j * np.asarray(host[2 * n + 1])
         lo = 1 if n == 0 else ranks[n - 1]
         hi = 1 if n == L - 1 else ranks[n]
         out.append(t[:lo, :, :, :hi].astype(np.complex128))
@@ -474,69 +534,98 @@ def _contract_naive_device_pair(
     from ..ops.complex_pair import _matmul_pair
 
     L = len(A)
-    tt = [
-        _merge_sites_pair(
-            jnp.asarray(np.real(A[n]), dtype=jnp.float64),
-            jnp.asarray(np.imag(A[n]), dtype=jnp.float64),
-            jnp.asarray(np.real(B[n]), dtype=jnp.float64),
-            jnp.asarray(np.imag(B[n]), dtype=jnp.float64),
-        )
-        for n in range(L)
-    ]
-    if not (tolerance > 0 or maxbonddim < _INTMAX):
-        return TensorTrain(
-            [np.asarray(tr) + 1j * np.asarray(ti) for tr, ti in tt]
-        )
+    ars = [jnp.asarray(np.real(A[n]), dtype=jnp.float64) for n in range(L)]
+    ais = [jnp.asarray(np.imag(A[n]), dtype=jnp.float64) for n in range(L)]
+    brs = [jnp.asarray(np.real(B[n]), dtype=jnp.float64) for n in range(L)]
+    bis = [jnp.asarray(np.imag(B[n]), dtype=jnp.float64) for n in range(L)]
+    ash = tuple(t.shape for t in ars)
+    bsh = tuple(t.shape for t in brs)
+    truncate = tolerance > 0 or maxbonddim < _INTMAX
+    mbd = int(min(maxbonddim, 2**31 - 1))
 
-    zero = jnp.float64(0.0)
-    for ell in range(L - 1):
-        tr, ti = tt[ell]
-        sh = tr.shape
-        m = int(np.prod(sh[:-1]))
-        n = int(sh[-1])
-        cap = min(m, n)
-        lr, li, rr, ri, _ = _lu_split_pair(
-            tr.reshape(m, n), ti.reshape(m, n), jnp.int32(m), jnp.int32(n),
-            zero, cap=cap, leftorthogonal=True,
-        )
-        tt[ell] = (lr.reshape(*sh[:-1], cap), li.reshape(*sh[:-1], cap))
-        nr, ni = tt[ell + 1]
-        shr = nr.shape
-        nxr, nxi = _matmul_pair(
-            rr, ri,
-            nr.reshape(shr[0], int(np.prod(shr[1:]))),
-            ni.reshape(shr[0], int(np.prod(shr[1:]))),
-        )
-        tt[ell + 1] = (nxr.reshape(cap, *shr[1:]), nxi.reshape(cap, *shr[1:]))
+    def builder():
+        def run(reltol, *cores):
+            ars_, ais_ = cores[:L], cores[L:2 * L]
+            brs_, bis_ = cores[2 * L:3 * L], cores[3 * L:]
+            tt = [
+                _merge_sites_pair(ars_[n], ais_[n], brs_[n], bis_[n])
+                for n in range(L)
+            ]
+            if not truncate:
+                return tuple(x for pairt in tt for x in pairt)
 
-    reltol = jnp.float64(tolerance)
-    ranks = []
-    for ell in range(L - 1, 0, -1):
-        tr, ti = tt[ell]
-        sh = tr.shape
-        m = int(sh[0])
-        n = int(np.prod(sh[1:]))
-        cap = int(min(m, n, maxbonddim))
-        lr, li, rr, ri, kk = _lu_split_pair(
-            tr.reshape(m, n), ti.reshape(m, n), jnp.int32(m), jnp.int32(n),
-            reltol, cap=cap, leftorthogonal=False,
-        )
-        tt[ell] = (rr.reshape(cap, *sh[1:]), ri.reshape(cap, *sh[1:]))
-        pr, pi = tt[ell - 1]
-        shl = pr.shape
-        nxr, nxi = _matmul_pair(
-            pr.reshape(int(np.prod(shl[:-1])), shl[-1]),
-            pi.reshape(int(np.prod(shl[:-1])), shl[-1]),
-            lr, li,
-        )
-        tt[ell - 1] = (nxr.reshape(*shl[:-1], cap), nxi.reshape(*shl[:-1], cap))
-        ranks.append(kk)
+            zero = jnp.float64(0.0)
+            for ell in range(L - 1):
+                tr, ti = tt[ell]
+                sh = tr.shape
+                m = int(np.prod(sh[:-1]))
+                n = int(sh[-1])
+                cap = min(m, n)
+                lr, li, rr, ri, _ = _lu_split_pair(
+                    tr.reshape(m, n), ti.reshape(m, n),
+                    jnp.int32(m), jnp.int32(n),
+                    zero, cap=cap, leftorthogonal=True,
+                )
+                tt[ell] = (
+                    lr.reshape(*sh[:-1], cap), li.reshape(*sh[:-1], cap)
+                )
+                nr, ni = tt[ell + 1]
+                shr = nr.shape
+                nxr, nxi = _matmul_pair(
+                    rr, ri,
+                    nr.reshape(shr[0], int(np.prod(shr[1:]))),
+                    ni.reshape(shr[0], int(np.prod(shr[1:]))),
+                )
+                tt[ell + 1] = (
+                    nxr.reshape(cap, *shr[1:]), nxi.reshape(cap, *shr[1:])
+                )
 
-    ranks = [max(1, int(k)) for k in jax.device_get(ranks)][::-1]
+            ranks = []
+            for ell in range(L - 1, 0, -1):
+                tr, ti = tt[ell]
+                sh = tr.shape
+                m = int(sh[0])
+                n = int(np.prod(sh[1:]))
+                cap = int(min(m, n, mbd))
+                lr, li, rr, ri, kk = _lu_split_pair(
+                    tr.reshape(m, n), ti.reshape(m, n),
+                    jnp.int32(m), jnp.int32(n),
+                    reltol, cap=cap, leftorthogonal=False,
+                )
+                tt[ell] = (
+                    rr.reshape(cap, *sh[1:]), ri.reshape(cap, *sh[1:])
+                )
+                pr, pi = tt[ell - 1]
+                shl = pr.shape
+                nxr, nxi = _matmul_pair(
+                    pr.reshape(int(np.prod(shl[:-1])), shl[-1]),
+                    pi.reshape(int(np.prod(shl[:-1])), shl[-1]),
+                    lr, li,
+                )
+                tt[ell - 1] = (
+                    nxr.reshape(*shl[:-1], cap), nxi.reshape(*shl[:-1], cap)
+                )
+                ranks.append(kk)
+            return tuple(
+                x for pairt in tt for x in pairt
+            ) + tuple(ranks)
+
+        return run
+
+    prog = _cached_program(("naive_pair", ash, bsh, mbd, truncate), builder)
+    outs = jax.device_get(
+        prog(jnp.float64(tolerance), *ars, *ais, *brs, *bis)
+    )
+    if not truncate:
+        return TensorTrain([
+            np.asarray(outs[2 * n]) + 1j * np.asarray(outs[2 * n + 1])
+            for n in range(L)
+        ])
+    host, kks = outs[:2 * L], outs[2 * L:]
+    ranks = [max(1, int(k)) for k in kks][::-1]
     out = []
     for n in range(L):
-        tr, ti = jax.device_get(tt[n])
-        t = np.asarray(tr) + 1j * np.asarray(ti)
+        t = np.asarray(host[2 * n]) + 1j * np.asarray(host[2 * n + 1])
         lo = 1 if n == 0 else ranks[n - 1]
         hi = 1 if n == L - 1 else ranks[n]
         out.append(t[:lo, :, :, :hi].astype(np.complex128))
