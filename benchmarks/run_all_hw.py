@@ -38,7 +38,8 @@ def section(name, fn):
 
 def main():
     want = sys.argv[1:] or [
-        "bench", "quantics", "feynman", "integration", "rook", "pallas",
+        "bench", "quantics", "feynman", "integration", "rook", "fused",
+        "pallas",
     ]
     from _common import setup_cache
 
@@ -65,6 +66,10 @@ def main():
         import bench_rook
 
         section("rook_vs_full", bench_rook.main)
+    if "fused" in want:
+        import bench_fused_tiers
+
+        section("fused_tiers", bench_fused_tiers.main)
     if "pallas" in want:
         import probe_pallas_tiled
 
