@@ -2497,6 +2497,13 @@ class DeviceSweepEngine:
         target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return None
+        # The loop's stacked history buffers are Kmax·2·L·Imax·L int32 ×2;
+        # for long high-rank chains that allocation (and its transfer on
+        # every block exit) would dwarf the dispatch savings — decline to
+        # the per-iteration pair tier instead.
+        hist_bytes = 2 * self.loop_kmax * 2 * L * target * L * 4
+        if hist_bytes > 64 * 2**20:
+            return None
         if (
             rook
             and not self._rook_uses_scan()
