@@ -882,3 +882,52 @@ def test_optimize_loop_rook_parity():
     for a, b in zip(t1.sitetensors(), t2.sitetensors()):
         assert np.allclose(a, b, atol=1e-12)
     assert n1 == n2  # eval accounting matches the per-iteration path
+
+
+@pytest.mark.slow
+def test_fuzz_engine_vs_host_random_configs():
+    """Seeded fuzz: random chain shapes/tolerances/knobs, device loop vs
+    the host oracle — full tensors must agree and ranks match."""
+    import jax.numpy as jnp
+
+    master = np.random.default_rng(20260818)
+    for trial in range(6):
+        L = int(master.integers(3, 6))
+        localdims = [int(master.integers(2, 6)) for _ in range(L)]
+        tolerance = float(10.0 ** -master.integers(6, 11))
+        maxbonddim = int(master.integers(3, 20))
+        strict = bool(master.integers(0, 2))
+        c = master.standard_normal(L) * 0.5
+        w = 1.0 + master.random(L)
+        cj = jnp.asarray(c)
+        wj = jnp.asarray(w)
+
+        def fj(idx, cj=cj, wj=wj):
+            v = idx.astype(jnp.float64)
+            return 1.0 / (
+                1.0 + jnp.sum(wj * (v - cj) ** 2)
+            ) + 0.1 * jnp.cos(jnp.sum(v * wj))
+
+        def fpy(x, c=c, w=w):
+            v = np.asarray(x, float)
+            return float(
+                1.0 / (1.0 + np.sum(w * (v - c) ** 2))
+                + 0.1 * np.cos(np.sum(v * w))
+            )
+
+        bf = JaxBatchEvaluator(fj, localdims)
+        t1, r1, e1 = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=tolerance,
+            maxbonddim=maxbonddim, strictlynested=strict,
+            rng=np.random.default_rng(trial),
+        )
+        t2, r2, e2 = tci.crossinterpolate2(
+            np.float64, fpy, localdims, tolerance=tolerance,
+            maxbonddim=maxbonddim, strictlynested=strict,
+            rng=np.random.default_rng(trial),
+        )
+        cfg = (localdims, tolerance, maxbonddim, strict)
+        assert t1.linkdims() == t2.linkdims(), cfg
+        ft1 = tci.fulltensor(tci.tensortrain(t1))
+        ft2 = tci.fulltensor(tci.tensortrain(t2))
+        assert np.allclose(ft1, ft2, atol=1e-8), cfg
