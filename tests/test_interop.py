@@ -153,6 +153,65 @@ def test_quimb_import_error_message():
         from_quimb_mps(object())
 
 
+def test_to_quimb_mps_executes_via_module_standin(rng, monkeypatch):
+    """Run the REAL `to_quimb_mps` body (import + constructor call) by
+    injecting a minimal quimb.tensor stand-in into sys.modules.
+
+    The stand-in enforces the same constructor contract quimb does for
+    ``MatrixProductState(arrays, shape="lrp")`` — rank-2 end sites,
+    rank-3 middle sites, a shape string naming l/r/p axes — and exposes
+    ``.arrays`` in (l, r, p) order, which is what `from_quimb_mps`
+    consumes. Everything except quimb's own internals executes."""
+    import sys
+    import types
+
+    from tci_tpu.interop.mps import from_quimb_mps, to_quimb_mps
+
+    class _MPS:
+        def __init__(self, arrays, shape="lrp"):
+            arrays = list(arrays)
+            if sorted(shape) != ["l", "p", "r"]:
+                raise ValueError(f"bad shape string {shape!r}")
+            n = len(arrays)
+            out = []
+            for i, a in enumerate(arrays):
+                # end sites drop the dangling virtual axis from the string
+                if i == 0:
+                    axes = [c for c in shape if c != "l"]
+                elif i == n - 1:
+                    axes = [c for c in shape if c != "r"]
+                else:
+                    axes = list(shape)
+                if a.ndim != len(axes):
+                    raise ValueError(
+                        f"site {i}: rank {a.ndim} != axes {axes}"
+                    )
+                canon = [c for c in "lrp" if c in axes]
+                out.append(np.transpose(a, [axes.index(c) for c in canon]))
+            self.arrays = out
+
+    qt = types.ModuleType("quimb.tensor")
+    qt.MatrixProductState = _MPS
+    q = types.ModuleType("quimb")
+    q.tensor = qt
+    monkeypatch.setitem(sys.modules, "quimb", q)
+    monkeypatch.setitem(sys.modules, "quimb.tensor", qt)
+
+    tt = TensorTrain(
+        [
+            rng.standard_normal((b1, 2, b2))
+            for b1, b2 in zip([1, 3, 4, 3], [3, 4, 3, 1])
+        ]
+    )
+    mps = to_quimb_mps(tt)
+    assert [a.shape for a in mps.arrays] == [
+        (3, 2), (3, 4, 2), (4, 3, 2), (3, 2)
+    ]
+    back = from_quimb_mps(mps)
+    for idx in itertools.product(*[range(2)] * 4):
+        assert abs(back.evaluate(idx) - tt.evaluate(idx)) < 1e-12
+
+
 @pytest.mark.skipif(
     not _HAS_QUIMB,
     reason="quimb not installed (optional dep; no-network image — "
