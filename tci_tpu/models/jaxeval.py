@@ -61,6 +61,34 @@ def tt_evaluate_batched(cores: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray
 tt_evaluate_batched_jit = jax.jit(tt_evaluate_batched)
 
 
+def tt_evaluate_sharded(
+    cores: jnp.ndarray,
+    indices: jnp.ndarray,
+    mesh,
+    axis: str = "batch",
+) -> jnp.ndarray:
+    """Serving-scale TT evaluation sharded over a device mesh.
+
+    Data-parallel over the sample batch: `cores` are replicated on every
+    device, the (B, L) index batch is sharded along the mesh axis, and the
+    per-site batched GEMMs of `tt_evaluate_batched` then run fully
+    device-local — XLA inserts no collectives on the hot loop (the only
+    cross-device traffic is the initial index scatter and final gather).
+    B is padded up to a multiple of the mesh size; padded rows are sliced
+    off the result.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = int(mesh.devices.size)
+    B = int(indices.shape[0])
+    Bp = ((B + n - 1) // n) * n
+    idx = jnp.pad(indices, ((0, Bp - B), (0, 0)))
+    idx = jax.device_put(idx, NamedSharding(mesh, PartitionSpec(axis, None)))
+    cores = jax.device_put(cores, NamedSharding(mesh, PartitionSpec()))
+    vals = tt_evaluate_batched_jit(cores, idx)
+    return vals[:B]
+
+
 def tt_sum_jax(cores: jnp.ndarray, linkdims: Tuple[int, ...] = None) -> jnp.ndarray:
     """Factorized sum over the full grid for padded cores (matches
     AbstractTensorTrain.sum; padding contributes zero)."""

@@ -108,3 +108,45 @@ def test_rook_on_mesh_matches_single_device():
     np.testing.assert_allclose(errors8, errors1, rtol=1e-10, atol=1e-14)
     pt = (1, 2, 0, 2, 1)
     assert abs(t8(pt) - t1(pt)) < 1e-12
+
+
+def test_tt_evaluate_sharded_matches_single_device(rng):
+    """Serving path: mesh-sharded batch evaluation == single-device, and
+    the compiled result is genuinely sharded over the mesh axis."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from tci_tpu.models.jaxeval import (
+        pad_cores,
+        tt_evaluate_batched_jit,
+        tt_evaluate_sharded,
+    )
+    from tci_tpu.models.tensortrain import TensorTrain
+    from tci_tpu.parallel.mesh import default_mesh
+
+    mesh = default_mesh(8)
+    linkdims = [1, 3, 5, 4, 1]
+    tt = TensorTrain(
+        [
+            rng.standard_normal((linkdims[i], 3, linkdims[i + 1]))
+            for i in range(4)
+        ]
+    )
+    cores = jnp.asarray(pad_cores(tt.sitetensors()))
+    # B=37 exercises the pad-to-multiple-of-mesh path (37 -> 40)
+    idx = jnp.asarray(rng.integers(0, 3, size=(37, 4)).astype(np.int32))
+
+    vals = tt_evaluate_sharded(cores, idx, mesh)
+    ref = tt_evaluate_batched_jit(cores, idx)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref), rtol=1e-12)
+    for i in [0, 5, 36]:
+        assert abs(float(vals[i]) - tt.evaluate(tuple(np.asarray(idx[i])))) < 1e-10
+
+    # the device computation must actually be distributed: evaluating the
+    # padded sharded batch directly yields an output laid out over all 8
+    # devices along the batch axis
+    n = mesh.devices.size
+    idx_p = jnp.pad(idx, ((0, 40 - 37), (0, 0)))
+    idx_p = jax.device_put(idx_p, NamedSharding(mesh, PartitionSpec("batch", None)))
+    cores_r = jax.device_put(cores, NamedSharding(mesh, PartitionSpec()))
+    out = tt_evaluate_batched_jit(cores_r, idx_p)
+    assert len(out.sharding.device_set) == n
