@@ -983,7 +983,8 @@ def _make_sweep_rook(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
 
 def _make_sweep_rook_scan(fjax: Callable, localdims: Tuple[int, ...],
                           Imax: int, forward: bool, dtype,
-                          numrookiter: int = 5, shard_rows=None):
+                          numrookiter: int = 5, shard_rows=None,
+                          pair: bool = False):
     """Scan-based whole-sweep ROOK program: one traced bond body (slab
     alternation included) + lax.scan over bonds.
 
@@ -995,10 +996,18 @@ def _make_sweep_rook_scan(fjax: Callable, localdims: Tuple[int, ...],
     continuation) follow the dynamic-b patterns of _make_sweep_scan:
     `_kron_is_scan` one-hot writes, `_panel_dyn` rolled suffixes, and
     full-slot `_match_positions` (rows are zero-padded beyond their
-    prefix/suffix, so comparing all L slots is exact)."""
+    prefix/suffix, so comparing all L slots is exact).
+
+    pair=True: fjax is pair-valued (complex as (re, im) f64 — Mosaic/XLA
+    on TPU has no native c128); slab panels and eliminations run on
+    ops.complex_pair.rrlu_state_pair, magnitudes via hypot. The rook
+    index bookkeeping is dtype-free, so the outputs are identical in
+    layout to the real case."""
     L = len(localdims)
     dmax = max(localdims)
     dims_arr = jnp.asarray(localdims, dtype=jnp.int32)
+    if pair:
+        from ..ops.complex_pair import rrlu_state_pair
 
     def bond_update(carry, b):
         (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ, extraJlen,
@@ -1068,38 +1077,51 @@ def _make_sweep_rook_scan(fjax: Callable, localdims: Tuple[int, ...],
             jnp.minimum(mI, mJ),
         )
 
+        def _slab_factorize(rows, cols, m_rows, m_cols, mr):
+            """One slab elimination; returns (rp, cp, k, mags, err, ms)."""
+            if pair:
+                Pr, Pi_ = _panel_pair_dyn(fjax, rows, cols, nl, m_rows,
+                                          m_cols)
+                _, _, rp, cp, k, mags, err = rrlu_state_pair(
+                    Pr, Pi_, m_rows, m_cols, mr, reltol, abstol,
+                    leftorthogonal=forward,
+                )
+                ms = jnp.max(jnp.hypot(Pr, Pi_))
+            else:
+                Pi = _panel_dyn(fjax, rows, cols, nl, m_rows, m_cols, dtype)
+                _, rp, cp, k, mags, err = _rrlu_state(
+                    Pi, m_rows, m_cols, mr, reltol, abstol,
+                    leftorthogonal=forward,
+                )
+                ms = jnp.max(jnp.abs(Pi))
+            return rp, cp, k, mags, err, ms
+
         def col_slab(st):
             """Factorize A[:, J0]: all candidate rows x selected cols."""
             I0_, I0len_, J0_, J0len_ = st
             Jsel = Jc[J0_]
-            Pi = _panel_dyn(fjax, Ic, Jsel, nl, mI, J0len_, dtype)
             mr = jnp.minimum(maxrank_bond, J0len_)
-            _, rp, cp, k, mags, err = _rrlu_state(
-                Pi, mI, J0len_, mr, reltol, abstol,
-                leftorthogonal=forward,
+            rp, cp, k, mags, err, ms = _slab_factorize(
+                Ic, Jsel, mI, J0len_, mr
             )
             newI = rp[:Imax].astype(jnp.int32)
             newJ = J0_[cp[:Imax]].astype(jnp.int32)
             smin = jnp.minimum(mI, J0len_)
-            return (newI, k, newJ, k, k, mags[:Imax], err, smin,
-                    jnp.max(jnp.abs(Pi)),
+            return (newI, k, newJ, k, k, mags[:Imax], err, smin, ms,
                     jnp.float64(Icap * Imax))
 
         def row_slab(st):
             """Factorize A[I0, :]: selected rows x all candidate cols."""
             I0_, I0len_, J0_, J0len_ = st
             Isel = Ic[I0_]
-            Pi = _panel_dyn(fjax, Isel, Jc, nl, I0len_, mJ, dtype)
             mr = jnp.minimum(maxrank_bond, I0len_)
-            _, rp, cp, k, mags, err = _rrlu_state(
-                Pi, I0len_, mJ, mr, reltol, abstol,
-                leftorthogonal=forward,
+            rp, cp, k, mags, err, ms = _slab_factorize(
+                Isel, Jc, I0len_, mJ, mr
             )
             newI = I0_[rp[:Imax]].astype(jnp.int32)
             newJ = cp[:Imax].astype(jnp.int32)
             smin = jnp.minimum(I0len_, mJ)
-            return (newI, k, newJ, k, k, mags[:Imax], err, smin,
-                    jnp.max(jnp.abs(Pi)),
+            return (newI, k, newJ, k, k, mags[:Imax], err, smin, ms,
                     jnp.float64(Imax * Jcap))
 
         def rook_body(st):
@@ -1767,14 +1789,22 @@ class DeviceSweepEngine:
     def _get_sweep_rook(self, forward: bool):
         key = (forward, self.Imax, "rook")
         if key not in self._sweeps:
-            maker = (
-                _make_sweep_rook_scan if self._rook_uses_scan()
-                else _make_sweep_rook
-            )
-            self._sweeps[key] = maker(
-                self.fjax, self.localdims, self.Imax, forward,
-                self._jdtype, shard_rows=self._shard_rows,
-            )
+            if self.pair:
+                # complex engines run the scan body unconditionally — it is
+                # the only rook variant with (re, im)-pair slab kernels
+                self._sweeps[key] = _make_sweep_rook_scan(
+                    self.fjax, self.localdims, self.Imax, forward,
+                    self._jdtype, shard_rows=self._shard_rows, pair=True,
+                )
+            else:
+                maker = (
+                    _make_sweep_rook_scan if self._rook_uses_scan()
+                    else _make_sweep_rook
+                )
+                self._sweeps[key] = maker(
+                    self.fjax, self.localdims, self.Imax, forward,
+                    self._jdtype, shard_rows=self._shard_rows,
+                )
         return self._sweeps[key]
 
     def _get_sweep(self, forward: bool):
@@ -1845,8 +1875,6 @@ class DeviceSweepEngine:
         L = len(self.localdims)
         self.last_sweep_filled = False
         rook = pivotsearch == "rook"
-        if rook and self.pair:
-            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
             + [len(s) for s in extraIset] + [len(s) for s in extraJset]
@@ -1859,6 +1887,7 @@ class DeviceSweepEngine:
             return False
         if (
             rook
+            and not self.pair
             and not self._rook_uses_scan()
             and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
         ):
@@ -2083,8 +2112,6 @@ class DeviceSweepEngine:
         self.last_sweep_filled = False
         self.last_search = None
         rook = pivotsearch == "rook"
-        if rook and self.pair:
-            return False
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
             + [len(s) for s in extraIset] + [len(s) for s in extraJset]
@@ -2097,6 +2124,7 @@ class DeviceSweepEngine:
             return False
         if (
             rook
+            and not self.pair
             and not self._rook_uses_scan()
             and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
         ):
@@ -2480,13 +2508,12 @@ class DeviceSweepEngine:
         loop body, with 2 slab-iteration seeds per iteration pre-drawn
         from the engine rng in the same order the per-iteration pair path
         draws them (bit-identical rook trajectories while a single block
-        covers the run; re-entries draw fresh seeds). Rook is unsupported
-        for pair-valued integrands and falls back to full search above the
-        unrolled rook's compile-time edge, exactly like sweep2site_pair."""
+        covers the run; re-entries draw fresh seeds). Rook falls back to
+        full search above the unrolled rook's compile-time edge, exactly
+        like sweep2site_pair; pair-valued integrands always take the
+        pair-capable scan rook body."""
         L = len(self.localdims)
         rook = pivotsearch == "rook"
-        if rook and self.pair:
-            return None
         needed = max(
             [len(s) for s in tci.Iset] + [len(s) for s in tci.Jset]
             + [len(s) for s in extraIset] + [len(s) for s in extraJset]
@@ -2506,6 +2533,7 @@ class DeviceSweepEngine:
             return None
         if (
             rook
+            and not self.pair
             and not self._rook_uses_scan()
             and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
         ):

@@ -545,7 +545,7 @@ class TensorCI2(AbstractTensorTrain):
                 # count dominates wall time (measured 170x on cheap
                 # integrands over a tunneled link). Reached only when the
                 # whole-sweep rook program declined (rank above engine
-                # capacity, chain length >= 16, or complex pair mode).
+                # capacity).
                 import warnings
 
                 warnings.warn(
@@ -951,7 +951,6 @@ class TensorCI2(AbstractTensorTrain):
             and _default_finder
             and pivotsearch in ("full", "rook")
             and engine is not None
-            and not (pivotsearch == "rook" and engine.pair)
             and getattr(engine, "use_optimize_loop", False)
         )
 

@@ -931,3 +931,78 @@ def test_fuzz_engine_vs_host_random_configs():
         ft1 = tci.fulltensor(tci.tensortrain(t1))
         ft2 = tci.fulltensor(tci.tensortrain(t2))
         assert np.allclose(ft1, ft2, atol=1e-8), cfg
+
+
+def test_whole_sweep_rook_complex_pair():
+    """pivotsearch='rook' with a pair-valued (complex) evaluator runs the
+    pair-capable SCAN rook body (the only rook variant with (re, im) slab
+    kernels) and must converge to the true function with fewer samples
+    than full search."""
+    import jax.numpy as jnp
+
+    localdims = [4] * 5
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        s = jnp.sum(v)
+        den = 1.0 + jnp.sum(v * v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    def gpy(x):
+        v = np.asarray(x, float) + 1.0
+        return np.exp(1j * v.sum()) / (1.0 + v @ v)
+
+    bf = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                           pair_output=True)
+    assert bf.device_sweep_engine.pair
+    t1, r1, e1 = tci.crossinterpolate2(
+        np.complex128, bf, localdims, tolerance=1e-9, pivotsearch="rook",
+        rng=np.random.default_rng(7),
+    )
+    assert e1[-1] < 1e-9 and e1[-1] > 0.0
+    bf2 = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                            pair_output=True)
+    t2, r2, e2 = tci.crossinterpolate2(
+        np.complex128, bf2, localdims, tolerance=1e-9, pivotsearch="full",
+        rng=np.random.default_rng(7),
+    )
+    assert t1.rank() == t2.rank()
+    # slab sampling must cost fewer evaluations than full panels
+    assert bf.device_sweep_engine.nevals < bf2.device_sweep_engine.nevals
+    for v in [(0, 0, 0, 0, 0), (1, 2, 3, 0, 1), (3, 2, 1, 2, 3)]:
+        assert abs(t1.evaluate(v) - gpy(v)) < 1e-8
+
+
+def test_optimize_loop_rook_complex_pair():
+    """Rook + pair inside the multi-iteration device loop follows the
+    exact per-iteration rook trajectory (same pre-drawn slab seeds)."""
+    import jax.numpy as jnp
+
+    localdims = [3] * 4
+
+    def gpair(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        s = jnp.sum(v)
+        den = 1.0 + jnp.sum(v * v)
+        return jnp.stack([jnp.cos(s) / den, jnp.sin(s) / den])
+
+    res = []
+    for use_loop in (True, False):
+        bf = JaxBatchEvaluator(gpair, localdims, dtype=np.complex128,
+                               pair_output=True)
+        eng = bf.device_sweep_engine
+        eng.use_optimize_loop = use_loop
+        eng._rng = np.random.default_rng(13)
+        t, r, e = tci.crossinterpolate2(
+            np.complex128, bf, localdims, tolerance=1e-10,
+            pivotsearch="rook", rng=np.random.default_rng(5),
+        )
+        res.append((t, r, e, eng.nevals))
+    (t1, r1, e1, n1), (t2, r2, e2, n2) = res
+    assert r1 == r2
+    assert np.allclose(e1, e2)
+    assert t1.Iset == t2.Iset
+    assert t1.Iset_history == t2.Iset_history
+    for a, b in zip(t1.sitetensors(), t2.sitetensors()):
+        assert np.allclose(a, b, atol=1e-12)
+    assert n1 == n2

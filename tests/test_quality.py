@@ -185,7 +185,7 @@ def test_optimize_loop_lowering_static():
 
     for pair, nsearch, rook in [
         (False, 5, False), (False, 0, False), (True, 5, False),
-        (False, 5, True),
+        (False, 5, True), (True, 5, True),
     ]:
         eng = DeviceSweepEngine(
             fpair if pair else fjax, localdims, imax=Imax, pair=pair,
