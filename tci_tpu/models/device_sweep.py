@@ -444,7 +444,8 @@ def _panel_pair(fjax_pair, Ic, Jc, nl, nr, mI, mJ):
 
 
 def _tt_search_on_cores(fjax, localdims, Imax, dtype, pair,
-                        cores, coresi, Ilen, Jlen, starts):
+                        cores, coresi, Ilen, Jlen, starts,
+                        shard_rows=None):
     """Global-pivot candidate search against a just-filled padded core
     stack, traceable inside a sweep program.
 
@@ -478,6 +479,11 @@ def _tt_search_on_cores(fjax, localdims, Imax, dtype, pair,
         legsel, vclamped[None, :, :, None], starts[:, None, None, :]
     )
     rows = cand.reshape(S * L * dmax, L).astype(jnp.int32)
+    if shard_rows is not None:
+        # distribute the candidate rows (the f sampling + TT contraction
+        # hot axis) over the mesh's batch axis; the (S,) argmax reduction
+        # below is then an XLA cross-device reduce
+        rows = shard_rows(rows)
     N = rows.shape[0]
 
     # right bond length per site: |Iset[b+1]| for b < L-1, |Jset[L-1]| (=1)
@@ -530,7 +536,7 @@ def _tt_search_on_cores(fjax, localdims, Imax, dtype, pair,
 
 
 def _make_floatingzone(fjax, localdims, chi: int, S: int, dtype,
-                       pair: bool = False):
+                       pair: bool = False, shard_rows=None):
     """Whole floating-zone coordinate search (globalsearch.jl:119-186) as
     ONE device program: a lax.while_loop over sweeps of a lax.scan over
     legs, all S starts in lock-step.
@@ -585,6 +591,11 @@ def _make_floatingzone(fjax, localdims, chi: int, S: int, dtype,
         return vr[:, 0], vi[:, 0]
 
     def abs_err(rows, *cores_args):
+        if shard_rows is not None:
+            # mesh-distribute the candidate rows: per leg round this is
+            # S*dmax f evaluations + TT contractions, data-parallel over
+            # the batch axis exactly like the sweep programs' Π panels
+            rows = shard_rows(rows)
         if pair:
             pv = _mapped_rows(fjax, rows)
             tr, ti = tt_eval_pair(cores_args[0], cores_args[1], rows)
@@ -2037,6 +2048,7 @@ class DeviceSweepEngine:
             fill_fn = self._get_fill()
             fjax, localdims, Imax = self.fjax, self.localdims, self.Imax
             jdtype, pair_mode = self._jdtype, self.pair
+            shard_rows_c = self._shard_rows
 
             def search_tail(o2, fill_out):
                 def run(starts):
@@ -2047,6 +2059,7 @@ class DeviceSweepEngine:
                     return _tt_search_on_cores(
                         fjax, localdims, Imax, jdtype, pair_mode,
                         cores, coresi, o2[1], o2[3], starts,
+                        shard_rows=shard_rows_c,
                     )
                 return run
 
@@ -2255,6 +2268,7 @@ class DeviceSweepEngine:
             fill_fn = self._get_fill()
             fjax, localdims, Imax = self.fjax, self.localdims, self.Imax
             jdtype, pair_mode = self._jdtype, self.pair
+            shard_rows_c = self._shard_rows
             L = len(localdims)
             dmax = max(localdims)
             S = max(nsearch, 1)
@@ -2319,6 +2333,7 @@ class DeviceSweepEngine:
                             fjax, localdims, Imax, jdtype, pair_mode,
                             cores_n, coresi_n if pair_mode else None,
                             Il2, Jl2, starts_k,
+                            shard_rows=shard_rows_c,
                         )
                         found = jnp.any(berr > abstol * tolmargin)
                     else:
@@ -2470,7 +2485,7 @@ class DeviceSweepEngine:
         if key not in self._sweeps:
             self._sweeps[key] = _make_floatingzone(
                 self.fjax, self.localdims, chi_b, S, self._jdtype,
-                pair=self.pair,
+                pair=self.pair, shard_rows=self._shard_rows,
             )
         pivots, maxerr, k = jax.device_get(self._sweeps[key](
             jnp.asarray(np.asarray(starts, dtype=np.int32)),

@@ -110,6 +110,49 @@ def test_rook_on_mesh_matches_single_device():
     assert abs(t8(pt) - t1(pt)) < 1e-12
 
 
+def test_floatingzone_on_mesh_matches_single_device():
+    """estimatetrueerror's whole-search device program carries the mesh
+    sharding constraint on its candidate-row axis: the mesh-sharded search
+    must follow the identical trajectory (same pivots, same errors) as the
+    single-device program — row sharding only distributes the per-row f
+    evaluations and TT contractions, never reorders any reduction."""
+    import tci_tpu as tci
+    from tci_tpu.models.globalsearch import estimatetrueerror
+    from tci_tpu.parallel.batcheval import JaxBatchEvaluator
+    from tci_tpu.parallel.mesh import default_mesh
+
+    def fj(idx):
+        v = idx.astype(jnp.float64) + 1.0
+        return 1.0 / (1.0 + jnp.sum(v * v)) + 0.05 * jnp.cos(
+            2.7 * jnp.prod(v) ** 0.5
+        )
+
+    localdims = [4] * 5
+    starts = [
+        tuple(int(x) for x in row)
+        for row in np.random.default_rng(3).integers(0, 4, (12, 5))
+    ]
+
+    def run(mesh):
+        bf = JaxBatchEvaluator(fj, localdims, mesh=mesh)
+        t, _, _ = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-2, maxbonddim=4,
+            rng=np.random.default_rng(5),
+        )
+        tt = tci.tensortrain(t)
+        assert bf.device_sweep_engine.floatingzone(
+            tt.sitetensors(), np.asarray(starts, dtype=np.int32)
+        ) is not None
+        return estimatetrueerror(tt, bf, initialpoints=starts)
+
+    res1 = run(None)
+    res8 = run(default_mesh(8))
+    assert [p for p, _ in res8] == [p for p, _ in res1]
+    np.testing.assert_allclose(
+        [e for _, e in res8], [e for _, e in res1], rtol=1e-12
+    )
+
+
 def test_tt_evaluate_sharded_matches_single_device(rng):
     """Serving path: mesh-sharded batch evaluation == single-device, and
     the compiled result is genuinely sharded over the mesh axis."""
