@@ -96,6 +96,7 @@ from .models.globalpivotfinder import (  # noqa: E402
 from .models.globalsearch import estimatetrueerror  # noqa: E402
 from .models import conversion  # noqa: E402
 from .models.contraction import Contraction, contract  # noqa: E402
+from .models.compress_device import compress_device  # noqa: E402
 from .models.contraction_device import contract_zipup_device  # noqa: E402
 from .models.integration import integrate  # noqa: E402
 
@@ -125,5 +126,6 @@ __all__ = [
     "AbstractGlobalPivotFinder", "DefaultGlobalPivotFinder", "estimatetrueerror",
     "conversion",
     # L5 applications
-    "Contraction", "contract", "contract_zipup_device", "integrate",
+    "Contraction", "contract", "compress_device", "contract_zipup_device",
+    "integrate",
 ]

@@ -193,9 +193,21 @@ class TensorTrain(AbstractTensorTrain):
         tolerance: float = 1e-12,
         maxbonddim: int = _INTMAX,
         normalizeerror: bool = True,
+        jax_native: bool = False,
     ) -> None:
         """In-place two-pass compression: L→R orthogonalization (no
-        truncation), then R→L truncation."""
+        truncation), then R→L truncation. With ``jax_native=True`` (and
+        ``method="LU"``) the whole two-pass sweep runs as one device
+        program (models/compress_device.py)."""
+        if jax_native:
+            from .compress_device import compress_device
+
+            out = compress_device(
+                self, method, tolerance=tolerance, maxbonddim=maxbonddim,
+                normalizeerror=normalizeerror,
+            )
+            self._sitetensors = out.sitetensors()
+            return
         tt = self._sitetensors
         for ell in range(len(tt) - 1):
             shapel = tt[ell].shape

@@ -236,3 +236,32 @@ def test_floatingzone_lowering_static():
             if pair else (S((L, chi, 4, chi), f64),)
         )
         fz.lower(S((nst, L), i32), S((), i32), S((), f64), *cores)
+
+
+def test_compress_device_lowering_static():
+    """Static lowering of the whole-chain compression programs (real and
+    pair) over 3-leg and 4-leg chains — shape/dtype regressions in the
+    two-pass trace fail fast without paying the compile."""
+    import jax
+    import jax.numpy as jnp
+
+    from tci_tpu.models.compress_device import _two_pass, _two_pass_pair
+
+    S = jax.ShapeDtypeStruct
+    f64 = jnp.float64
+
+    shapes3 = [(1, 3, 5), (5, 3, 5), (5, 3, 5), (5, 3, 1)]
+    shapes4 = [(1, 2, 3, 4), (4, 2, 3, 4), (4, 2, 3, 1)]
+    for shapes in (shapes3, shapes4):
+        L = len(shapes)
+        jax.jit(
+            lambda rt, at, *cs: _two_pass(list(cs), rt, at, 8)
+        ).lower(S((), f64), S((), f64), *[S(sh, f64) for sh in shapes])
+        jax.jit(
+            lambda rt, at, *cs: _two_pass_pair(
+                list(cs[:L]), list(cs[L:]), rt, at, 8
+            )
+        ).lower(
+            S((), f64), S((), f64),
+            *[S(sh, f64) for sh in shapes], *[S(sh, f64) for sh in shapes],
+        )
