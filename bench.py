@@ -80,6 +80,14 @@ def main():
     # warm up compile of the evaluator (excluded: compile time is one-off)
     bf.evaluate_many(np.zeros((1024, 8), dtype=np.int32))
 
+    # The first dispatch succeeded, so the backend is alive — the init
+    # watchdog has done its job; cancel it so a slow-but-healthy run
+    # (cold compile cache, grant lottery) is never killed mid-measurement
+    # and misreported as a tunnel outage.
+    wd = globals().get("_init_wd")
+    if wd is not None:
+        wd.cancel()
+
     # Untimed warm-up optimization: loads/compiles every device program this
     # workload uses (the one-off per-process cost a serving deployment pays
     # once). The timed run below re-does ALL the real work on chip.
@@ -89,8 +97,11 @@ def main():
 
     # Median of 3 timed optimizations (the reference's BenchmarkTools
     # methodology reports min/median over reps): per-dispatch latency over
-    # a tunneled link is noisy at sub-second walls.
+    # a tunneled link is noisy at sub-second walls. Each rep's rate pairs
+    # its OWN wall with its OWN sample count (rook's per-rep rng can vary
+    # the count), and the headline is the median per-rep rate.
     walls = []
+    nevals_reps = []
     for _ in range(3):
         nevals0 = bf.nevals
         t0 = time.perf_counter()
@@ -98,9 +109,11 @@ def main():
             np.float64, bf, localdims, tolerance=1e-8
         )
         walls.append(time.perf_counter() - t0)
-        nevals = bf.nevals - nevals0
+        nevals_reps.append(bf.nevals - nevals0)
+    rates = [n / w for n, w in zip(nevals_reps, walls)]
+    rate = float(np.median(rates))
     wall = float(np.median(walls))
-    rate = nevals / wall
+    nevals = int(np.median(nevals_reps))
 
     # sanity: converged and correct
     assert errors[-1] < 1e-8, f"did not converge: {errors}"
@@ -217,9 +230,10 @@ if __name__ == "__main__":
     if "--cpu-fallback" in sys.argv:
         os.environ["JAX_PLATFORMS"] = "cpu"
     else:
-        # Fires only if TPU init + warm-up + timed runs exceed 25 min
-        # (grant lottery alone has been observed at 650 s; compiles over
-        # the tunnel are slow but cached). A completed main() exits first.
+        # Guards TPU client init + the FIRST dispatch only (grant lottery
+        # alone has been observed at 650 s): main() cancels this as soon
+        # as the first warm-up dispatch returns, so a slow-but-healthy
+        # timed run is never killed mid-measurement.
         _init_wd = threading.Timer(1500.0, _cpu_fallback_and_exit)
         _init_wd.daemon = True
         _init_wd.start()

@@ -29,8 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.complex_pair import rrlu_state_pair
-from ..ops.lu_kernel import _rrlu_state
+from .contraction_device import _lu_split, _lu_split_pair
 from .tensortrain import TensorTrain
 
 _INTMAX = 2**62
@@ -43,62 +42,19 @@ _programs: dict = {}
 
 def _split(Cm, m_true: int, n_true: int, reltol, abstol, cap: int,
            leftorthogonal: bool):
-    """Traced rank-revealing split Cm ≈ left · right with zeroed truncated
-    tails; same factor convention as contraction_device._lu_split but with
-    an abstol operand (needed for the normalizeerror=False rule)."""
-    m, n = Cm.shape
-    maxrank = min(m, n, cap)
-    A_out, rowperm, colperm, kk, _, _ = _rrlu_state(
-        Cm, jnp.int32(m_true), jnp.int32(n_true), jnp.int32(maxrank),
-        reltol, abstol, leftorthogonal,
-    )
-    rmax = min(m, n)
-    ridx = jnp.arange(rmax)
-    keep = ridx < kk
-    L_all = jnp.tril(A_out[:, :rmax])
-    U_all = jnp.triu(A_out[:rmax, :])
-    if leftorthogonal:
-        L_all = L_all.at[jnp.arange(m)[:rmax], ridx].set(1.0)
-    else:
-        U_all = U_all.at[ridx, jnp.arange(n)[:rmax]].set(1.0)
-    L_all = jnp.where(keep[None, :], L_all, 0.0)
-    U_all = jnp.where(keep[:, None], U_all, 0.0)
-    left = jnp.zeros_like(L_all).at[rowperm, :].set(L_all)[:, :cap]
-    right = jnp.zeros_like(U_all).at[:, colperm].set(U_all)[:cap, :]
-    return left, right, kk
+    """Rank-revealing split; shared kernel with the device contraction
+    tiers (contraction_device._lu_split), abstol operand included (needed
+    for the normalizeerror=False rule)."""
+    return _lu_split(Cm, jnp.int32(m_true), jnp.int32(n_true), reltol,
+                     abstol, cap=cap, leftorthogonal=leftorthogonal)
 
 
 def _split_pair(Cmr, Cmi, m_true: int, n_true: int, reltol, abstol,
                 cap: int, leftorthogonal: bool):
     """Pair-mode _split: the complex matrix is carried as (re, im) f64."""
-    m, n = Cmr.shape
-    maxrank = min(m, n, cap)
-    Ar, Ai, rowperm, colperm, kk, _, _ = rrlu_state_pair(
-        Cmr, Cmi, jnp.int32(m_true), jnp.int32(n_true), jnp.int32(maxrank),
-        reltol, abstol, leftorthogonal,
-    )
-    rmax = min(m, n)
-    ridx = jnp.arange(rmax)
-    keep = ridx < kk
-    Lr = jnp.tril(Ar[:, :rmax])
-    Li = jnp.tril(Ai[:, :rmax])
-    Ur = jnp.triu(Ar[:rmax, :])
-    Ui = jnp.triu(Ai[:rmax, :])
-    if leftorthogonal:
-        Lr = Lr.at[jnp.arange(m)[:rmax], ridx].set(1.0)
-        Li = Li.at[jnp.arange(m)[:rmax], ridx].set(0.0)
-    else:
-        Ur = Ur.at[ridx, jnp.arange(n)[:rmax]].set(1.0)
-        Ui = Ui.at[ridx, jnp.arange(n)[:rmax]].set(0.0)
-    Lr = jnp.where(keep[None, :], Lr, 0.0)
-    Li = jnp.where(keep[None, :], Li, 0.0)
-    Ur = jnp.where(keep[:, None], Ur, 0.0)
-    Ui = jnp.where(keep[:, None], Ui, 0.0)
-    lr = jnp.zeros_like(Lr).at[rowperm, :].set(Lr)[:, :cap]
-    li = jnp.zeros_like(Li).at[rowperm, :].set(Li)[:, :cap]
-    rr = jnp.zeros_like(Ur).at[:, colperm].set(Ur)[:cap, :]
-    ri = jnp.zeros_like(Ui).at[:, colperm].set(Ui)[:cap, :]
-    return lr, li, rr, ri, kk
+    return _lu_split_pair(Cmr, Cmi, jnp.int32(m_true), jnp.int32(n_true),
+                          reltol, abstol, cap=cap,
+                          leftorthogonal=leftorthogonal)
 
 
 def _two_pass(cores: List, reltol, abstol, mbd: int):

@@ -230,16 +230,19 @@ def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None):
 
 
 @partial(jax.jit, static_argnames=("cap", "leftorthogonal"))
-def _lu_split(Cm, m_true, n_true, reltol, cap: int, leftorthogonal: bool):
+def _lu_split(Cm, m_true, n_true, reltol, abstol, cap: int,
+              leftorthogonal: bool):
     """Split Cm ≈ left · right by rank-revealing LU on device, mirroring the
     host rrlu left()/right() convention (ops/lu.py:119-131): with
     leftorthogonal, L is unit-diagonal and U carries the pivots; otherwise L
     carries the pivots and U is unit-diagonal. Truncated columns/rows beyond
-    the returned rank are zeroed. Returns (left (m, cap), right (cap, n), k)."""
+    the returned rank are zeroed. Returns (left (m, cap), right (cap, n), k).
+    Also used by models/compress_device.py, which needs a real abstol (the
+    normalizeerror=False truncation rule)."""
     m, n = Cm.shape
     maxrank = min(m, n, cap)
     A_out, rowperm, colperm, kk, _, _ = _rrlu_state(
-        Cm, m_true, n_true, jnp.int32(maxrank), reltol, jnp.float64(0.0),
+        Cm, m_true, n_true, jnp.int32(maxrank), reltol, abstol,
         leftorthogonal,
     )
     rmax = min(m, n)
@@ -315,7 +318,7 @@ def contract_naive_device(
                 cap = min(m, n)
                 left, right, _ = _lu_split(
                     tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n),
-                    zero, cap=cap, leftorthogonal=True,
+                    zero, zero, cap=cap, leftorthogonal=True,
                 )
                 tt[ell] = left.reshape(*sh[:-1], cap)
                 shr = tt[ell + 1].shape
@@ -333,7 +336,7 @@ def contract_naive_device(
                 cap = int(min(m, n, mbd))
                 left, right, kk = _lu_split(
                     tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n),
-                    reltol, cap=cap, leftorthogonal=False,
+                    reltol, zero, cap=cap, leftorthogonal=False,
                 )
                 tt[ell] = right.reshape(cap, *sh[1:])
                 shl = tt[ell - 1].shape
@@ -478,17 +481,18 @@ def _contract_zipup_device_pair(
 
 
 @partial(jax.jit, static_argnames=("cap", "leftorthogonal"))
-def _lu_split_pair(Cmr, Cmi, m_true, n_true, reltol, cap: int,
+def _lu_split_pair(Cmr, Cmi, m_true, n_true, reltol, abstol, cap: int,
                    leftorthogonal: bool):
     """Pair-mode _lu_split: rrLU split of a complex matrix carried as
-    (re, im) f64 pairs, mirroring the host rrlu left()/right() convention."""
+    (re, im) f64 pairs, mirroring the host rrlu left()/right() convention.
+    Also used by models/compress_device.py (real abstol operand)."""
     from ..ops.complex_pair import rrlu_state_pair
 
     m, n = Cmr.shape
     maxrank = min(m, n, cap)
     Ar, Ai, rowperm, colperm, kk, _, _ = rrlu_state_pair(
         Cmr, Cmi, m_true, n_true, jnp.int32(maxrank), reltol,
-        jnp.float64(0.0), leftorthogonal,
+        abstol, leftorthogonal,
     )
     rmax = min(m, n)
     ridx = jnp.arange(rmax)
@@ -564,7 +568,7 @@ def _contract_naive_device_pair(
                 lr, li, rr, ri, _ = _lu_split_pair(
                     tr.reshape(m, n), ti.reshape(m, n),
                     jnp.int32(m), jnp.int32(n),
-                    zero, cap=cap, leftorthogonal=True,
+                    zero, zero, cap=cap, leftorthogonal=True,
                 )
                 tt[ell] = (
                     lr.reshape(*sh[:-1], cap), li.reshape(*sh[:-1], cap)
@@ -590,7 +594,7 @@ def _contract_naive_device_pair(
                 lr, li, rr, ri, kk = _lu_split_pair(
                     tr.reshape(m, n), ti.reshape(m, n),
                     jnp.int32(m), jnp.int32(n),
-                    reltol, cap=cap, leftorthogonal=False,
+                    reltol, zero, cap=cap, leftorthogonal=False,
                 )
                 tt[ell] = (
                     rr.reshape(cap, *sh[1:]), ri.reshape(cap, *sh[1:])

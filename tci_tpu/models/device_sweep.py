@@ -655,6 +655,91 @@ def _make_floatingzone(fjax, localdims, chi: int, S: int, dtype,
     return fz
 
 
+def _bond_writeback(Iset, Ilen, Jset, Jlen, bonderrs, perrs, b, Ic, Jc,
+                    rowsel, colsel, k, mags, err_final, Imax: int):
+    """Write one bond's selected pivots and error bookkeeping back into the
+    sweep state (shared by all four sweep builders): Iset[b+1]/Jset[b] get
+    the first k candidate rows/cols (zero-padded), bonderrs[b] the residual,
+    perrs[b] the pivot-magnitude series with the residual appended at
+    position k (reference pivoterrors, matrixlu.jl:799-801)."""
+    selI = Ic[rowsel[:Imax], :]
+    keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
+    Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
+    Ilen = Ilen.at[b + 1].set(k)
+    selJ = Jc[colsel[:Imax], :]
+    Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
+    Jlen = Jlen.at[b].set(k)
+
+    bonderrs = bonderrs.at[b].set(err_final)
+    pv = jnp.where(
+        jnp.arange(Imax + 1) < k,
+        jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
+        0.0,
+    )
+    pv = pv.at[k].set(err_final)
+    perrs = perrs.at[b].set(pv)
+    return Iset, Ilen, Jset, Jlen, bonderrs, perrs
+
+
+def _rook_alternate(col_slab, row_slab, I0, I0len, J0, J0len, Imax: int,
+                    numrookiter: int, forward: bool):
+    """Alternating rook slab elimination under lax.while_loop, shared by the
+    unrolled and scan rook sweep builders. col_slab/row_slab take
+    (I0, I0len, J0, J0len) and return
+    (newI, newIlen, newJ, newJlen, k, mags[:Imax], err, smin, maxsample,
+    nevals) — the builders supply the panel machinery, this supplies the
+    alternation, self-consistency stop and residual bookkeeping.
+
+    Residual rule: once the pivot sets self-consist, the final slab has
+    width exactly k and reports residual 0 (k >= smin) even though the
+    matrix is not exactly rank k. Keep the residual of the last WIDE slab
+    (k < smin) — the magnitude of its first rejected pivot — as the bond
+    error, which is what the reference's wider final slabs report.
+
+    Returns (I0f, J0f, k, mags, err_final, maxsample, nevals)."""
+
+    def rook_body(st):
+        (I0_, I0len_, J0_, J0len_, k_, mags_, err_, errw_, smin_,
+         it_, done_, ms_, ne_) = st
+        rookiter = it_ + 1
+        # matrixlu.jl rook alternation: for leftorthogonal the first
+        # move factorizes the column slab A[:, J0]
+        colmove = ((rookiter % 2) == 0) == forward
+        out = jax.lax.cond(
+            colmove, row_slab, col_slab,
+            (I0_, I0len_, J0_, J0len_),
+        )
+        (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, smin2, ms2,
+         ne2) = out
+        errw2 = jnp.where(k2 < smin2, err2, errw_)
+        idx = jnp.arange(Imax)
+        sameI = (nIlen == I0len_) & jnp.all(
+            (idx >= nIlen) | (nI_ == I0_)
+        )
+        sameJ = (nJlen == J0len_) & jnp.all(
+            (idx >= nJlen) | (nJ_ == J0_)
+        )
+        return (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, errw2,
+                smin2, it_ + 1, sameI & sameJ,
+                jnp.maximum(ms_, ms2), ne_ + ne2)
+
+    def rook_cond(st):
+        return (~st[10]) & (st[9] < numrookiter)
+
+    st0 = (
+        I0, I0len, J0, J0len, jnp.int32(0),
+        jnp.zeros((Imax,), dtype=jnp.float64),
+        jnp.float64(jnp.nan), jnp.float64(jnp.nan), jnp.int32(0),
+        jnp.int32(0), False, jnp.float64(0.0), jnp.float64(0.0),
+    )
+    st = jax.lax.while_loop(rook_cond, rook_body, st0)
+    (I0f, _, J0f, _, k, mags, err, errw, smin, _, _, ms, ne) = st
+    err_final = jnp.where(
+        jnp.isnan(errw), jnp.where(k >= smin, 0.0, err), errw
+    )
+    return I0f, J0f, k, mags, err_final, ms, ne
+
+
 def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 forward: bool, dtype, pair: bool = False, shard_rows=None):
     """Trace one full 2-site sweep (forward or backward) into a jit program.
@@ -751,23 +836,10 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                 )
             err_final = jnp.where(k >= jnp.minimum(mI, mJ), 0.0, err)
 
-            # --- write back selected pivots ---------------------------------
-            selI = Ic[rowperm[:Imax], :]
-            keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
-            Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
-            Ilen = Ilen.at[b + 1].set(k)
-            selJ = Jc[colperm[:Imax], :]
-            Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
-            Jlen = Jlen.at[b].set(k)
-
-            bonderrs = bonderrs.at[b].set(err_final)
-            pv = jnp.where(
-                jnp.arange(Imax + 1) < k,
-                jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
-                0.0,
+            Iset, Ilen, Jset, Jlen, bonderrs, perrs = _bond_writeback(
+                Iset, Ilen, Jset, Jlen, bonderrs, perrs, b, Ic, Jc,
+                rowperm, colperm, k, mags, err_final, Imax,
             )
-            pv = pv.at[k].set(err_final)
-            perrs = perrs.at[b].set(pv)
 
         return Iset, Ilen, Jset, Jlen, bonderrs, perrs, maxsample
 
@@ -921,69 +993,15 @@ def _make_sweep_rook(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                         jnp.max(jnp.abs(Pi)),
                         jnp.float64(Imax * _Jc.shape[0]))
 
-            def rook_body(st):
-                (I0_, I0len_, J0_, J0len_, k_, mags_, err_, errw_, smin_,
-                 it_, done_, ms_, ne_) = st
-                rookiter = it_ + 1
-                # matrixlu.jl rook alternation: for leftorthogonal the first
-                # move factorizes the column slab A[:, J0]
-                colmove = ((rookiter % 2) == 0) == forward
-                out = jax.lax.cond(
-                    colmove, row_slab, col_slab,
-                    (I0_, I0len_, J0_, J0len_),
-                )
-                (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, smin2, ms2,
-                 ne2) = out
-                # Residual bookkeeping: once the pivot sets self-consist,
-                # the final slab has width exactly k and reports residual 0
-                # (k >= smin) even though the matrix is not exactly rank k.
-                # Keep the residual of the last WIDE slab (k < smin) — the
-                # magnitude of its first rejected pivot — as the bond error,
-                # which is what the reference's wider final slabs report.
-                errw2 = jnp.where(k2 < smin2, err2, errw_)
-                idx = jnp.arange(Imax)
-                sameI = (nIlen == I0len_) & jnp.all(
-                    (idx >= nIlen) | (nI_ == I0_)
-                )
-                sameJ = (nJlen == J0len_) & jnp.all(
-                    (idx >= nJlen) | (nJ_ == J0_)
-                )
-                return (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, errw2,
-                        smin2, it_ + 1, sameI & sameJ,
-                        jnp.maximum(ms_, ms2), ne_ + ne2)
-
-            def rook_cond(st):
-                return (~st[10]) & (st[9] < numrookiter)
-
-            st0 = (
-                I0, I0len, J0, J0len, jnp.int32(0),
-                jnp.zeros((Imax,), dtype=jnp.float64),
-                jnp.float64(jnp.nan), jnp.float64(jnp.nan), jnp.int32(0),
-                jnp.int32(0), False, jnp.float64(0.0), jnp.float64(0.0),
-            )
-            st = jax.lax.while_loop(rook_cond, rook_body, st0)
-            (I0f, _, J0f, _, k, mags, err, errw, smin, _, _, ms, ne) = st
-            err_final = jnp.where(
-                jnp.isnan(errw), jnp.where(k >= smin, 0.0, err), errw
+            I0f, J0f, k, mags, err_final, ms, ne = _rook_alternate(
+                col_slab, row_slab, I0, I0len, J0, J0len, Imax,
+                numrookiter, forward,
             )
 
-            # --- write back (identical layout to _make_sweep) --------------
-            selI = Ic[I0f[:Imax], :]
-            keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
-            Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
-            Ilen = Ilen.at[b + 1].set(k)
-            selJ = Jc[J0f[:Imax], :]
-            Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
-            Jlen = Jlen.at[b].set(k)
-
-            bonderrs = bonderrs.at[b].set(err_final)
-            pv = jnp.where(
-                jnp.arange(Imax + 1) < k,
-                jnp.concatenate([mags, jnp.zeros(1)]),
-                0.0,
+            Iset, Ilen, Jset, Jlen, bonderrs, perrs = _bond_writeback(
+                Iset, Ilen, Jset, Jlen, bonderrs, perrs, b, Ic, Jc,
+                I0f, J0f, k, mags, err_final, Imax,
             )
-            pv = pv.at[k].set(err_final)
-            perrs = perrs.at[b].set(pv)
             maxsample = jnp.maximum(maxsample, ms)
             nevals = nevals + ne
 
@@ -1135,62 +1153,15 @@ def _make_sweep_rook_scan(fjax: Callable, localdims: Tuple[int, ...],
             return (newI, k, newJ, k, k, mags[:Imax], err, smin, ms,
                     jnp.float64(Imax * Jcap))
 
-        def rook_body(st):
-            (I0_, I0len_, J0_, J0len_, k_, mags_, err_, errw_, smin_,
-             it_, done_, ms_, ne_) = st
-            rookiter = it_ + 1
-            colmove = ((rookiter % 2) == 0) == forward
-            out = jax.lax.cond(
-                colmove, row_slab, col_slab,
-                (I0_, I0len_, J0_, J0len_),
-            )
-            (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, smin2, ms2,
-             ne2) = out
-            # residual bookkeeping: see _make_sweep_rook
-            errw2 = jnp.where(k2 < smin2, err2, errw_)
-            idx = jnp.arange(Imax)
-            sameI = (nIlen == I0len_) & jnp.all(
-                (idx >= nIlen) | (nI_ == I0_)
-            )
-            sameJ = (nJlen == J0len_) & jnp.all(
-                (idx >= nJlen) | (nJ_ == J0_)
-            )
-            return (nI_, nIlen, nJ_, nJlen, k2, mags2, err2, errw2,
-                    smin2, it_ + 1, sameI & sameJ,
-                    jnp.maximum(ms_, ms2), ne_ + ne2)
-
-        def rook_cond(st):
-            return (~st[10]) & (st[9] < numrookiter)
-
-        st0 = (
-            I0, I0len, J0, J0len, jnp.int32(0),
-            jnp.zeros((Imax,), dtype=jnp.float64),
-            jnp.float64(jnp.nan), jnp.float64(jnp.nan), jnp.int32(0),
-            jnp.int32(0), False, jnp.float64(0.0), jnp.float64(0.0),
-        )
-        st = jax.lax.while_loop(rook_cond, rook_body, st0)
-        (I0f, _, J0f, _, k, mags, err, errw, smin, _, _, ms, ne) = st
-        err_final = jnp.where(
-            jnp.isnan(errw), jnp.where(k >= smin, 0.0, err), errw
+        I0f, J0f, k, mags, err_final, ms, ne = _rook_alternate(
+            col_slab, row_slab, I0, I0len, J0, J0len, Imax,
+            numrookiter, forward,
         )
 
-        # --- write back (identical layout to _make_sweep_scan) -------------
-        selI = Ic[I0f[:Imax], :]
-        keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
-        Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
-        Ilen = Ilen.at[b + 1].set(k)
-        selJ = Jc[J0f[:Imax], :]
-        Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
-        Jlen = Jlen.at[b].set(k)
-
-        bonderrs = bonderrs.at[b].set(err_final)
-        pv = jnp.where(
-            jnp.arange(Imax + 1) < k,
-            jnp.concatenate([mags, jnp.zeros(1)]),
-            0.0,
+        Iset, Ilen, Jset, Jlen, bonderrs, perrs = _bond_writeback(
+            Iset, Ilen, Jset, Jlen, bonderrs, perrs, b, Ic, Jc,
+            I0f, J0f, k, mags, err_final, Imax,
         )
-        pv = pv.at[k].set(err_final)
-        perrs = perrs.at[b].set(pv)
         maxsample = jnp.maximum(maxsample, ms)
         nevals = nevals + ne
 
@@ -1330,22 +1301,10 @@ def _make_sweep_scan(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
             )
         err_final = jnp.where(k >= jnp.minimum(mI, mJ), 0.0, err)
 
-        selI = Ic[rowperm[:Imax], :]
-        keep = jnp.arange(Imax, dtype=jnp.int32)[:, None] < k
-        Iset = Iset.at[b + 1].set(jnp.where(keep, selI, 0))
-        Ilen = Ilen.at[b + 1].set(k)
-        selJ = Jc[colperm[:Imax], :]
-        Jset = Jset.at[b].set(jnp.where(keep, selJ, 0))
-        Jlen = Jlen.at[b].set(k)
-
-        bonderrs = bonderrs.at[b].set(err_final)
-        pv = jnp.where(
-            jnp.arange(Imax + 1) < k,
-            jnp.concatenate([mags[:Imax], jnp.zeros(1)]),
-            0.0,
+        Iset, Ilen, Jset, Jlen, bonderrs, perrs = _bond_writeback(
+            Iset, Ilen, Jset, Jlen, bonderrs, perrs, b, Ic, Jc,
+            rowperm, colperm, k, mags, err_final, Imax,
         )
-        pv = pv.at[k].set(err_final)
-        perrs = perrs.at[b].set(pv)
 
         carry = (Iset, Ilen, Jset, Jlen, extraI, extraIlen, extraJ,
                  extraJlen, bonderrs, perrs, maxsample, reltol, abstol,
@@ -1876,8 +1835,8 @@ class DeviceSweepEngine:
         pivotsearch='rook' runs the whole-sweep rook program
         (_make_sweep_rook / _make_sweep_rook_scan for long chains): same
         single dispatch per sweep, slab sampling instead of full panels.
-        Unsupported for pair-valued (complex) integrands — those return
-        False and fall back.
+        Pair-valued (complex) integrands are supported too (_get_sweep_rook
+        builds the pair variant of the rook body).
 
         fill_sites=True additionally computes ALL site tensors inside the
         same device program (_get_sweep_fused) and stores them on tci —
