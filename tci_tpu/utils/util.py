@@ -83,25 +83,46 @@ def optfirstpivot(
     Starting from `firstpivot` (default all-zeros), sweeps each leg over all its
     values, keeping any change that increases |f|, until a full sweep brings no
     improvement or `maxsweep` sweeps elapse. Indices are 0-based.
+
+    When f is batch-evaluable (the reference leaves this as a TODO at
+    src/util.jl:270), each leg's full candidate column is fetched with ONE
+    protocol call ``f([prefix], [suffix], 1)`` — for a Contraction this hits
+    the environment caches, for a JaxBatchEvaluator it is one device
+    dispatch — and the sequential accept-if-greater scan replays on the
+    fetched values, so the trajectory is identical to the scalar path.
     """
+    from ..parallel.batcheval import isbatchevaluable
+
     n = len(localdims)
     if firstpivot is None:
         pivot = [0] * n
     else:
         pivot = list(firstpivot)
     valf = abs(f(pivot))
+    batched = isbatchevaluable(f)
 
     for _ in range(maxsweep):
         valf_prev = valf
         for i in range(n):
-            for d in range(localdims[i]):
-                bak = pivot[i]
-                pivot[i] = d
-                newval = abs(f(pivot))
-                if newval > valf:
-                    valf = newval
-                else:
-                    pivot[i] = bak
+            if batched:
+                vals = np.abs(
+                    np.asarray(
+                        f([tuple(pivot[:i])], [tuple(pivot[i + 1:])], 1)
+                    ).reshape(-1)
+                )
+                for d in range(localdims[i]):
+                    if vals[d] > valf:
+                        valf = vals[d]
+                        pivot[i] = d
+            else:
+                for d in range(localdims[i]):
+                    bak = pivot[i]
+                    pivot[i] = d
+                    newval = abs(f(pivot))
+                    if newval > valf:
+                        valf = newval
+                    else:
+                        pivot[i] = bak
         if valf_prev == valf:
             break
 

@@ -24,6 +24,36 @@ def test_optfirstpivot():
     assert pivot == [1, 1, 1]
 
 
+def test_optfirstpivot_batched_matches_scalar():
+    """The batch-protocol path (one call per leg) must follow the exact
+    trajectory of the scalar accept-if-greater scan."""
+    from tci_tpu.parallel.batcheval import BatchEvaluatorAdapter
+
+    rng = np.random.default_rng(11)
+    localdims = [3, 4, 2, 5]
+    table = rng.standard_normal(tuple(localdims))
+
+    def f(v):
+        return table[tuple(int(x) for x in v)]
+
+    calls = {"batch": 0}
+
+    class CountingAdapter(BatchEvaluatorAdapter):
+        def batch_evaluate(self, Iset, Jset, ncent=None):
+            calls["batch"] += 1
+            return super().batch_evaluate(Iset, Jset, ncent)
+
+    for start in ([0, 0, 0, 0], [2, 1, 1, 3]):
+        scalar = optfirstpivot(f, localdims, list(start))
+        calls["batch"] = 0
+        bf = CountingAdapter(f, localdims)
+        batched = optfirstpivot(bf, localdims, list(start))
+        assert batched == scalar
+        # one protocol call per (sweep, leg) — never per candidate
+        assert calls["batch"] % len(localdims) == 0
+        assert calls["batch"] <= 3 * len(localdims)
+
+
 def test_pushunique():
     v = [9, 29, 4, 5]
     pushunique(v, 10)
