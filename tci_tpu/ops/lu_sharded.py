@@ -1,0 +1,328 @@
+"""Tensor-parallel (mesh-sharded) complete-pivot rank-revealing LU.
+
+SURVEY.md §2.5 names "shard the Π matrix / rrLU panels across devices" as
+the tensor-parallel equivalent this framework should offer; this module
+implements it. The panel's ROWS are sharded over a 1-D ``jax.sharding.Mesh``
+and the elimination runs inside ``shard_map`` as a classic distributed
+right-looking LU (reference semantics: src/matrixlu.jl _optimizerrlu!
+:346-396 with the swap-free formulation of ops/lu_kernel._rrlu_state_fused):
+
+- per pivot step each device reduces its local per-column maxima, then one
+  cross-device max produces the global column metric and one cross-device
+  min the reference's first-occurrence (smallest swapped position)
+  tie-break — both exact, so the pivot ORDER is bit-identical to the
+  single-device kernel. The max/min collectives are expressed as a
+  ``lax.psum`` of an axis-index one-hot table followed by a local reduce
+  (exact: each table entry receives exactly one non-zero contribution),
+  because this image's TPU compiler stack lowers only Sum all-reduces —
+  ``lax.pmax`` fails to compile there (probed 2026-08-18: "Supported
+  lowering only of Sum all reduce");
+- the pivot row is broadcast with a ``lax.psum`` of a one-owner mask (sum
+  of one non-zero contribution — exact);
+- the Schur rank-1 update, the multiplier store and the next step's column
+  maxima are local to each device's row block (the same fused single pass
+  as the single-device kernel), so per-element arithmetic is bit-identical;
+- row/column permutations are carried replicated and never materialize a
+  swap: the factored buffer is gathered once at the end.
+
+On a real TPU pod the collectives ride ICI; each chip holds 1/P of the
+panel, so panels larger than one chip's HBM factorize, and the O(r·m·n/P)
+update FLOPs scale with the mesh. Complex dtypes work wherever the backend
+executes them (the virtual CPU mesh does; the tunneled single-TPU backend
+does not — but multi-chip runs are exactly the CPU-mesh/dry-run case).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as PSpec
+
+try:  # jax >= 0.4.35 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+from .lu_kernel import _abs2, bucket
+from ..parallel.mesh import default_mesh
+
+_INTMAX = 2**62
+
+# program cache: (device ids, axis name, mp, npd, dtype, leftorthogonal)
+_programs: dict = {}
+
+
+def _make_state_fn(axis: str, Pn: int, m_blk: int, npd: int,
+                   leftorthogonal: bool):
+    """Per-device elimination body (runs inside shard_map)."""
+
+    def state_fn(Ablk, m_true, n_true, maxrank, reltol, abstol):
+        mp = m_blk * Pn
+        rmax = min(mp, npd)
+        ix = jax.lax.axis_index(axis)
+        offset = ix * m_blk
+        gids = offset + jnp.arange(m_blk, dtype=jnp.int32)  # global row ids
+        cols = jnp.arange(npd, dtype=jnp.int32)
+        BIG = jnp.int32(2**30)
+        onehot_ix = (jnp.arange(Pn, dtype=jnp.int32) == ix)
+
+        def axmax(x):
+            """Exact cross-device max via a Sum all-reduce: psum a one-hot
+            (Pn, ...) table (each slot gets exactly one contribution), then
+            reduce locally. This backend lowers only Sum all-reduces."""
+            table = jax.lax.psum(
+                jnp.where(
+                    onehot_ix.reshape((Pn,) + (1,) * jnp.ndim(x)),
+                    x[None], jnp.zeros_like(x)[None],
+                ),
+                axis,
+            )
+            return jnp.max(table, axis=0)
+
+        def axmin_int(x):
+            table = jax.lax.psum(
+                jnp.where(
+                    onehot_ix.reshape((Pn,) + (1,) * jnp.ndim(x)),
+                    x[None], jnp.zeros_like(x)[None],
+                ),
+                axis,
+            )
+            return jnp.min(table, axis=0)
+
+        def global_colmax(Ablk, rowpos, k):
+            validr = (rowpos[gids] >= k) & (gids < m_true)
+            metric = jnp.where(validr[:, None], _abs2(Ablk), -1.0)
+            return axmax(jnp.max(metric, axis=0))
+
+        def cond(state):
+            (Ablk, rowperm, colperm, rowpos, colpos, colmax, k, maxerror,
+             err, done, mags) = state
+            return (k < maxrank) & (~done)
+
+        def body(state):
+            (Ablk, rowperm, colperm, rowpos, colpos, colmax, k, maxerror,
+             err, done, mags) = state
+
+            # --- pivot column (replicated compute on the reduced metric) --
+            validc = (colpos >= k) & (cols < n_true)
+            cm = jnp.where(validc, colmax, -1.0)
+            M = jnp.max(cm)
+            bestcolpos = jnp.min(jnp.where((cm == M) & validc, colpos, BIG))
+            pc = colperm[jnp.minimum(bestcolpos, npd - 1)]
+
+            # --- pivot row within column pc (two exact collectives) -------
+            validr = (rowpos[gids] >= k) & (gids < m_true)
+            met = jnp.where(validr, _abs2(Ablk[:, pc]), -1.0)
+            Mr = axmax(jnp.max(met))
+            bestrowpos = axmin_int(
+                jnp.min(jnp.where((met == Mr) & validr, rowpos[gids], BIG))
+            )
+            pr = rowperm[jnp.minimum(bestrowpos, mp - 1)]
+            newerr = jnp.sqrt(jnp.maximum(Mr, 0.0)).astype(jnp.float64)
+
+            exhausted = (M < 0) | (Mr < 0)
+            stop = (
+                (newerr < reltol * maxerror) | (newerr < abstol)
+            ) & (k > 0)
+            stop = stop | exhausted | ((newerr == 0.0) & (k > 0))
+            do = ~stop
+
+            # --- virtual swaps on replicated permutation vectors ----------
+            brp = jnp.where(do, bestrowpos, k)
+            r_at_k = rowperm[k]
+            pr_eff = jnp.where(do, pr, r_at_k)
+            rowperm = rowperm.at[brp].set(r_at_k).at[k].set(pr_eff)
+            rowpos = rowpos.at[r_at_k].set(brp).at[pr_eff].set(k)
+
+            bcp = jnp.where(do, bestcolpos, k)
+            c_at_k = colperm[k]
+            pc_eff = jnp.where(do, pc, c_at_k)
+            colperm = colperm.at[bcp].set(c_at_k).at[k].set(pc_eff)
+            colpos = colpos.at[c_at_k].set(bcp).at[pc_eff].set(k)
+
+            # --- broadcast the pivot row (one-owner psum, exact) ----------
+            owner = (pr_eff >= offset) & (pr_eff < offset + m_blk)
+            lid = jnp.clip(pr_eff - offset, 0, m_blk - 1)
+            yfull = jax.lax.psum(
+                jnp.where(owner, Ablk[lid, :], jnp.zeros_like(Ablk[0])),
+                axis,
+            )
+            piv = yfull[pc_eff]
+            safe = jnp.where(do & (piv != 0), piv, 1)
+
+            urow = (rowpos[gids] >= k + 1) & (gids < m_true)
+            ucol = (colpos >= k + 1) & (cols < n_true)
+            if leftorthogonal:
+                mult = Ablk[:, pc_eff] / safe
+                x = jnp.where(urow & do, mult, 0)
+                y = jnp.where(ucol, yfull, 0)
+                Anew = Ablk - x[:, None] * y[None, :]
+                Anew = jnp.where(
+                    (cols[None, :] == pc_eff) & (urow & do)[:, None],
+                    mult[:, None],
+                    Anew,
+                )
+            else:
+                divr = yfull / safe
+                y = jnp.where(ucol & do, divr, 0)
+                x = jnp.where(urow, Ablk[:, pc_eff], 0)
+                Anew = Ablk - x[:, None] * y[None, :]
+                Anew = jnp.where(
+                    (gids[:, None] == pr_eff) & (ucol & do)[None, :],
+                    divr[None, :],
+                    Anew,
+                )
+            metric_next = jnp.where(urow[:, None], _abs2(Anew), -1.0)
+            colmax = axmax(jnp.max(metric_next, axis=0))
+
+            mags = jnp.where(
+                (jnp.arange(rmax) == k) & do, newerr, mags
+            )
+            return (
+                Anew,
+                rowperm,
+                colperm,
+                rowpos,
+                colpos,
+                colmax,
+                k + do.astype(jnp.int32),
+                jnp.where(do, jnp.maximum(maxerror, newerr), maxerror),
+                newerr,
+                stop,
+                mags,
+            )
+
+        rows_full = jnp.arange(mp, dtype=jnp.int32)
+        state0 = (
+            Ablk,
+            rows_full,
+            cols,
+            rows_full,
+            cols,
+            global_colmax(Ablk, rows_full, 0),
+            jnp.int32(0),
+            jnp.float64(0.0),
+            jnp.float64(jnp.nan),
+            False,
+            jnp.zeros((rmax,), dtype=jnp.float64),
+        )
+        (Ablk, rowperm, colperm, rowpos, colpos, colmax, k, maxerror, err,
+         done, mags) = jax.lax.while_loop(cond, body, state0)
+        return Ablk, rowperm, colperm, k, mags, err
+
+    return state_fn
+
+
+def _get_program(mesh: Mesh, mp: int, npd: int, dtype,
+                 leftorthogonal: bool):
+    axis = mesh.axis_names[0]
+    Pn = int(np.prod(mesh.devices.shape))
+    key = (
+        tuple(d.id for d in mesh.devices.flat), axis, mp, npd,
+        np.dtype(dtype).str, leftorthogonal,
+    )
+    if key not in _programs:
+        state_fn = _make_state_fn(axis, Pn, mp // Pn, npd, leftorthogonal)
+        mapped = shard_map(
+            state_fn,
+            mesh=mesh,
+            in_specs=(
+                PSpec(axis, None), PSpec(), PSpec(), PSpec(), PSpec(),
+                PSpec(),
+            ),
+            out_specs=(
+                PSpec(axis, None), PSpec(), PSpec(), PSpec(), PSpec(),
+                PSpec(),
+            ),
+        )
+
+        @jax.jit
+        def run(Ap, m_true, n_true, maxrank, reltol, abstol):
+            A_full, rowperm, colperm, k, mags, err = mapped(
+                Ap, m_true, n_true, maxrank, reltol, abstol
+            )
+            # materialize the swapped-layout LU buffer callers consume
+            return A_full[rowperm, :][:, colperm], rowperm, colperm, k, \
+                mags, err
+
+        _programs[key] = run
+    return _programs[key]
+
+
+def rrlu_sharded_raw(
+    A: np.ndarray,
+    maxrank: int = _INTMAX,
+    reltol: float = 1e-14,
+    abstol: float = 0.0,
+    leftorthogonal: bool = True,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, np.ndarray, float]:
+    """Mesh-sharded ``rrlu_raw``: same return contract (LU buffer in the
+    swapped layout, row/col permutations, npivot, pivot magnitudes,
+    residual error) with the elimination row-sharded over `mesh` (default:
+    a mesh over all available devices)."""
+    if mesh is None:
+        mesh = default_mesh()
+    A = np.asarray(A)
+    m, n = A.shape
+    if m == 0 or n == 0:
+        return (
+            np.asarray(A, dtype=np.float64),
+            np.arange(m, dtype=np.int32),
+            np.arange(n, dtype=np.int32),
+            0,
+            np.zeros((0,)),
+            float("nan"),
+        )
+    dtype = np.result_type(A.dtype, np.float64)
+    dtype = np.complex128 if np.issubdtype(dtype, np.complexfloating) \
+        else np.float64
+    Pn = int(np.prod(mesh.devices.shape))
+    mp = bucket(m)
+    mp = ((mp + Pn - 1) // Pn) * Pn  # row extent divisible by the mesh
+    npd = bucket(n)
+    maxrank = min(maxrank, m, n)
+
+    Ap = np.zeros((mp, npd), dtype=dtype)
+    Ap[:m, :n] = A
+    run = _get_program(mesh, mp, npd, dtype, leftorthogonal)
+    Aout, rowperm, colperm, k, mags, err = jax.device_get(run(
+        jnp.asarray(Ap),
+        jnp.int32(m),
+        jnp.int32(n),
+        jnp.int32(maxrank),
+        jnp.float64(reltol),
+        jnp.float64(abstol),
+    ))
+    k = int(k)
+    return (
+        np.asarray(Aout)[:m, :n],
+        np.asarray(rowperm)[:m],
+        np.asarray(colperm)[:n],
+        k,
+        np.asarray(mags)[:k],
+        float(err),
+    )
+
+
+def rrlu_sharded(
+    A: np.ndarray,
+    maxrank: int = _INTMAX,
+    reltol: float = 1e-14,
+    abstol: float = 0.0,
+    leftorthogonal: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """Mesh-sharded ``rrlu``: returns the same ``rrLU`` object as the
+    single-device ``ops.lu.rrlu`` (bit-identical pivot order) with the
+    elimination tensor-parallel over the device mesh."""
+    from .lu import _finalize
+
+    LUmat, rowperm, colperm, k, mags, err = rrlu_sharded_raw(
+        A, maxrank, reltol, abstol, leftorthogonal, mesh=mesh
+    )
+    return _finalize(LUmat, rowperm, colperm, k, err, leftorthogonal)

@@ -64,11 +64,27 @@ def run(n_devices: int) -> None:
     assert np.isfinite(errors).all(), f"non-finite errors: {errors}"
     assert err < 1e-6, f"pointwise error {err} too large"
     assert tciobj.rank() >= 1
+
+    # Tensor-parallel rrLU (SURVEY §2.5 "shard the Π matrix / rrLU panels
+    # across devices"): the mesh-sharded elimination must be bit-identical
+    # to the single-device kernel — pivot order, permutations, rank.
+    from tci_tpu.ops.lu_kernel import rrlu_raw
+    from tci_tpu.ops.lu_sharded import rrlu_sharded_raw
+
+    rng = np.random.default_rng(0)
+    panel = rng.standard_normal((96, 9)) @ rng.standard_normal((9, 64))
+    s = rrlu_sharded_raw(panel, 32, 1e-10, 0.0, True, mesh=mesh)
+    r = rrlu_raw(panel, 32, 1e-10, 0.0, True)
+    assert s[3] == r[3], f"sharded rrLU rank {s[3]} != {r[3]}"
+    assert np.array_equal(s[1], r[1]) and np.array_equal(s[2], r[2]), \
+        "sharded rrLU pivot order diverged from the single-device kernel"
+    assert np.allclose(s[0], r[0], atol=1e-12)
+
     print(
         f"dryrun_multichip({n_devices}): ok — platform=cpu, "
         f"mesh={tuple(mesh.devices.shape)}, rank={tciobj.rank()}, "
         f"final_error={errors[-1]:.3e}, pointwise_err={err:.3e}, "
-        f"nevals={bf.nevals}"
+        f"nevals={bf.nevals}, tp_rrlu_rank={s[3]} (bit-parity ok)"
     )
 
 
