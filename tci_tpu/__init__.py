@@ -52,6 +52,7 @@ from .ops.ci import MatrixCI, AtimesBinv, AinvtimesB, matrix_crossinterpolate  #
 from .ops.aca import MatrixACA  # noqa: E402
 from .ops.luci import MatrixLUCI  # noqa: E402
 from .ops.factorize import factorize  # noqa: E402
+from .ops.lu_sharded import rrlu_sharded  # noqa: E402
 from .ops.kronrod import kronrod  # noqa: E402
 from .parallel.batcheval import (  # noqa: E402
     BatchEvaluator,
@@ -108,7 +109,8 @@ __all__ = [
     "pushrandomsubset", "optfirstpivot", "replacenothing", "projector_to_slice",
     "IndexSet", "isnested", "forwardsweep",
     # L1 matrix engines
-    "rrLU", "rrlu", "arrlu", "submatrixargmax", "cols2Lmatrix", "rows2Umatrix",
+    "rrLU", "rrlu", "rrlu_sharded", "arrlu", "submatrixargmax",
+    "cols2Lmatrix", "rows2Umatrix",
     "lu_solve", "MatrixCI", "AtimesBinv", "AinvtimesB", "matrix_crossinterpolate",
     "MatrixACA", "MatrixLUCI", "factorize", "kronrod",
     # L2 runtime
