@@ -360,8 +360,12 @@ def contract_TCI(
         from ..parallel.batcheval import JaxBatchEvaluator
         from .contraction_device import make_product_evaluator
 
-        fjax, localdims, dtype = make_product_evaluator(A, B, f=f)
-        evaluator = JaxBatchEvaluator(fjax, localdims, dtype=dtype)
+        # On complex-free backends (the tunneled TPU) a complex product runs
+        # in (re, im) f64 pair mode; a post-map `f` must then be pair-valued
+        # (see make_product_evaluator).
+        fjax, localdims, dtype, pair = make_product_evaluator(A, B, f=f)
+        evaluator = JaxBatchEvaluator(fjax, localdims, dtype=dtype,
+                                      pair_output=pair)
     else:
         evaluator = matrixproduct
     if isinstance(initialpivots, int):

@@ -49,36 +49,21 @@ def _zip_step(R, a, b, reltol, cap: int, last: bool):
 
     R: (P, La, Lb) with rows >= previous rank zeroed; a: (La, i, K, Ra);
     b: (Lb, K, j, Rb). Returns (site (P, i, j, cap), newR (cap, Ra, Rb),
-    rank scalar); for the last site returns the unsplit core.
+    rank scalar); for the last site returns the unsplit core. The split is
+    the shared _lu_split kernel (leftorthogonal=False: L carries the pivot
+    diagonal, U has unit diagonal, matching the host rrlu.left()/right()
+    convention), so truncated device and host zip-ups carry the SAME right
+    factor bond-to-bond and stay bit-comparable.
     """
     C = jnp.einsum("pab,aikr,bkjs->pijrs", R, a, b)
     P, i, j, Ra, Rb = C.shape
     if last:
         return C.reshape(P, i, j, Ra * Rb), None, None
     m, n = P * i * j, Ra * Rb
-    Cm = C.reshape(m, n)
-    maxrank = min(m, n, cap)
-    A_out, rowperm, colperm, kk, _, _ = _rrlu_state(
-        Cm,
-        jnp.int32(m),
-        jnp.int32(n),
-        jnp.int32(maxrank),
-        reltol,
-        jnp.float64(0.0),
-        False,
+    left, right, kk = _lu_split(
+        C.reshape(m, n), jnp.int32(m), jnp.int32(n), reltol,
+        jnp.float64(0.0), cap=cap, leftorthogonal=False,
     )
-    # Plain LU split matching the host rrlu.left()/right() convention for
-    # leftorthogonal=False (L carries the pivot diagonal, U has unit
-    # diagonal), so truncated device and host zip-ups carry the SAME right
-    # factor bond-to-bond and stay bit-comparable.
-    rmax = min(m, n)
-    ridx = jnp.arange(rmax)
-    keep = ridx < kk
-    L_all = jnp.where(keep[None, :], jnp.tril(A_out[:, :rmax]), 0.0)
-    U_all = jnp.triu(A_out[:rmax, :]).at[ridx, ridx].set(1.0)
-    U_all = jnp.where(keep[:, None], U_all, 0.0)
-    left = jnp.zeros_like(L_all).at[rowperm, :].set(L_all)[:, :cap]
-    right = jnp.zeros_like(U_all).at[:, colperm].set(U_all)[:cap, :]
     return left.reshape(P, i, j, cap), right.reshape(cap, Ra, Rb), kk
 
 
@@ -155,7 +140,8 @@ def contract_zipup_device(
 # ---------------------------------------------------------------------------
 
 
-def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None):
+def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None,
+                           pair=None):
     """Jax-traceable evaluator of the lazy MPO-MPO product.
 
     TPU-native counterpart of the Contraction environment caches
@@ -165,10 +151,18 @@ def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None):
     vmap into MXU GEMMs and consumed by every device tier of TCI2 (fused bond
     updates, whole-sweep programs) through JaxBatchEvaluator.
 
-    Returns (fjax, localdims, dtype) where fjax maps an (L,) int32 vector of
-    C-order fused indices (idx = i * d2 + j) to the scalar product value;
-    `f` (optional) is a jax-traceable elementwise post-map applied on device
-    (contraction.jl:131-147 applies it per evaluated entry).
+    Returns (fjax, localdims, dtype, pair) where fjax maps an (L,) int32
+    vector of C-order fused indices (idx = i * d2 + j) to the scalar product
+    value; `f` (optional) is a jax-traceable elementwise post-map applied on
+    device (contraction.jl:131-147 applies it per evaluated entry).
+
+    `pair` selects the (re, im) f64 pair representation for complex
+    operands (fjax then returns jnp.stack([re, im]) and the caller must
+    pass pair_output=True to JaxBatchEvaluator). Default None = automatic:
+    pair mode whenever the result dtype is complex and the jax backend
+    cannot execute complex dtypes (the tunneled TPU), matching the zipup/
+    naive device tiers. A complex post-map `f` in pair mode must itself be
+    pair-valued: it receives and returns the stacked [re, im] vector.
     """
     L = len(A)
     if len(B) != L:
@@ -181,23 +175,84 @@ def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None):
                 f"Tensor trains must share the identical index at n={n}!"
             )
     dtype = np.result_type(A[0].dtype, B[0].dtype).type
+    iscomplex = np.issubdtype(dtype, np.complexfloating)
+    if pair is None:
+        from ..parallel.batcheval import platform_supports_complex
+
+        pair = iscomplex and not platform_supports_complex()
+    if pair and not iscomplex:
+        raise ValueError("pair mode requires complex operands")
     ra = max(max(t.shape[0], t.shape[3]) for t in A.sitetensors())
     rb = max(max(t.shape[0], t.shape[3]) for t in B.sitetensors())
     kmax = max(t.shape[2] for t in A.sitetensors())
     d1 = max(t.shape[1] for t in A.sitetensors())
     d2 = max(t.shape[2] for t in B.sitetensors())
 
-    a_stack = np.zeros((L, ra, d1, kmax, ra), dtype=dtype)
-    b_stack = np.zeros((L, rb, kmax, d2, rb), dtype=dtype)
+    stack_dtype = np.float64 if pair else dtype
+    a_stack = np.zeros((L, ra, d1, kmax, ra), dtype=stack_dtype)
+    b_stack = np.zeros((L, rb, kmax, d2, rb), dtype=stack_dtype)
+    if pair:
+        ai_stack = np.zeros_like(a_stack)
+        bi_stack = np.zeros_like(b_stack)
     d2s = np.zeros((L,), dtype=np.int32)
     for n in range(L):
         ta, tb = A[n], B[n]
-        a_stack[n, : ta.shape[0], : ta.shape[1], : ta.shape[2], : ta.shape[3]] = ta
-        b_stack[n, : tb.shape[0], : tb.shape[1], : tb.shape[2], : tb.shape[3]] = tb
+        sl_a = np.s_[n, : ta.shape[0], : ta.shape[1], : ta.shape[2],
+                     : ta.shape[3]]
+        sl_b = np.s_[n, : tb.shape[0], : tb.shape[1], : tb.shape[2],
+                     : tb.shape[3]]
+        if pair:
+            a_stack[sl_a] = np.real(ta)
+            ai_stack[sl_a] = np.imag(ta)
+            b_stack[sl_b] = np.real(tb)
+            bi_stack[sl_b] = np.imag(tb)
+        else:
+            a_stack[sl_a] = ta
+            b_stack[sl_b] = tb
         d2s[n] = tb.shape[2]
     a_d = jnp.asarray(a_stack)
     b_d = jnp.asarray(b_stack)
+    if pair:
+        ai_d = jnp.asarray(ai_stack)
+        bi_d = jnp.asarray(bi_stack)
     d2_d = jnp.asarray(d2s)
+    localdims = [int(A[n].shape[1] * B[n].shape[2]) for n in range(L)]
+
+    if pair:
+        def fjax_pair(idx):
+            i = idx // d2_d
+            j = idx % d2_d
+            vr0 = jnp.zeros((ra, rb), dtype=jnp.float64).at[0, 0].set(1.0)
+            vi0 = jnp.zeros((ra, rb), dtype=jnp.float64)
+
+            def body(carry, inp):
+                vr, vi = carry
+                ar_n, ai_n, br_n, bi_n, i_n, j_n = inp
+                Air = jnp.take(ar_n, i_n, axis=1)  # (ra, k, ra)
+                Aii = jnp.take(ai_n, i_n, axis=1)
+                Bjr = jnp.take(br_n, j_n, axis=2)  # (rb, k, rb)
+                Bji = jnp.take(bi_n, j_n, axis=2)
+                # t = v · A_i  (complex via 4 real einsums)
+                tr = jnp.einsum("ab,akc->bkc", vr, Air) - jnp.einsum(
+                    "ab,akc->bkc", vi, Aii)
+                ti = jnp.einsum("ab,akc->bkc", vr, Aii) + jnp.einsum(
+                    "ab,akc->bkc", vi, Air)
+                # v = t · B_j
+                nvr = jnp.einsum("bkc,bkd->cd", tr, Bjr) - jnp.einsum(
+                    "bkc,bkd->cd", ti, Bji)
+                nvi = jnp.einsum("bkc,bkd->cd", tr, Bji) + jnp.einsum(
+                    "bkc,bkd->cd", ti, Bjr)
+                return (nvr, nvi), None
+
+            (vr, vi), _ = jax.lax.scan(
+                body, (vr0, vi0), (a_d, ai_d, b_d, bi_d, i, j)
+            )
+            res = jnp.stack([vr[0, 0], vi[0, 0]])
+            if f is not None:
+                res = f(res)
+            return res
+
+        return fjax_pair, localdims, dtype, True
 
     def fjax(idx):
         i = idx // d2_d
@@ -220,8 +275,7 @@ def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None):
             res = f(res)
         return res
 
-    localdims = [int(A[n].shape[1] * B[n].shape[2]) for n in range(L)]
-    return fjax, localdims, dtype
+    return fjax, localdims, dtype, False
 
 
 # ---------------------------------------------------------------------------
@@ -374,10 +428,8 @@ def contract_naive_device(
 @partial(jax.jit, static_argnames=("cap", "last"))
 def _zip_step_pair(Rr, Ri, ar, ai, br, bi, reltol, cap: int, last: bool):
     """Pair-mode _zip_step: C = R·A[n]·B[n] via 4 real einsums per complex
-    product, then the pair rrLU split (leftorthogonal=False convention,
-    matching _zip_step)."""
-    from ..ops.complex_pair import rrlu_state_pair
-
+    product, then the shared pair rrLU split (_lu_split_pair,
+    leftorthogonal=False convention, matching _zip_step)."""
     # T = R·A  (pab,aikr->pbikr contracted below in one einsum each)
     Tr = jnp.einsum("pab,aikr->pbikr", Rr, ar) - jnp.einsum(
         "pab,aikr->pbikr", Ri, ai)
@@ -393,26 +445,10 @@ def _zip_step_pair(Rr, Ri, ar, ai, br, bi, reltol, cap: int, last: bool):
         return (Cr.reshape(P, i, j, Ra * Rb), Ci.reshape(P, i, j, Ra * Rb),
                 None, None, None)
     m, n = P * i * j, Ra * Rb
-    Cmr = Cr.reshape(m, n)
-    Cmi = Ci.reshape(m, n)
-    maxrank = min(m, n, cap)
-    Ar, Ai, rowperm, colperm, kk, _, _ = rrlu_state_pair(
-        Cmr, Cmi, jnp.int32(m), jnp.int32(n), jnp.int32(maxrank),
-        reltol, jnp.float64(0.0), False,
+    lr, li, rr, ri, kk = _lu_split_pair(
+        Cr.reshape(m, n), Ci.reshape(m, n), jnp.int32(m), jnp.int32(n),
+        reltol, jnp.float64(0.0), cap=cap, leftorthogonal=False,
     )
-    rmax = min(m, n)
-    ridx = jnp.arange(rmax)
-    keep = ridx < kk
-    Lr_all = jnp.where(keep[None, :], jnp.tril(Ar[:, :rmax]), 0.0)
-    Li_all = jnp.where(keep[None, :], jnp.tril(Ai[:, :rmax]), 0.0)
-    Ur_all = jnp.triu(Ar[:rmax, :]).at[ridx, ridx].set(1.0)
-    Ui_all = jnp.triu(Ai[:rmax, :]).at[ridx, ridx].set(0.0)
-    Ur_all = jnp.where(keep[:, None], Ur_all, 0.0)
-    Ui_all = jnp.where(keep[:, None], Ui_all, 0.0)
-    lr = jnp.zeros_like(Lr_all).at[rowperm, :].set(Lr_all)[:, :cap]
-    li = jnp.zeros_like(Li_all).at[rowperm, :].set(Li_all)[:, :cap]
-    rr = jnp.zeros_like(Ur_all).at[:, colperm].set(Ur_all)[:cap, :]
-    ri = jnp.zeros_like(Ui_all).at[:, colperm].set(Ui_all)[:cap, :]
     return (lr.reshape(P, i, j, cap), li.reshape(P, i, j, cap),
             jnp.stack([rr, ri]).reshape(2, cap, Ra, Rb), kk, None)
 

@@ -328,9 +328,7 @@ def _make_sweep1site(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                         (Imax, d_b * Imax), dtype=dtype
                     ).at[:, orderJ].set(right[:Imax, :])
                     T = Rfull.reshape(Imax, d_b, Imax)
-                    tensors = tensors.at[b, :, :d_b, :].set(
-                        jnp.transpose(T, (0, 1, 2))
-                    )
+                    tensors = tensors.at[b, :, :d_b, :].set(T)
                 bidx = b - 1
             bonderrs = bonderrs.at[bidx].set(err_final)
             pv = jnp.where(

@@ -271,7 +271,7 @@ def rrlu_sharded_raw(
     m, n = A.shape
     if m == 0 or n == 0:
         return (
-            np.asarray(A, dtype=np.float64),
+            np.asarray(A),
             np.arange(m, dtype=np.int32),
             np.arange(n, dtype=np.int32),
             0,

@@ -179,8 +179,9 @@ def test_product_evaluator_matches_contraction(rng):
 
     A = _rand_mpo(rng, 5, 4, 3, 3)
     B = _rand_mpo(rng, 5, 5, 3, 2)
-    fjax, localdims, dtype = make_product_evaluator(A, B)
+    fjax, localdims, dtype, pair = make_product_evaluator(A, B)
     prod = Contraction(A, B)
+    assert pair is False
     assert localdims == [6, 6, 6, 6, 6]  # d1_A * d2_B = 3 * 2
     for _ in range(20):
         idx = [int(rng.integers(0, d)) for d in localdims]
@@ -197,7 +198,7 @@ def test_product_evaluator_postmap(rng):
 
     A = _rand_mpo(rng, 4, 3, 2, 2)
     B = _rand_mpo(rng, 4, 3, 2, 2)
-    fjax, localdims, _ = make_product_evaluator(A, B, f=lambda x: 2.0 * x)
+    fjax, localdims, _, _ = make_product_evaluator(A, B, f=lambda x: 2.0 * x)
     prod = Contraction(A, B, f=lambda x: 2.0 * x)
     idx = [1, 0, 3, 2]
     got = float(fjax(jnp.asarray(idx, dtype=jnp.int32)))
@@ -233,9 +234,9 @@ def test_device_tci_contraction_mps(rng):
 
 def test_device_tci_contraction_complex(rng):
     """Complex MPOs flow through the device product evaluator natively on
-    complex-capable backends (CPU / real-TPU c64); the tunneled TPU would
-    reject the dtype at JaxBatchEvaluator construction with a pair-mode
-    hint."""
+    complex-capable backends (CPU / real-TPU c64); on a complex-free
+    backend (the tunneled TPU) make_product_evaluator auto-selects the
+    (re, im) pair representation instead (next tests)."""
     def cmpo(L, chi, d1, d2):
         b = [1] + [chi] * (L - 1) + [1]
         return TensorTrain(
@@ -292,3 +293,68 @@ def test_device_naive_rank_deficient_no_nan(rng):
     out = fulltensor(dev)
     assert np.all(np.isfinite(out))
     assert np.allclose(out, exact, atol=1e-8 * max(1.0, np.abs(exact).max()))
+
+
+def test_product_evaluator_pair_mode(rng):
+    """pair=True (what a complex-free backend auto-selects) must equal the
+    complex evaluator value-for-value: stack([re, im]) == complex."""
+    from tci_tpu.models.contraction_device import make_product_evaluator
+
+    import jax.numpy as jnp
+
+    A = _rand_cmpo(rng, 4, 3, 2, 2)
+    B = _rand_cmpo(rng, 4, 4, 2, 3)
+    fc, localdims, dtype, pc = make_product_evaluator(A, B)
+    fp, localdims_p, dtype_p, pp = make_product_evaluator(A, B, pair=True)
+    assert pc is False and pp is True
+    assert localdims_p == localdims and dtype_p == dtype
+    for _ in range(12):
+        idx = jnp.asarray(
+            [int(rng.integers(0, d)) for d in localdims], dtype=jnp.int32
+        )
+        want = complex(fc(idx))
+        got = np.asarray(fp(idx))
+        assert got.shape == (2,) and got.dtype == np.float64
+        assert abs(complex(got[0], got[1]) - want) < 1e-12 * max(
+            1.0, abs(want)
+        )
+
+
+def test_product_evaluator_pair_postmap(rng):
+    """A pair-mode post-map receives/returns the stacked [re, im] vector;
+    here f = multiply by 2j expressed in pair arithmetic."""
+    from tci_tpu.models.contraction_device import make_product_evaluator
+
+    import jax.numpy as jnp
+
+    A = _rand_cmpo(rng, 3, 2, 2, 2)
+    B = _rand_cmpo(rng, 3, 2, 2, 2)
+    fc, localdims, _, _ = make_product_evaluator(A, B, f=lambda z: 2j * z)
+    fp, _, _, _ = make_product_evaluator(
+        A, B, pair=True,
+        f=lambda p: jnp.stack([-2.0 * p[1], 2.0 * p[0]]),
+    )
+    idx = jnp.asarray([1, 0, 2], dtype=jnp.int32)
+    want = complex(fc(idx))
+    got = np.asarray(fp(idx))
+    assert abs(complex(got[0], got[1]) - want) < 1e-12
+
+
+def test_device_tci_contraction_complex_pair(monkeypatch, rng):
+    """End-to-end contract(..., algorithm='TCI', jax_native=True) on a
+    complex-free backend: platform_supports_complex is forced False, so the
+    product evaluator auto-selects pair mode and TCI2 runs the (re, im)
+    pair device tiers. Result must match the exact product."""
+    import jax
+
+    import tci_tpu.parallel.batcheval as be
+
+    monkeypatch.setattr(be, "_COMPLEX_SUPPORT_CACHE",
+                        {jax.default_backend(): False})
+    A = _rand_cmpo(rng, 4, 3, 2, 2)
+    B = _rand_cmpo(rng, 4, 3, 2, 2)
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    dev = contract(A, B, algorithm="TCI", tolerance=1e-10, jax_native=True,
+                   rng=np.random.default_rng(5))
+    assert np.allclose(fulltensor(dev), exact,
+                       atol=1e-7 * np.abs(exact).max())

@@ -100,6 +100,16 @@ def test_sharded_exact_zero_submatrix(mesh8):
     assert not np.any(np.isnan(s[0]))
 
 
+def test_sharded_empty_matrix_preserves_dtype(mesh8):
+    """The empty fast path keeps rrlu_raw's dtype-preserving contract."""
+    from tci_tpu.ops.lu_sharded import rrlu_sharded_raw
+
+    out = rrlu_sharded_raw(np.zeros((0, 5), dtype=np.complex128), mesh=mesh8)
+    assert out[0].dtype == np.complex128 and out[3] == 0
+    out = rrlu_sharded_raw(np.zeros((4, 0)), mesh=mesh8)
+    assert out[0].shape == (4, 0) and out[3] == 0
+
+
 def test_sharded_default_mesh_single_device(rng):
     """mesh=None uses all available devices; on a 1-device mesh the
     program still runs (collectives become trivial)."""
