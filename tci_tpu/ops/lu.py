@@ -209,16 +209,29 @@ def rrlu(
     reltol: float = 1e-14,
     abstol: float = 0.0,
     leftorthogonal: bool = True,
+    mesh=None,
 ) -> rrLU:
     """Rank-revealing LU of a dense matrix with complete pivoting.
 
     The pivot loop runs as one jit-compiled XLA program (lu_kernel.py); stop
     rule and at-least-one-pivot semantics match matrixlu.jl:346-396.
+
+    With ``mesh=`` (a 1-D ``jax.sharding.Mesh``) the elimination runs
+    tensor-parallel over the mesh's devices with bit-identical pivot order
+    (ops/lu_sharded.py) — for panels that exceed one chip's HBM or to scale
+    the Schur-update GEMMs.
     """
     A = np.asarray(A)
-    LUmat, rowperm, colperm, k, mags, err = rrlu_raw(
-        A, maxrank, reltol, abstol, leftorthogonal
-    )
+    if mesh is not None:
+        from .lu_sharded import rrlu_sharded_raw
+
+        LUmat, rowperm, colperm, k, mags, err = rrlu_sharded_raw(
+            A, maxrank, reltol, abstol, leftorthogonal, mesh=mesh
+        )
+    else:
+        LUmat, rowperm, colperm, k, mags, err = rrlu_raw(
+            A, maxrank, reltol, abstol, leftorthogonal
+        )
     return _finalize(LUmat, rowperm, colperm, k, err, leftorthogonal)
 
 

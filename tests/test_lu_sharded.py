@@ -100,6 +100,19 @@ def test_sharded_exact_zero_submatrix(mesh8):
     assert not np.any(np.isnan(s[0]))
 
 
+def test_rrlu_mesh_kwarg(rng, mesh8):
+    """rrlu(mesh=...) dispatches the tensor-parallel elimination and returns
+    the same rrLU object as the single-device call."""
+    U = rng.standard_normal((60, 7))
+    V = rng.standard_normal((7, 44))
+    A = U @ V
+    lu_tp = rrlu(A, reltol=1e-12, mesh=mesh8)
+    lu_1d = rrlu(A, reltol=1e-12)
+    assert lu_tp.npivot == lu_1d.npivot == 7
+    assert np.array_equal(lu_tp.rowpermutation, lu_1d.rowpermutation)
+    assert np.allclose(lu_tp.left(), lu_1d.left(), atol=1e-12)
+
+
 def test_sharded_empty_matrix_preserves_dtype(mesh8):
     """The empty fast path keeps rrlu_raw's dtype-preserving contract."""
     from tci_tpu.ops.lu_sharded import rrlu_sharded_raw
