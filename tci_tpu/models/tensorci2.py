@@ -865,7 +865,12 @@ class TensorCI2(AbstractTensorTrain):
         checkbatchevaluatable: bool = False,
         checkconvglobalpivot: bool = True,
         rng: Optional[np.random.Generator] = None,
+        profile_dir: Optional[str] = None,
     ):
+        """`profile_dir` (SURVEY §5 tracing plan): when set, the whole
+        optimization records a ``jax.profiler`` trace into that directory
+        (viewable in TensorBoard/Perfetto) in addition to the per-iteration
+        ``self.stats`` time series."""
         import warnings
 
         from .globalpivotfinder import (
@@ -953,6 +958,33 @@ class TensorCI2(AbstractTensorTrain):
             and engine is not None
             and getattr(engine, "use_optimize_loop", False)
         )
+
+        if profile_dir is not None:
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+        try:
+            return self._optimize_loop_body(
+                f, tol, maxbonddim, maxiter, sweepstrategy, pivotsearch,
+                verbosity, loginterval, normalizeerror, ncheckhistory,
+                tolmarginglobalsearch, strictlynested, checkconvglobalpivot,
+                rng, errors, ranks, nglobalpivots, tstart, finder,
+                all_starts, engine, _fused_loop_ok,
+            )
+        finally:
+            if profile_dir is not None:
+                import jax
+
+                jax.profiler.stop_trace()
+
+    def _optimize_loop_body(
+        self, f, tol, maxbonddim, maxiter, sweepstrategy, pivotsearch,
+        verbosity, loginterval, normalizeerror, ncheckhistory,
+        tolmarginglobalsearch, strictlynested, checkconvglobalpivot,
+        rng, errors, ranks, nglobalpivots, tstart, finder,
+        all_starts, engine, _fused_loop_ok,
+    ):
+        from .globalpivotfinder import GlobalPivotSearchInput
 
         globalpivots: List[MultiIndex] = []
         it = 1

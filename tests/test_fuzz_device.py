@@ -194,3 +194,99 @@ def test_fuzz_complex_pair_loop_vs_host():
         ft1 = fulltensor(tci.tensortrain(t1))
         ft2 = fulltensor(tci.tensortrain(t2))
         assert np.allclose(ft1, ft2, atol=1e-8), cfg
+
+
+def test_fuzz_conversion_roundtrips():
+    """Random configs through the conversion layer: TCI2 -> TT -> TCI2 and
+    TCI2 -> TCI1 -> TCI2 must preserve link dims and pointwise values
+    (reference test_conversion.jl:23-98 generalized over random shapes)."""
+    from tci_tpu.models.conversion import (
+        tci1_from_tci2,
+        tci2_from_tci1,
+        tci2_from_tensortrain,
+    )
+
+    master = np.random.default_rng(818181)
+    for trial in range(4):
+        L = int(master.integers(3, 6))
+        localdims = [int(master.integers(2, 5)) for _ in range(L)]
+        complex_ = bool(master.integers(0, 2))
+        c = master.standard_normal(L) * 0.5
+        cfg = (trial, localdims, complex_)
+
+        if complex_:
+            def fpy(x, c=c):
+                v = np.asarray(x, float) + 1.0
+                return np.exp(1j * v.sum()) / (1.0 + np.sum((v - c) ** 2))
+            vt = np.complex128
+        else:
+            def fpy(x, c=c):
+                v = np.asarray(x, float)
+                return 1.0 / (1.0 + np.sum((v - c) ** 2))
+            vt = np.float64
+
+        t2, _, _ = tci.crossinterpolate2(
+            vt, fpy, localdims, tolerance=1e-10,
+            rng=np.random.default_rng(trial),
+        )
+        ft = fulltensor(tci.tensortrain(t2))
+
+        # TT -> TCI2
+        tb = tci2_from_tensortrain(tci.tensortrain(t2), tolerance=1e-12)
+        assert tb.linkdims() == t2.linkdims(), cfg
+        ftb = fulltensor(tci.tensortrain(tb))
+        assert np.allclose(ftb, ft, atol=1e-9 * np.abs(ft).max()), cfg
+
+        # TCI2 -> TCI1 -> TCI2
+        t1 = tci1_from_tci2(t2, fpy)
+        t2b = tci2_from_tci1(t1)
+        assert t1.linkdims() == t2.linkdims(), cfg
+        assert t2b.linkdims() == t2.linkdims(), cfg
+        ft2b = fulltensor(tci.tensortrain(t2b))
+        assert np.allclose(ft2b, ft, atol=1e-8 * np.abs(ft).max()), cfg
+
+
+def test_fuzz_floatingzone_device_vs_host():
+    """Device floating-zone program vs the host lock-step search on random
+    tensor trains and start points: the best pivot/error must agree and
+    every reported error must be self-consistent."""
+    import jax.numpy as jnp
+
+    from tci_tpu.models.globalsearch import (
+        _floatingzone_batch,
+        estimatetrueerror,
+    )
+
+    master = np.random.default_rng(919191)
+    for trial in range(4):
+        L = int(master.integers(4, 7))
+        d = int(master.integers(2, 5))
+        localdims = [d] * L
+        w = 1.0 + master.random(L)
+        wj = jnp.asarray(w)
+        cfg = (trial, L, d)
+
+        def fj(idx, wj=wj):
+            v = idx.astype(jnp.float64) + 1.0
+            return 1.0 / (1.0 + jnp.sum(wj * v * v)) + 0.05 * jnp.cos(
+                3.1 * jnp.sum(v * wj)
+            )
+
+        bf = JaxBatchEvaluator(fj, localdims)
+        t, _, _ = tci.crossinterpolate2(
+            np.float64, bf, localdims, tolerance=1e-2, maxbonddim=3,
+            rng=np.random.default_rng(trial),
+        )
+        tt = tci.tensortrain(t)
+        starts = [
+            tuple(int(x) for x in row)
+            for row in master.integers(0, d, (10, L))
+        ]
+        dev = estimatetrueerror(tt, bf, initialpoints=starts)
+        host = _floatingzone_batch(tt, bf, starts)
+        assert len(dev) > 0, cfg
+        errs = [e for _, e in dev]
+        assert errs == sorted(errs, reverse=True), cfg
+        host_best = max(host, key=lambda pe: pe[1])
+        assert dev[0][0] == host_best[0], cfg
+        assert np.isclose(dev[0][1], host_best[1], rtol=1e-9), cfg

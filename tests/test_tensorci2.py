@@ -467,3 +467,21 @@ def test_stats_recorded():
     assert len(t.stats["iteration_walltime"]) == len(ranks)
     assert len(t.stats["sweep_walltime"]) == len(ranks)
     assert all(w > 0 for w in t.stats["iteration_walltime"])
+
+
+def test_optimize_profile_dir(tmp_path):
+    """profile_dir records a jax.profiler trace of the whole optimization
+    (SURVEY §5 tracing plan) alongside the stats dict."""
+    import os
+
+    f = lambda v: 1.0 / (1.0 + sum((x - 1.0) ** 2 for x in v))
+    t, ranks, errors = tci.crossinterpolate2(
+        np.float64, f, [4] * 4, tolerance=1e-6,
+        profile_dir=str(tmp_path / "trace"),
+    )
+    assert errors[-1] < 1e-6
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found.extend(files)
+    assert found, "no profiler trace files were written"
+    assert t.stats["iteration_walltime"]
