@@ -22,7 +22,7 @@ Complex tensor trains run as (re, im) f64 pair programs
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 

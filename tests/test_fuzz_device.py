@@ -13,7 +13,7 @@ import pytest
 
 import tci_tpu as tci
 from tci_tpu.models.compress_device import compress_device
-from tci_tpu.models.contraction import contract, contract_zipup
+from tci_tpu.models.contraction import contract
 from tci_tpu.models.tensortrain import TensorTrain, fulltensor
 from tci_tpu.parallel.batcheval import JaxBatchEvaluator
 
