@@ -290,3 +290,40 @@ def test_fuzz_floatingzone_device_vs_host():
         host_best = max(host, key=lambda pe: pe[1])
         assert dev[0][0] == host_best[0], cfg
         assert np.isclose(dev[0][1], host_best[1], rtol=1e-9), cfg
+
+
+def test_fuzz_tci1_vs_oracle():
+    """TCI1 (the legacy ACA-based algorithm) on random smooth functions:
+    the interpolation must reproduce the enumerated tensor to tolerance,
+    real and complex, forward and back-and-forth sweeps."""
+    master = np.random.default_rng(101010)
+    for trial in range(4):
+        L = int(master.integers(3, 6))
+        localdims = [int(master.integers(2, 5)) for _ in range(L)]
+        complex_ = bool(master.integers(0, 2))
+        strategy = ["forward", "backandforth"][int(master.integers(0, 2))]
+        c = master.standard_normal(L) * 0.5
+        cfg = (trial, localdims, complex_, strategy)
+
+        if complex_:
+            def fpy(x, c=c):
+                v = np.asarray(x, float) + 1.0
+                return np.exp(1j * v.sum()) / (1.0 + np.sum((v - c) ** 2))
+            vt = np.complex128
+        else:
+            def fpy(x, c=c):
+                v = np.asarray(x, float)
+                return 1.0 / (1.0 + np.sum((v - c) ** 2))
+            vt = np.float64
+
+        t1, ranks, errors = tci.crossinterpolate1(
+            vt, fpy, localdims, [0] * L,
+            tolerance=1e-10, maxiter=30, sweepstrategy=strategy,
+        )
+        ft = fulltensor(tci.tensortrain(t1))
+        grids = np.meshgrid(*[np.arange(dd) for dd in localdims],
+                            indexing="ij")
+        pts = np.stack([g.ravel() for g in grids], axis=1)
+        exact = np.asarray([fpy(p) for p in pts]).reshape(ft.shape)
+        scale = np.abs(exact).max()
+        assert np.abs(ft - exact).max() < 1e-8 * scale, cfg
