@@ -171,7 +171,10 @@ def compress_device(
     cores = tt.sitetensors()
     L = len(cores)
     if L <= 1:
-        return TensorTrain([np.asarray(t) for t in cores])
+        # copy=True: np.asarray would alias the caller's ndarrays, making
+        # the advertised non-mutating form return a view for 1-site chains
+        # while returning fresh arrays otherwise.
+        return TensorTrain([np.array(t, copy=True) for t in cores])
     dtype = np.result_type(*[t.dtype for t in cores])
     mbd = int(min(maxbonddim, 2**31 - 1))
     reltol, abstol = (

@@ -17,7 +17,9 @@ from .tensorci2 import crossinterpolate2
 # re-uploads its compiled programs to the device (seconds per program over a
 # remote link — round-2/3 finding: a "warm" second integrate() call that
 # rebuilt its evaluator re-paid ~60 s of program loads). Keyed weakly by the
-# user integrand; the grid/type signature must match exactly.
+# user integrand, then by the grid/type signature: alternating two grids or
+# GK orders on the same f keeps both evaluators live (one slot per
+# signature, not per integrand).
 import weakref
 
 _GK_EVAL_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
@@ -78,11 +80,11 @@ def integrate(
             np.dtype(valuetype).str, enable_device_sweep,
         )
         try:
-            cached = _GK_EVAL_CACHE.get(f)
+            slots = _GK_EVAL_CACHE.get(f)
         except TypeError:  # unhashable/weakref-incompatible integrand
-            cached = None
-        if cached is not None and cached[0] == cache_key:
-            F = cached[1]
+            slots = None
+        if slots is not None and cache_key in slots:
+            F = slots[cache_key]
             tci2, ranks, errors = crossinterpolate2(
                 valuetype, F, localdims, **kwargs
             )
@@ -118,7 +120,7 @@ def integrate(
             fused_panel_capacity=True,
         )
         try:
-            _GK_EVAL_CACHE[f] = (cache_key, F)
+            _GK_EVAL_CACHE.setdefault(f, {})[cache_key] = F
         except TypeError:
             pass
     elif vectorized:

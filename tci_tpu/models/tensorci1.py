@@ -293,6 +293,17 @@ class TensorCI1(AbstractTensorTrain):
         self.pivoterrors[p] = newerror
         if newerror < tolerance:
             return
+        # Vet the candidate's pivot value through the u-recursion BEFORE
+        # mutating any state: the αuv-form local error above can sit just
+        # over the tolerance while the recursion residual cancels to an
+        # exact zero (observed at rounding level, rank ~9). A zero pivot is
+        # uninvertible — treat the bond as numerically converged, the same
+        # outcome the reference's zero-pivot guard enforces
+        # (tensorci1.jl:182-184).
+        resid = self.aca[p].residualcol(self.Pi[p], newpivot[1])
+        if resid[newpivot[0]] == 0:
+            self.pivoterrors[p] = 0.0
+            return
         cross = self.getcross(p)
         self.addpivotcol(cross, p, newpivot[1], f)
         self.addpivotrow(cross, p, newpivot[0], f)

@@ -164,7 +164,15 @@ class TensorTrain(AbstractTensorTrain):
         return cls(tci.sitetensors())
 
     def astype(self, dtype) -> "TensorTrain":
-        return TensorTrain([t.astype(dtype) for t in self._sitetensors])
+        # A complex->real cast discards the imaginary part BY DESIGN (the
+        # reference's value-type conversion does the same,
+        # tensortrain.jl:101-174); silence numpy's ComplexWarning for this
+        # documented narrowing only.
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", np.exceptions.ComplexWarning)
+            return TensorTrain([t.astype(dtype) for t in self._sitetensors])
 
     def reshape_sites(self, localdims) -> "TensorTrain":
         """Reshape site legs: localdims[n] lists the per-site leg extents

@@ -25,6 +25,11 @@ class MatrixACA:
         if A is not None and firstpivot is not None:
             A = np.asarray(A)
             i, j = firstpivot
+            if A[i, j] == 0:
+                raise ValueError(
+                    "First ACA pivot value is exactly zero and cannot be "
+                    "inverted (zero-pivot guard, cf. tensorci1.jl:182-184)."
+                )
             self.rowindices = [int(i)]
             self.colindices = [int(j)]
             self.u = A[:, [j]].copy()
@@ -67,16 +72,24 @@ class MatrixACA:
 
     # -- incremental updates (matrixaca.jl:196-283) ------------------------
 
-    def _uk(self, A: np.ndarray) -> np.ndarray:
-        """u_k(x) = A(x, y_k) - Σ_{l<k} [v_l(y_k)/u_l(x_l)] u_l(x)."""
-        k = len(self.colindices)
-        yk = self.colindices[-1]
+    def residualcol(self, A: np.ndarray, yk: int) -> np.ndarray:
+        """u_k(x) = A(x, y_k) - Σ_{l<k} [v_l(y_k)/u_l(x_l)] u_l(x), computed
+        WITHOUT mutating the factorization — callers use it to vet a
+        candidate pivot value before committing (an exactly-zero pivot is
+        uninvertible; the reference guards zero pivots,
+        tensorci1.jl:182-184)."""
         result = np.asarray(A)[:, yk].astype(self.u.dtype, copy=True) \
             if self.u.size else np.asarray(A)[:, yk].copy()
-        for l in range(k - 1):
+        # Recurse over committed COLUMNS (u.shape[1], not len(rowindices)):
+        # the global-pivot path adds the row before the column, so the two
+        # counts differ by one there.
+        for l in range(self.u.shape[1]):
             xl = self.rowindices[l]
             result = result - (self.v[l, yk] / self.u[xl, l]) * self.u[:, l]
         return result
+
+    def _uk(self, A: np.ndarray) -> np.ndarray:
+        return self.residualcol(A, self.colindices[-1])
 
     def _vk(self, A: np.ndarray) -> np.ndarray:
         """v_k(y) = A(x_k, y) - Σ_{l<k} [u_l(x_k)/u_l(x_l)] v_l(y)."""
@@ -93,6 +106,13 @@ class MatrixACA:
         self.u = np.hstack([self.u, self._uk(A)[:, None]])
 
     def addpivotrow(self, A: np.ndarray, xk: int) -> None:
+        if self.u[xk, -1] == 0:
+            raise ZeroDivisionError(
+                f"ACA pivot value at row {xk} is exactly zero (residual "
+                "column cancelled to working precision); refusing to invert "
+                "it. Vet candidates with residualcol() before committing "
+                "(zero-pivot guard, cf. tensorci1.jl:182-184)."
+            )
         self.rowindices.append(int(xk))
         self.v = np.vstack([self.v, self._vk(A)[None, :]])
         self.alpha.append(1 / self.u[xk, -1])

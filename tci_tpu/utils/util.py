@@ -110,6 +110,13 @@ def optfirstpivot(
                         f([tuple(pivot[:i])], [tuple(pivot[i + 1:])], 1)
                     ).reshape(-1)
                 )
+                if len(vals) != localdims[i]:
+                    raise ValueError(
+                        f"batch evaluator returned {len(vals)} values for "
+                        f"leg {i}, but localdims[{i}] = {localdims[i]}: the "
+                        "evaluator's own localdims disagree with the "
+                        "localdims passed to optfirstpivot."
+                    )
                 for d in range(localdims[i]):
                     if vals[d] > valf:
                         valf = vals[d]

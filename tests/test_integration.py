@@ -63,3 +63,44 @@ def test_integrate_jax_native():
                         jax_native=True, tolerance=1e-10)
     exact = 0.5**N + 1.0
     assert np.isclose(val, exact)
+
+
+def test_gk_eval_cache_multislot():
+    """Alternating bounds/orders on the SAME integrand must reuse the cached
+    evaluator per grid signature: one build per distinct signature, not a
+    rebuild on every alternation (the evaluator re-upload trap, round 3)."""
+    import jax.numpy as jnp
+
+    from tci_tpu.models import integration as integ
+    from tci_tpu.parallel import batcheval
+
+    fjax = lambda x: jnp.prod(x) + 1.0
+    N = 2
+    builds = []
+    orig_init = batcheval.JaxBatchEvaluator.__init__
+
+    def counting_init(self, *args, **kwargs):
+        builds.append(1)
+        return orig_init(self, *args, **kwargs)
+
+    from unittest import mock
+
+    grids = [([0.0] * N, [1.0] * N), ([0.0] * N, [0.5] * N)]
+    vals = {}
+    with mock.patch.object(batcheval.JaxBatchEvaluator, "__init__",
+                           counting_init):
+        for rep in range(2):
+            for gi, (a, b) in enumerate(grids):
+                vals.setdefault(gi, []).append(
+                    integ.integrate(np.float64, fjax, a, b,
+                                    jax_native=True, tolerance=1e-10)
+                )
+    assert len(builds) == len(grids), (
+        f"expected one evaluator build per grid signature, got {len(builds)}"
+    )
+    for gi, (a, b) in enumerate(grids):
+        exact = float(np.prod([(bb * bb - aa * aa) / 2
+                               for aa, bb in zip(a, b)])) + float(
+            np.prod([bb - aa for aa, bb in zip(a, b)]))
+        for v in vals[gi]:
+            assert np.isclose(v, exact), (gi, v, exact)
