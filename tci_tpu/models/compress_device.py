@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .contraction_device import _lu_split, _lu_split_pair
+from .contraction_device import _lu_split_pair
 from .tensortrain import TensorTrain
 
 _INTMAX = 2**62
@@ -40,15 +40,6 @@ _INTMAX = 2**62
 _programs: dict = {}
 
 
-def _split(Cm, m_true: int, n_true: int, reltol, abstol, cap: int,
-           leftorthogonal: bool):
-    """Rank-revealing split; shared kernel with the device contraction
-    tiers (contraction_device._lu_split), abstol operand included (needed
-    for the normalizeerror=False rule)."""
-    return _lu_split(Cm, jnp.int32(m_true), jnp.int32(n_true), reltol,
-                     abstol, cap=cap, leftorthogonal=leftorthogonal)
-
-
 def _split_pair(Cmr, Cmi, m_true: int, n_true: int, reltol, abstol,
                 cap: int, leftorthogonal: bool):
     """Pair-mode _split: the complex matrix is carried as (re, im) f64."""
@@ -57,10 +48,28 @@ def _split_pair(Cmr, Cmi, m_true: int, n_true: int, reltol, abstol,
                           leftorthogonal=leftorthogonal)
 
 
-def _two_pass(cores: List, reltol, abstol, mbd: int):
+def _two_pass(cores: List, reltol, abstol, mbd: int, mesh=None):
     """Traced body: L→R exact orthogonalization then R→L truncation
     (reference tensortrain.jl:302-348). Returns cores + per-bond ranks
-    (appended from the last bond to the first)."""
+    (appended from the last bond to the first). With ``mesh``, every bond
+    split's elimination runs row-sharded (contraction_device._split_for)."""
+    from .contraction_device import _split_for
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def _rep(x):
+            # pin the connecting matmuls replicated: GSPMD otherwise
+            # computes some of them sharded (output-distribution choices),
+            # whose per-block GEMM tiling reassociates reductions and
+            # breaks bit-parity with the single-device tier
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, PartitionSpec(*(None,) * x.ndim))
+            )
+    else:
+        def _rep(x):
+            return x
+
     L = len(cores)
     tt = list(cores)
     zero = jnp.float64(0.0)
@@ -69,12 +78,12 @@ def _two_pass(cores: List, reltol, abstol, mbd: int):
         m = int(np.prod(sh[:-1]))
         n = int(sh[-1])
         cap = min(m, n)
-        left, right, _ = _split(
-            tt[ell].reshape(m, n), m, n, zero, zero, cap, True,
+        left, right, _ = _split_for(mesh, m, n, cap, True)(
+            tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n), zero, zero,
         )
         tt[ell] = left.reshape(*sh[:-1], cap)
         shr = tt[ell + 1].shape
-        nxt = right @ tt[ell + 1].reshape(shr[0], int(np.prod(shr[1:])))
+        nxt = _rep(right @ tt[ell + 1].reshape(shr[0], int(np.prod(shr[1:]))))
         tt[ell + 1] = nxt.reshape(cap, *shr[1:])
 
     ranks = []
@@ -83,12 +92,13 @@ def _two_pass(cores: List, reltol, abstol, mbd: int):
         m = int(sh[0])
         n = int(np.prod(sh[1:]))
         cap = int(min(m, n, mbd))
-        left, right, kk = _split(
-            tt[ell].reshape(m, n), m, n, reltol, abstol, cap, False,
+        left, right, kk = _split_for(mesh, m, n, cap, False)(
+            tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n), reltol,
+            abstol,
         )
         tt[ell] = right.reshape(cap, *sh[1:])
         shl = tt[ell - 1].shape
-        nxt = tt[ell - 1].reshape(int(np.prod(shl[:-1])), shl[-1]) @ left
+        nxt = _rep(tt[ell - 1].reshape(int(np.prod(shl[:-1])), shl[-1]) @ left)
         tt[ell - 1] = nxt.reshape(*shl[:-1], cap)
         ranks.append(kk)
     return tuple(tt) + tuple(ranks)
@@ -158,11 +168,19 @@ def compress_device(
     tolerance: float = 1e-12,
     maxbonddim: int = _INTMAX,
     normalizeerror: bool = True,
+    mesh=None,
 ) -> TensorTrain:
     """Compress a tensor train with the whole two-pass sweep as one device
     program. Returns a new TensorTrain; same truncation semantics as the
     host ``TensorTrain.compress`` with ``method="LU"``
-    (reference tensortrain.jl:302-348 + :219-272)."""
+    (reference tensortrain.jl:302-348 + :219-272).
+
+    With ``mesh`` (1-D ``jax.sharding.Mesh``), every bond split's
+    complete-pivot elimination runs row-sharded over the devices
+    (ops/lu_sharded; bit-identical pivot order). Complex chains on a
+    complex-capable backend run the sharded elimination natively in
+    complex128; on a complex-free backend complex+mesh raises (the pair
+    programs do not shard yet)."""
     if method != "LU":
         raise ValueError(
             "compress_device supports method='LU' only (the production "
@@ -182,29 +200,41 @@ def compress_device(
     )
     shapes = tuple(t.shape for t in cores)
 
+    wdtype = jnp.float64
     if np.issubdtype(dtype, np.complexfloating):
-        crs = [jnp.asarray(np.real(t), dtype=jnp.float64) for t in cores]
-        cis = [jnp.asarray(np.imag(t), dtype=jnp.float64) for t in cores]
-        key = ("compress_pair", shapes, mbd)
-        if key not in _programs:
-            def run(rt, at, *cs):
-                return _two_pass_pair(list(cs[:L]), list(cs[L:]), rt, at, mbd)
+        if mesh is None:
+            crs = [jnp.asarray(np.real(t), dtype=jnp.float64)
+                   for t in cores]
+            cis = [jnp.asarray(np.imag(t), dtype=jnp.float64)
+                   for t in cores]
+            key = ("compress_pair", shapes, mbd)
+            if key not in _programs:
+                def run(rt, at, *cs):
+                    return _two_pass_pair(
+                        list(cs[:L]), list(cs[L:]), rt, at, mbd
+                    )
 
-            _programs[key] = jax.jit(run)
-        outs = jax.device_get(
-            _programs[key](jnp.float64(reltol), jnp.float64(abstol),
-                           *crs, *cis)
-        )
-        hr, hi, kks = outs[:L], outs[L:2 * L], outs[2 * L:]
-        ranks = [max(1, int(k)) for k in kks][::-1]
-        host = [np.asarray(r) + 1j * np.asarray(i) for r, i in zip(hr, hi)]
-        return TensorTrain(_unpad(host, ranks, dtype))
+                _programs[key] = jax.jit(run)
+            outs = jax.device_get(
+                _programs[key](jnp.float64(reltol), jnp.float64(abstol),
+                               *crs, *cis)
+            )
+            hr, hi, kks = outs[:L], outs[L:2 * L], outs[2 * L:]
+            ranks = [max(1, int(k)) for k in kks][::-1]
+            host = [np.asarray(r) + 1j * np.asarray(i)
+                    for r, i in zip(hr, hi)]
+            return TensorTrain(_unpad(host, ranks, dtype))
+        from .contraction_device import _complex_mesh_dtype
 
-    cjs = [jnp.asarray(t, dtype=jnp.float64) for t in cores]
-    key = ("compress", shapes, mbd)
+        wdtype = _complex_mesh_dtype(mesh, "compression")
+
+    from .contraction_device import _mesh_key
+
+    cjs = [jnp.asarray(t, dtype=wdtype) for t in cores]
+    key = ("compress", shapes, mbd, str(np.dtype(wdtype)), _mesh_key(mesh))
     if key not in _programs:
         def run(rt, at, *cs):
-            return _two_pass(list(cs), rt, at, mbd)
+            return _two_pass(list(cs), rt, at, mbd, mesh=mesh)
 
         _programs[key] = jax.jit(run)
     outs = jax.device_get(

@@ -289,13 +289,14 @@ def _contractsitetensors(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def contract_naive(
     a: TensorTrain, b: TensorTrain, f=None,
     tolerance: float = 0.0, maxbonddim: int = _INTMAX,
-    jax_native: bool = False,
+    jax_native: bool = False, mesh=None,
 ) -> TensorTrain:
     """(contraction.jl:616-637)
 
     With ``jax_native=True`` (real dtypes) the sitewise Kronecker merges are
     device einsums and the two-pass compression runs each bond as one fused
-    rrLU program (models/contraction_device.contract_naive_device)."""
+    rrLU program (models/contraction_device.contract_naive_device); ``mesh``
+    shards each bond split's elimination over the devices."""
     if f is not None:
         raise ValueError(
             "Naive contraction cannot apply an elementwise function. "
@@ -305,8 +306,10 @@ def contract_naive(
         from .contraction_device import contract_naive_device
 
         return contract_naive_device(
-            a, b, tolerance=tolerance, maxbonddim=maxbonddim
+            a, b, tolerance=tolerance, maxbonddim=maxbonddim, mesh=mesh
         )
+    if mesh is not None:
+        raise ValueError("mesh= requires jax_native=True")
     if len(a) != len(b):
         raise ValueError("Cannot contract tensor trains with different length.")
     tt = TensorTrain(
@@ -336,7 +339,7 @@ def contract_TCI(
     A: TensorTrain, B: TensorTrain,
     initialpivots=10, f=None,
     rng: Optional[np.random.Generator] = None,
-    jax_native: bool = False,
+    jax_native: bool = False, mesh=None,
     **kwargs,
 ) -> TensorTrain:
     """Fit the product with TCI2 (contraction.jl:692-732).
@@ -345,6 +348,9 @@ def contract_TCI(
     transfer-matrix GEMMs (models/contraction_device.make_product_evaluator)
     wrapped in a JaxBatchEvaluator, so TCI2 runs its fused bond-update and
     whole-sweep device tiers; `f` must then be jax-traceable (or None).
+    ``mesh`` shards the Π-panel product sampling over the device mesh (the
+    batch axis of the transfer-matrix GEMMs — data-parallel over candidate
+    indices, like the engine's own mesh sampling).
     """
     from .tensorci2 import crossinterpolate2
 
@@ -365,8 +371,10 @@ def contract_TCI(
         # (see make_product_evaluator).
         fjax, localdims, dtype, pair = make_product_evaluator(A, B, f=f)
         evaluator = JaxBatchEvaluator(fjax, localdims, dtype=dtype,
-                                      pair_output=pair)
+                                      pair_output=pair, mesh=mesh)
     else:
+        if mesh is not None:
+            raise ValueError("mesh= requires jax_native=True")
         evaluator = matrixproduct
     if isinstance(initialpivots, int):
         initialpivots = _findinitialpivots(
@@ -391,12 +399,13 @@ def contract_zipup(
     A: TensorTrain, B: TensorTrain,
     tolerance: float = 1e-12, method: str = "SVD",
     maxbonddim: int = _INTMAX,
-    jax_native: bool = False,
+    jax_native: bool = False, mesh=None,
 ) -> TensorTrain:
     """Streaming contract+factorize (contraction.jl:751-788).
 
     With ``jax_native=True`` (real dtypes, method="LU") each bond runs as one
-    fused einsum+rrLU XLA program on device (models/contraction_device.py).
+    fused einsum+rrLU XLA program on device (models/contraction_device.py);
+    ``mesh`` shards each bond split's elimination over the devices.
     """
     if jax_native:
         if method != "LU":
@@ -406,8 +415,10 @@ def contract_zipup(
         from .contraction_device import contract_zipup_device
 
         return contract_zipup_device(
-            A, B, tolerance=tolerance, maxbonddim=maxbonddim
+            A, B, tolerance=tolerance, maxbonddim=maxbonddim, mesh=mesh
         )
+    if mesh is not None:
+        raise ValueError("mesh= requires jax_native=True")
     if len(A) != len(B):
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
@@ -452,12 +463,18 @@ def contract(
     f=None,
     method: str = "SVD",
     jax_native: bool = False,
+    mesh=None,
     **kwargs,
 ) -> TensorTrain:
     """Contract two tensor trains (contraction.jl:832-891).
 
     4-leg x 4-leg gives a 4-leg MPO; a 3-leg operand (MPS) is promoted with a
     singleton leg and the result squeezed back to 3 legs.
+
+    With ``jax_native=True``, ``mesh`` (a 1-D ``jax.sharding.Mesh``) runs
+    the device tier multi-chip: naive/zipup shard every bond split's rrLU
+    elimination over the devices (bit-identical pivot order vs single
+    device); TCI shards the Π-panel product sampling.
     """
     A_is_mps = all(t.ndim == 3 for t in A.sitetensors())
     B_is_mps = all(t.ndim == 3 for t in B.sitetensors())
@@ -466,7 +483,7 @@ def contract(
         A4 = _promote_mps_to_mpo(A, "up")
         tt = contract(A4, B, algorithm=algorithm, tolerance=tolerance,
                       maxbonddim=maxbonddim, f=f, method=method,
-                      jax_native=jax_native, **kwargs)
+                      jax_native=jax_native, mesh=mesh, **kwargs)
         return TensorTrain(
             [t.reshape(t.shape[0], -1, t.shape[-1]) for t in tt.sitetensors()]
         )
@@ -474,7 +491,7 @@ def contract(
         B4 = _promote_mps_to_mpo(B, "down")
         tt = contract(A, B4, algorithm=algorithm, tolerance=tolerance,
                       maxbonddim=maxbonddim, f=f, method=method,
-                      jax_native=jax_native, **kwargs)
+                      jax_native=jax_native, mesh=mesh, **kwargs)
         return TensorTrain(
             [t.reshape(t.shape[0], -1, t.shape[-1]) for t in tt.sitetensors()]
         )
@@ -483,10 +500,11 @@ def contract(
 
     if algorithm == "TCI":
         return contract_TCI(A, B, tolerance=tolerance, maxbonddim=maxbonddim,
-                            f=f, jax_native=jax_native, **kwargs)
+                            f=f, jax_native=jax_native, mesh=mesh, **kwargs)
     elif algorithm == "naive":
         return contract_naive(A, B, f=f, tolerance=tolerance,
-                              maxbonddim=maxbonddim, jax_native=jax_native)
+                              maxbonddim=maxbonddim, jax_native=jax_native,
+                              mesh=mesh)
     elif algorithm == "zipup":
         if f is not None:
             raise ValueError(
@@ -494,5 +512,6 @@ def contract(
                 "Use algorithm='TCI' instead."
             )
         return contract_zipup(A, B, tolerance=tolerance, method=method,
-                              maxbonddim=maxbonddim, jax_native=jax_native)
+                              maxbonddim=maxbonddim, jax_native=jax_native,
+                              mesh=mesh)
     raise ValueError(f"Unknown algorithm {algorithm}.")

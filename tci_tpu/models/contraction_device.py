@@ -43,8 +43,41 @@ def _cached_program(key, builder):
     return _whole_programs[key]
 
 
-@partial(jax.jit, static_argnames=("cap", "last"))
-def _zip_step(R, a, b, reltol, cap: int, last: bool):
+# Mesh-sharded bond splits, cached per (mesh devices, shape signature) —
+# each is a shard_map program reused across whole-contraction builders.
+_split_cache: dict = {}
+
+
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
+def _split_for(mesh, m: int, n: int, cap: int, leftorthogonal: bool):
+    """Bond-split kernel selector: the single-device fused rrLU split, or —
+    given a mesh — the row-sharded tensor-parallel elimination
+    (ops/lu_sharded.make_lu_split_sharded, same per-device body as
+    ``rrlu_sharded_raw``: bit-identical pivot order). The shard_map's row
+    spec propagates backward through the reshape into the merge einsums,
+    so XLA computes the Kronecker/zip contractions distributed as well."""
+    if mesh is None:
+        def split(Cm, m_true, n_true, reltol, abstol):
+            return _lu_split(Cm, m_true, n_true, reltol, abstol, cap=cap,
+                             leftorthogonal=leftorthogonal)
+
+        return split
+    key = (_mesh_key(mesh), m, n, cap, leftorthogonal)
+    if key not in _split_cache:
+        from ..ops.lu_sharded import make_lu_split_sharded
+
+        _split_cache[key] = make_lu_split_sharded(
+            mesh, m, n, cap, leftorthogonal
+        )
+    return _split_cache[key]
+
+
+def _zip_step(R, a, b, reltol, cap: int, last: bool, mesh=None):
     """One zip-up bond: C = R·A[n]·B[n], then rank-revealing LU split.
 
     R: (P, La, Lb) with rows >= previous rank zeroed; a: (La, i, K, Ra);
@@ -53,18 +86,36 @@ def _zip_step(R, a, b, reltol, cap: int, last: bool):
     the shared _lu_split kernel (leftorthogonal=False: L carries the pivot
     diagonal, U has unit diagonal, matching the host rrlu.left()/right()
     convention), so truncated device and host zip-ups carry the SAME right
-    factor bond-to-bond and stay bit-comparable.
+    factor bond-to-bond and stay bit-comparable. With a mesh, the split's
+    elimination runs row-sharded (traced inside the caller's program).
     """
     C = jnp.einsum("pab,aikr,bkjs->pijrs", R, a, b)
     P, i, j, Ra, Rb = C.shape
     if last:
         return C.reshape(P, i, j, Ra * Rb), None, None
     m, n = P * i * j, Ra * Rb
-    left, right, kk = _lu_split(
+    left, right, kk = _split_for(mesh, m, n, cap, False)(
         C.reshape(m, n), jnp.int32(m), jnp.int32(n), reltol,
-        jnp.float64(0.0), cap=cap, leftorthogonal=False,
+        jnp.float64(0.0),
     )
     return left.reshape(P, i, j, cap), right.reshape(cap, Ra, Rb), kk
+
+
+def _complex_mesh_dtype(mesh, what: str):
+    """Mesh routing for complex operands: the pair (re, im) programs do not
+    shard yet, but complex-capable backends (the virtual CPU mesh — the
+    multi-chip dry-run/test case) run the sharded elimination natively in
+    complex128. On a complex-free backend (the tunneled TPU) complex+mesh
+    raises until a sharded pair body lands."""
+    from ..parallel.batcheval import platform_supports_complex
+
+    if platform_supports_complex():
+        return jnp.complex128
+    raise NotImplementedError(
+        f"mesh-sharded {what} of complex operands requires a "
+        "complex-capable backend (the pair-mode programs do not shard "
+        "yet); drop mesh= to use the single-device (re, im) pair tier."
+    )
 
 
 def contract_zipup_device(
@@ -72,6 +123,7 @@ def contract_zipup_device(
     B: TensorTrain,
     tolerance: float = 1e-12,
     maxbonddim: int = _INTMAX,
+    mesh=None,
 ) -> TensorTrain:
     """Zip-up contraction of two 4-leg tensor trains on device.
 
@@ -79,17 +131,24 @@ def contract_zipup_device(
     rrLU truncation rule (reltol=tolerance, abstol=0, maxrank=maxbonddim) is
     applied at every bond, but the einsum + factorization run as one fused
     XLA program per bond with no host round trip until the final unpadding.
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), every bond's rrLU split
+    runs row-sharded over the devices (ops/lu_sharded) with bit-identical
+    pivot order, and XLA computes the zip einsums distributed.
     """
     if len(A) != len(B):
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
+    wdtype = jnp.float64
     if np.issubdtype(dtype, np.complexfloating):
-        # complex operands run the (re, im) f64 pair programs — no TPU
-        # backend executes complex dtypes (ops/complex_pair.py)
-        return _contract_zipup_device_pair(A, B, tolerance, maxbonddim)
+        if mesh is None:
+            # complex operands run the (re, im) f64 pair programs — no TPU
+            # backend executes complex dtypes (ops/complex_pair.py)
+            return _contract_zipup_device_pair(A, B, tolerance, maxbonddim)
+        wdtype = _complex_mesh_dtype(mesh, "zip-up contraction")
     L = len(A)
-    ajs = [jnp.asarray(A[n], dtype=jnp.float64) for n in range(L)]
-    bjs = [jnp.asarray(B[n], dtype=jnp.float64) for n in range(L)]
+    ajs = [jnp.asarray(A[n], dtype=wdtype) for n in range(L)]
+    bjs = [jnp.asarray(B[n], dtype=wdtype) for n in range(L)]
 
     caps = []
     P = 1
@@ -105,7 +164,7 @@ def contract_zipup_device(
         def run(reltol, *cores):
             ajs_, bjs_ = cores[:L], cores[L:]
             sites, kks = [], []
-            R = jnp.ones((1, 1, 1), dtype=jnp.float64)
+            R = jnp.ones((1, 1, 1), dtype=wdtype)
             for n in range(L):
                 if n == L - 1:
                     site, _, _ = _zip_step(
@@ -114,7 +173,8 @@ def contract_zipup_device(
                     sites.append(site)
                     break
                 site, R, kk = _zip_step(
-                    R, ajs_[n], bjs_[n], reltol, cap=caps[n], last=False
+                    R, ajs_[n], bjs_[n], reltol, cap=caps[n], last=False,
+                    mesh=mesh,
                 )
                 sites.append(site)
                 kks.append(kk)
@@ -122,7 +182,11 @@ def contract_zipup_device(
 
         return run
 
-    prog = _cached_program(("zip", ash, bsh, tuple(caps)), builder)
+    prog = _cached_program(
+        ("zip", ash, bsh, tuple(caps), str(np.dtype(wdtype)),
+         _mesh_key(mesh)),
+        builder,
+    )
     outs = jax.device_get(prog(jnp.float64(tolerance), *ajs, *bjs))
     host, kks = outs[:L], outs[L:]
     ranks = [max(1, int(k)) for k in kks]
@@ -180,6 +244,20 @@ def make_product_evaluator(A: TensorTrain, B: TensorTrain, f=None,
         from ..parallel.batcheval import platform_supports_complex
 
         pair = iscomplex and not platform_supports_complex()
+        if pair and f is not None:
+            # A complex-scalar post-map (e.g. lambda z: z**2) traces fine in
+            # pair mode but silently computes [re**2, im**2] instead of the
+            # complex square — backend-dependent wrong answers. Require the
+            # caller to opt in with pair=True, asserting f is pair-aware
+            # (maps the stacked [re, im] vector to a stacked [re, im]).
+            raise ValueError(
+                "complex operands on a complex-free backend require the "
+                "(re, im) pair representation, but a post-map `f` written "
+                "for complex scalars would silently be applied to the "
+                "stacked [re, im] vector. Pass pair=True explicitly if `f` "
+                "is pair-aware, or drop `f`/run on a complex-capable "
+                "backend."
+            )
     if pair and not iscomplex:
         raise ValueError("pair mode requires complex operands")
     ra = max(max(t.shape[0], t.shape[3]) for t in A.sitetensors())
@@ -292,10 +370,20 @@ def _lu_split(Cm, m_true, n_true, reltol, abstol, cap: int,
     carries the pivots and U is unit-diagonal. Truncated columns/rows beyond
     the returned rank are zeroed. Returns (left (m, cap), right (cap, n), k).
     Also used by models/compress_device.py, which needs a real abstol (the
-    normalizeerror=False truncation rule)."""
+    normalizeerror=False truncation rule).
+
+    Real panels always run the swap-free FUSED elimination body (not the
+    size-dispatched _rrlu_state): it is the same arithmetic as the
+    mesh-sharded per-device body (ops/lu_sharded), so the mesh and
+    single-device tiers stay bit-identical for every panel size — the
+    physical-swap small-panel body differs by an ulp on rank-deficient
+    panels."""
+    from ..ops.lu_kernel import _rrlu_state_fused
+
     m, n = Cm.shape
     maxrank = min(m, n, cap)
-    A_out, rowperm, colperm, kk, _, _ = _rrlu_state(
+    state_fn = _rrlu_state if jnp.iscomplexobj(Cm) else _rrlu_state_fused
+    A_out, rowperm, colperm, kk, _, _ = state_fn(
         Cm, m_true, n_true, jnp.int32(maxrank), reltol, abstol,
         leftorthogonal,
     )
@@ -331,6 +419,7 @@ def contract_naive_device(
     B: TensorTrain,
     tolerance: float = 0.0,
     maxbonddim: int = _INTMAX,
+    mesh=None,
 ) -> TensorTrain:
     """Naive contraction with every einsum and factorization on device.
 
@@ -340,16 +429,22 @@ def contract_naive_device(
     (L→R exact orthogonalization, R→L truncating — tensortrain.jl:302-348)
     runs each bond as one fused rrLU program, with data staying on device
     between bonds.
+
+    With ``mesh``, every bond's rrLU split runs row-sharded over the
+    devices (ops/lu_sharded) with bit-identical pivot order.
     """
     if len(A) != len(B):
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
+    wdtype = jnp.float64
     if np.issubdtype(dtype, np.complexfloating):
-        # complex operands run the (re, im) f64 pair programs
-        return _contract_naive_device_pair(A, B, tolerance, maxbonddim)
+        if mesh is None:
+            # complex operands run the (re, im) f64 pair programs
+            return _contract_naive_device_pair(A, B, tolerance, maxbonddim)
+        wdtype = _complex_mesh_dtype(mesh, "naive contraction")
     L = len(A)
-    ajs = [jnp.asarray(A[n], dtype=jnp.float64) for n in range(L)]
-    bjs = [jnp.asarray(B[n], dtype=jnp.float64) for n in range(L)]
+    ajs = [jnp.asarray(A[n], dtype=wdtype) for n in range(L)]
+    bjs = [jnp.asarray(B[n], dtype=wdtype) for n in range(L)]
     ash = tuple(t.shape for t in ajs)
     bsh = tuple(t.shape for t in bjs)
     truncate = tolerance > 0 or maxbonddim < _INTMAX
@@ -370,9 +465,9 @@ def contract_naive_device(
                 m = int(np.prod(sh[:-1]))
                 n = int(sh[-1])
                 cap = min(m, n)
-                left, right, _ = _lu_split(
+                left, right, _ = _split_for(mesh, m, n, cap, True)(
                     tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n),
-                    zero, zero, cap=cap, leftorthogonal=True,
+                    zero, zero,
                 )
                 tt[ell] = left.reshape(*sh[:-1], cap)
                 shr = tt[ell + 1].shape
@@ -388,9 +483,9 @@ def contract_naive_device(
                 m = int(sh[0])
                 n = int(np.prod(sh[1:]))
                 cap = int(min(m, n, mbd))
-                left, right, kk = _lu_split(
+                left, right, kk = _split_for(mesh, m, n, cap, False)(
                     tt[ell].reshape(m, n), jnp.int32(m), jnp.int32(n),
-                    reltol, zero, cap=cap, leftorthogonal=False,
+                    reltol, zero,
                 )
                 tt[ell] = right.reshape(cap, *sh[1:])
                 shl = tt[ell - 1].shape
@@ -403,7 +498,11 @@ def contract_naive_device(
 
         return run
 
-    prog = _cached_program(("naive", ash, bsh, mbd, truncate), builder)
+    prog = _cached_program(
+        ("naive", ash, bsh, mbd, truncate, str(np.dtype(wdtype)),
+         _mesh_key(mesh)),
+        builder,
+    )
     outs = jax.device_get(prog(jnp.float64(tolerance), *ajs, *bjs))
     if not truncate:
         return TensorTrain([np.asarray(t, dtype=dtype) for t in outs])

@@ -202,17 +202,19 @@ class TensorTrain(AbstractTensorTrain):
         maxbonddim: int = _INTMAX,
         normalizeerror: bool = True,
         jax_native: bool = False,
+        mesh=None,
     ) -> None:
         """In-place two-pass compression: L→R orthogonalization (no
         truncation), then R→L truncation. With ``jax_native=True`` (and
         ``method="LU"``) the whole two-pass sweep runs as one device
-        program (models/compress_device.py)."""
+        program (models/compress_device.py); ``mesh`` additionally shards
+        every bond split's elimination over the devices."""
         if jax_native:
             from .compress_device import compress_device
 
             out = compress_device(
                 self, method, tolerance=tolerance, maxbonddim=maxbonddim,
-                normalizeerror=normalizeerror,
+                normalizeerror=normalizeerror, mesh=mesh,
             )
             self._sitetensors = out.sitetensors()
             return

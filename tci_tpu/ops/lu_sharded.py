@@ -253,6 +253,90 @@ def _get_program(mesh: Mesh, mp: int, npd: int, dtype,
     return _programs[key]
 
 
+def make_lu_split_sharded(mesh: Mesh, m: int, n: int, cap: int,
+                          leftorthogonal: bool):
+    """Build a TRACEABLE mesh-sharded counterpart of
+    ``models.contraction_device._lu_split`` for use inside larger jitted
+    programs (device contraction / whole-chain compression).
+
+    Returns ``split(Cm, m_true, n_true, reltol, abstol) -> (left (m, cap),
+    right (cap, n), kk)`` where the complete-pivot elimination runs
+    row-sharded over ``mesh`` (the same per-device body as
+    ``rrlu_sharded_raw`` — bit-identical pivot order vs the single-device
+    kernel), and the L/U factor extraction matches ``_lu_split``'s
+    convention exactly (leftorthogonal: L unit-diagonal / U carries pivots;
+    otherwise the reverse; truncated rows/cols zeroed).
+
+    The row axis is padded to a multiple of the mesh extent inside the
+    returned function; padded rows are masked out of pivot selection by
+    ``m_true`` exactly like padded rows of the single-device kernel, so the
+    factors are identical to the unpadded single-device split.
+
+    Bit-parity design: ONLY the elimination (the sequential hot loop with
+    its O(r·m·n) Schur updates) computes sharded; the factored buffer is
+    constrained back to replicated immediately, so the factor extraction
+    and the caller's surrounding einsums compile exactly as in the
+    single-device program (a distributed GEMM would reassociate reductions
+    and break bit-identity with the single-device tier).
+    """
+    axis = mesh.axis_names[0]
+    Pn = int(np.prod(mesh.devices.shape))
+    mp = ((m + Pn - 1) // Pn) * Pn
+    state_fn = _make_state_fn(axis, Pn, mp // Pn, n, leftorthogonal)
+    mapped = shard_map(
+        state_fn,
+        mesh=mesh,
+        in_specs=(
+            PSpec(axis, None), PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
+        ),
+        out_specs=(
+            PSpec(axis, None), PSpec(), PSpec(), PSpec(), PSpec(), PSpec(),
+        ),
+    )
+    maxrank = min(m, n, cap)
+
+    def split(Cm, m_true, n_true, reltol, abstol):
+        # replicate the panel at the split boundary: without this, GSPMD
+        # propagates the shard_map's row spec backward and computes the
+        # producer einsum row-sharded, whose per-block GEMM tiling
+        # reassociates reductions (ulp-level divergence vs the
+        # single-device tier and across mesh extents)
+        Cm = jax.lax.with_sharding_constraint(
+            Cm, jax.sharding.NamedSharding(mesh, PSpec(None, None))
+        )
+        if mp != m:
+            Cp = jnp.zeros((mp, n), dtype=Cm.dtype).at[:m, :].set(Cm)
+        else:
+            Cp = Cm
+        A_full, rowperm, colperm, kk, _, _ = mapped(
+            Cp, m_true, n_true, jnp.int32(maxrank), reltol, abstol
+        )
+        # replicate the factored buffer: everything downstream (and the
+        # caller's next merge einsum) then compiles identically to the
+        # single-device program — see the bit-parity note above
+        A_full = jax.lax.with_sharding_constraint(
+            A_full, jax.sharding.NamedSharding(mesh, PSpec(None, None))
+        )
+        # swapped-layout LU buffer, then the _lu_split factor extraction
+        A_out = A_full[rowperm, :][:, colperm]
+        rmax = min(mp, n)
+        ridx = jnp.arange(rmax)
+        keep = ridx < kk
+        L_all = jnp.tril(A_out[:, :rmax])
+        U_all = jnp.triu(A_out[:rmax, :])
+        if leftorthogonal:
+            L_all = L_all.at[jnp.arange(mp)[:rmax], ridx].set(1.0)
+        else:
+            U_all = U_all.at[ridx, jnp.arange(n)[:rmax]].set(1.0)
+        L_all = jnp.where(keep[None, :], L_all, 0.0)
+        U_all = jnp.where(keep[:, None], U_all, 0.0)
+        left = jnp.zeros_like(L_all).at[rowperm, :].set(L_all)[:m, :cap]
+        right = jnp.zeros_like(U_all).at[:, colperm].set(U_all)[:cap, :n]
+        return left, right, kk
+
+    return split
+
+
 def rrlu_sharded_raw(
     A: np.ndarray,
     maxrank: int = _INTMAX,

@@ -80,11 +80,47 @@ def run(n_devices: int) -> None:
         "sharded rrLU pivot order diverged from the single-device kernel"
     assert np.allclose(s[0], r[0], atol=1e-12)
 
+    # Mesh-sharded L5/L3 device tiers: contraction and whole-chain
+    # compression run every bond split's elimination tensor-parallel over
+    # the mesh and must be BIT-IDENTICAL to the single-device device tier.
+    from tci_tpu.models.contraction import contract
+    from tci_tpu.models.tensortrain import TensorTrain, fulltensor
+
+    def _mpo(seed, L, chi, d1, d2):
+        g = np.random.default_rng(seed)
+        bonds = [1] + [chi] * (L - 1) + [1]
+        return TensorTrain(
+            [g.standard_normal((bonds[n], d1, d2, bonds[n + 1]))
+             for n in range(L)]
+        )
+
+    A, B = _mpo(1, 4, 3, 2, 2), _mpo(2, 4, 3, 2, 2)
+    c1 = contract(A, B, algorithm="zipup", method="LU", tolerance=1e-10,
+                  jax_native=True)
+    cm = contract(A, B, algorithm="zipup", method="LU", tolerance=1e-10,
+                  jax_native=True, mesh=mesh)
+    assert c1.linkdims() == cm.linkdims()
+    for a, b in zip(c1.sitetensors(), cm.sitetensors()):
+        assert np.array_equal(a, b), "mesh zip-up diverged bitwise"
+    exact = fulltensor(contract(A, B, algorithm="naive"))
+    assert np.allclose(fulltensor(cm), exact,
+                       atol=1e-9 * np.abs(exact).max())
+
+    tt1 = TensorTrain([t.copy() for t in c1.sitetensors()])
+    ttm = TensorTrain([t.copy() for t in c1.sitetensors()])
+    tt1.compress("LU", tolerance=1e-10, jax_native=True)
+    ttm.compress("LU", tolerance=1e-10, jax_native=True, mesh=mesh)
+    assert tt1.linkdims() == ttm.linkdims()
+    for a, b in zip(tt1.sitetensors(), ttm.sitetensors()):
+        assert np.array_equal(a, b), "mesh compression diverged bitwise"
+
     print(
         f"dryrun_multichip({n_devices}): ok — platform=cpu, "
         f"mesh={tuple(mesh.devices.shape)}, rank={tciobj.rank()}, "
         f"final_error={errors[-1]:.3e}, pointwise_err={err:.3e}, "
-        f"nevals={bf.nevals}, tp_rrlu_rank={s[3]} (bit-parity ok)"
+        f"nevals={bf.nevals}, tp_rrlu_rank={s[3]} (bit-parity ok), "
+        f"mesh_contraction_linkdims={cm.linkdims()} (bitwise ok), "
+        f"mesh_compress_linkdims={ttm.linkdims()} (bitwise ok)"
     )
 
 

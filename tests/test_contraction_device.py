@@ -358,3 +358,23 @@ def test_device_tci_contraction_complex_pair(monkeypatch, rng):
                    rng=np.random.default_rng(5))
     assert np.allclose(fulltensor(dev), exact,
                        atol=1e-7 * np.abs(exact).max())
+
+
+def test_product_evaluator_auto_pair_rejects_complex_postmap(monkeypatch, rng):
+    """Auto-selected pair mode (complex operands, complex-free backend) with
+    a user post-map must raise: a complex-scalar f would silently be applied
+    to the stacked [re, im] vector (wrong values, backend-dependent).
+    Explicit pair=True asserts the f is pair-aware and stays allowed."""
+    import tci_tpu.models.contraction_device as cd
+    from tci_tpu.parallel import batcheval
+
+    A = _rand_cmpo(rng, 3, 2, 2, 2)
+    B = _rand_cmpo(rng, 3, 2, 2, 2)
+    monkeypatch.setattr(batcheval, "platform_supports_complex", lambda: False)
+    with pytest.raises(ValueError, match="pair-aware"):
+        cd.make_product_evaluator(A, B, f=lambda z: z ** 2)
+    # explicit opt-in still works
+    fp, localdims, dtype, pair = cd.make_product_evaluator(
+        A, B, pair=True, f=lambda p: p
+    )
+    assert pair is True
