@@ -1,4 +1,5 @@
-"""Headline benchmark: TCI2 of the 8-D Lorentzian (BASELINE.json config 1).
+"""Headline benchmark: TCI2 of the 8-D Lorentzian (BASELINE.json config 1),
+plus the other four BASELINE configs embedded in the detail payload.
 
 Runs crossinterpolate2 on f(v) = 1/(1 + v·v), v ∈ {1..10}^8, tolerance 1e-8 —
 the reference README quickstart (README.md:21-29) — with function sampling
@@ -12,6 +13,13 @@ against the reference-style scalar evaluation loop (one Python call per
 sample, median of 3 in-process measurements), i.e. the single-node
 throughput a Julia/Python user gets without batched evaluation.
 
+Anchors (detail.compiled_anchor): a gcc -O3 C implementation of the SAME
+scalar sampling loop (benchmarks/anchor_c.py) measures the compiled
+single-node ceiling on this host — a hard upper bound on what the Julia
+reference could sustain — so the Julia-anchored multiple is a measurement,
+not a guess. detail.rook_tier times the whole-sweep rook optimization
+(3-4x fewer samples to the same tolerance) for the wall-to-tolerance view.
+
 Methodology: one full untimed warm-up optimization loads/compiles every XLA
 program (the reference's benchmark scripts use BenchmarkTools.jl, whose
 min/median likewise excludes Julia JIT warm-up — benchmark/rrlu.jl:8-37);
@@ -19,14 +27,81 @@ the timed run then performs every f sample, rrLU factorization and global
 pivot search of a complete optimization on the chip. The cold (first-run)
 wall is reported in detail.cold_wall_s for transparency.
 
+After config 1, the remaining BASELINE configs (2: rrLU 4096², 3: quantics
+R=40, 4: 10-D GK integration, 5: complex Feynman-type) run in-process on
+the same chip grant (their JSON lines are captured into
+detail.other_configs), gated by a total time budget so the headline line
+always prints.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import io
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "1800"))
+
+
+def _remaining() -> float:
+    return _BUDGET_S - (time.monotonic() - _T0)
+
+
+def _capture_json(fn, *args, **kwargs):
+    """Run a bench main() capturing its stdout; return its last JSON line
+    (each benchmarks/bench_*.py main prints exactly one)."""
+    buf = io.StringIO()
+    from contextlib import redirect_stdout
+
+    try:
+        with redirect_stdout(buf):
+            fn(*args, **kwargs)
+    except Exception as e:  # noqa: BLE001 - report, don't kill the headline
+        return {"error": f"{type(e).__name__}: {e}"}
+    lines = [l for l in buf.getvalue().splitlines() if l.strip()]
+    for line in reversed(lines):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return {"error": "no JSON line in output"}
+
+
+def _other_configs():
+    """Configs 2-5 on the same chip grant, fastest first, each gated on the
+    remaining time budget (a skipped config is recorded, never fatal)."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+    out = {}
+    sections = []
+    try:
+        import bench_quantics
+        sections.append(("config3_quantics_r40", bench_quantics.main, {},
+                         240.0))
+        import bench_feynman
+        sections.append(("config5_feynman_complex", bench_feynman.main, {},
+                         300.0))
+        import bench_integration
+        sections.append(
+            ("config4_integration_10d_device", bench_integration.main,
+             {"jax_native": True}, 300.0))
+        import bench_rrlu
+        sections.append(("config2_rrlu_4096", bench_rrlu.main, {}, 420.0))
+    except Exception as e:  # noqa: BLE001
+        out["import_error"] = f"{type(e).__name__}: {e}"
+        return out
+    for name, fn, kw, need in sections:
+        if _remaining() < need:
+            out[name] = {"skipped": f"time budget ({_remaining():.0f}s "
+                                    f"left < {need:.0f}s needed)"}
+            continue
+        out[name] = _capture_json(fn, **kw)
+    return out
 
 
 def main():
@@ -120,6 +195,134 @@ def main():
     check = abs(tciobj((1, 2, 3, 4, 5, 4, 3, 2)) - fpy((1, 2, 3, 4, 5, 4, 3, 2)))
     assert check < 1e-7, f"pointwise error {check}"
 
+    # --- measured compiled anchor (replaces the old 5-20x Julia guess) ----
+    anchor = {}
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        import anchor_c
+
+        c_rates = anchor_c.measure()
+        anchor = {
+            "compiled_scalar_evals_per_sec": {
+                k: round(v, 1) for k, v in c_rates.items()
+            },
+            "multiple_vs_compiled_inline": round(rate / c_rates["inline"], 3),
+            "multiple_vs_compiled_fptr": round(rate / c_rates["fptr"], 3),
+            "modeled_compiled_sampling_wall_s": round(
+                nevals / c_rates["inline"], 4
+            ),
+            "note": (
+                "gcc -O3 on this host sampling the same trivial integrand "
+                "through the reference's scalar dispatch loop — a hard "
+                "UPPER bound on single-node Julia throughput (real Julia "
+                "pays per-sample vcat allocation + closure dispatch on "
+                "top). At config-1 scale a compiled scalar sampler is "
+                "faster per eval than any accelerator round trip; the "
+                "batched design wins as per-sample cost or panel size "
+                "grows — see rook_tier (sample count) and the other "
+                "configs (integration/Feynman, where f is not free)."
+            ),
+        }
+    except Exception as e:  # noqa: BLE001
+        anchor = {"error": f"{type(e).__name__}: {e}"}
+
+    # --- panel-sampling throughput: device vs compiled scalar -------------
+    # One Π-panel protocol call f(Iset, Jset, 1) with |I|=|J|=1024, d=10
+    # (10.49M samples — the exact sampling shape filltensor drives,
+    # tensorci2.jl:848) for (a) the trivial config-1 Lorentzian and (b) a
+    # 16-term sine-modulated variant whose per-sample cost models a physics
+    # integrand. The C anchor samples the SAME formulas scalar-style, so
+    # this is the measured batched-vs-compiled-scalar comparison on the hot
+    # loop itself.
+    panel = {}
+    try:
+        ks = jnp.arange(1, 17, dtype=jnp.float64)
+
+        def fexp(idx):
+            v = idx.astype(jnp.float64) + 1.0
+            s = jnp.sum(v * v)
+            w = jnp.sum(jnp.sin(s * ks / 16.0 + ks) / (ks + 1.0))
+            return (1.0 + 0.1 * w) / (1.0 + s)
+
+        bexp = JaxBatchEvaluator(fexp, localdims, dtype=np.float64)
+        Ipanel = [(i % 10, (i // 10) % 10, i % 7) for i in range(1024)]
+        Jpanel = [(i % 10, i % 3, i % 5, i % 2) for i in range(1024)]
+        nsamples = len(Ipanel) * 10 * len(Jpanel)
+        for name, ev in (("trivial_lorentzian", bf),
+                         ("expensive_16sine", bexp)):
+            ev(Ipanel, Jpanel, 1)  # warm-up compile/load
+            reps = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = ev(Ipanel, Jpanel, 1)
+                # fetch one scalar: block_until_ready does not synchronize
+                # on the tunneled backend
+                float(np.asarray(out).ravel()[0])
+                reps.append(time.perf_counter() - t0)
+            panel[name] = {
+                "evals_per_sec": round(nsamples / float(np.median(reps)), 1),
+                "wall_s": round(float(np.median(reps)), 4),
+                "nsamples": nsamples,
+            }
+        if "compiled_scalar_evals_per_sec" in anchor:
+            cs = anchor["compiled_scalar_evals_per_sec"]
+            panel["multiple_vs_compiled"] = {
+                "trivial_lorentzian": round(
+                    panel["trivial_lorentzian"]["evals_per_sec"]
+                    / cs["inline"], 2),
+                "expensive_16sine": round(
+                    panel["expensive_16sine"]["evals_per_sec"]
+                    / cs["inline_expensive_f"], 2),
+            }
+    except Exception as e:  # noqa: BLE001
+        panel = {"error": f"{type(e).__name__}: {e}"}
+
+    # --- dispatch floor: what one tunnel round trip costs -----------------
+    try:
+        fl = []
+        one = jnp.ones((8, 8))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(jnp.sum(one))
+            fl.append(time.perf_counter() - t0)
+        dispatch_floor_s = round(float(np.median(fl)), 4)
+    except Exception:  # noqa: BLE001
+        dispatch_floor_s = None
+
+    # --- rook tier: wall-to-tolerance with 3-4x fewer samples -------------
+    rook = {}
+    if _remaining() > 300:
+        try:
+            rookkw = dict(tolerance=1e-8, pivotsearch="rook",
+                          rng=np.random.default_rng(0))
+            tci.crossinterpolate2(np.float64, bf, localdims, **rookkw)
+            n0 = bf.nevals
+            t0 = time.perf_counter()
+            rookobj, rookranks, rookerrors = tci.crossinterpolate2(
+                np.float64, bf, localdims, **rookkw
+            )
+            rw = time.perf_counter() - t0
+            rn = bf.nevals - n0
+            rook = {
+                "wall_s": round(rw, 3),
+                "nevals": int(rn),
+                "evals_per_sec": round(rn / rw, 1),
+                "final_error": float(rookerrors[-1]),
+                "rank": int(rookobj.rank()),
+                "sample_reduction_vs_full": round(nevals / max(rn, 1), 2),
+            }
+        except Exception as e:  # noqa: BLE001
+            rook = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        rook = {"skipped": "time budget"}
+
+    # --- configs 2-5 on the same chip grant -------------------------------
+    if "--config1-only" in sys.argv or "--cpu-fallback" in sys.argv:
+        other = {"skipped": "--config1-only / cpu fallback"}
+    else:
+        other = _other_configs()
+
     print(
         json.dumps(
             {
@@ -128,21 +331,16 @@ def main():
                 "unit": "evals/s",
                 "vs_baseline": round(rate / base_rate, 3),
                 "detail": {
-                    # Honest-baseline caveat (BASELINE.md "Measured
-                    # baselines"): the proxy is a Python scalar sampling
-                    # loop; a compiled Julia f would be ~5-20x faster per
-                    # call, so the Julia-anchored multiple is the range
-                    # below, not vs_baseline.
+                    # Baseline caveat (BASELINE.md "Measured baselines"):
+                    # vs_baseline compares against the Python scalar
+                    # sampling loop; detail.compiled_anchor holds the
+                    # MEASURED compiled-scalar (C, gcc -O3) ceiling that
+                    # upper-bounds single-node Julia.
                     "baseline_kind": "python-scalar-proxy",
-                    "baseline_caveat": (
-                        "proxy measures Python per-call overhead; Julia "
-                        "scalar sampling is typically 5-20x this rate "
-                        "(no julia binary / no egress in this image)"
-                    ),
-                    "est_julia_anchored_range": [
-                        round(rate / (base_rate * 20.0), 2),
-                        round(rate / (base_rate * 5.0), 2),
-                    ],
+                    "compiled_anchor": anchor,
+                    "panel_sampling": panel,
+                    "rook_tier": rook,
+                    "dispatch_floor_s": dispatch_floor_s,
                     "rank": int(tciobj.rank()),
                     "wall_s": round(wall, 3),
                     "wall_s_reps": [round(w, 3) for w in walls],
@@ -151,6 +349,7 @@ def main():
                     "final_error": float(errors[-1]),
                     "baseline_scalar_evals_per_sec": round(base_rate, 1),
                     "device": str(jax.devices()[0]),
+                    "other_configs": other,
                     **(
                         {
                             "tpu_fallback": (

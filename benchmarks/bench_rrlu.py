@@ -58,7 +58,7 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     import scipy.linalg
 
     from tci_tpu.ops.lu import _finalize
-    from tci_tpu.ops.lu_device import rrlu_rook_device
+
     from tci_tpu.ops.lu_kernel import _rrlu_while
 
     key = jax.random.PRNGKey(0)
@@ -96,15 +96,20 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     )
     err_exact = _recon_err_device(jnp, A, lu_exact)
 
-    # --- adaptive rook (device arrlu), factors stay on device -------------
+    # --- adaptive rook (device arrlu), ONE dispatch, factors on device ----
+    # rrlu_rook_device_fused traces the whole slab alternation into a
+    # single XLA program; the host-driven loop (rrlu_rook_device) pays a
+    # dispatch + pivot-list round trip per slab (~29 ms each over the
+    # tunnel), which dominated the 4096² wall in round 3.
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
     def run_rook(Amat, size):
-        rng = np.random.default_rng(7)
-        J0 = list(rng.choice(size, size=rank // 2, replace=False))
-        lu = rrlu_rook_device(
-            Amat, J0=J0, maxrank=rank, reltol=tol, rng=rng,
-            materialize="device",
+        lu = rrlu_rook_device_fused(
+            Amat, maxrank=rank, reltol=tol, rng=np.random.default_rng(7),
         )
-        jax.block_until_ready((lu.left(), lu.right()))
+        # fetch a scalar: block_until_ready does not synchronize on the
+        # tunneled backend
+        float(jnp.sum(jnp.abs(lu.right()[0])))
         return lu
 
     lu_rook = run_rook(A, N)  # warm-up (compiles the slab-size buckets)

@@ -847,8 +847,18 @@ def _make_sweep(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
 def _make_sweep_rook(fjax: Callable, localdims: Tuple[int, ...], Imax: int,
                      forward: bool, dtype, numrookiter: int = 5,
                      shard_rows=None):
-    """Whole-sweep ROOK program: all L-1 bond updates of a 2-site rook sweep
-    as ONE XLA dispatch.
+    """UNROLLED whole-sweep ROOK program: all L-1 bond updates of a 2-site
+    rook sweep as ONE XLA dispatch, with exact per-bond panel shapes.
+
+    NOT a production path: the engine always dispatches the scan body
+    (_make_sweep_rook_scan), whose compile time is flat in chain length and
+    panel edge where this unrolled body's exploded superlinearly (d=15
+    L=10: 348 s at edge 512, >38 min at edge 1536 — measured round 3).
+    Kept as the independent BIT-PARITY ORACLE for the scan body
+    (tests/test_device_sweep.py::test_rook_scan_matches_unrolled): the two
+    trace the same slab alternation through different program structures,
+    so agreement is a strong check on the scan body's dmax padding and
+    masks.
 
     The reference's rook search (arrlu, matrixlu.jl:492-569) exists to save
     samples: instead of the full |I|d x d|J| panel it factorizes alternating
@@ -1706,21 +1716,6 @@ class DeviceSweepEngine:
         # the guard the engine declines and callers fall back to the
         # per-bond tier.
         self.max_panel_edge = 4096
-        # Separate, stricter edge guard for the UNROLLED whole-sweep ROOK
-        # program (short non-uniform chains only — see _rook_uses_scan):
-        # its nested while/cond slab machinery makes a much larger XLA
-        # program than the full-search sweep at the same edge. Probed on
-        # hardware (round 3): edge 176 (d=10 L=8) compiles in ~99 s and
-        # runs 0.76 s/optimization; edge 512 (d=15 L=10) compiles in 348 s
-        # and runs 1.06 s; edge 1536 never returned from compilation in
-        # 38 min. Above this guard the engine transparently runs the FULL
-        # whole-sweep program instead (still one dispatch per sweep; rook
-        # is a sampling optimization, not a semantic knob — the reference
-        # itself falls back rook->full, tensorci2.jl:892-906). The
-        # SCAN-based rook body compiles flat in edge (5.6-7.6 s at edges
-        # 512/1536/4096, warm 0.04 s) and is bounded by max_panel_edge
-        # alone.
-        self.max_panel_edge_rook = 768
         # Fuse BOTH sweeps of one optimize iteration (+ the site-tensor
         # fill) into a single device program (sweep2site_pair). Saves one
         # dispatch + one index upload per iteration over the tunneled
@@ -1740,39 +1735,23 @@ class DeviceSweepEngine:
         self.last_search = None
         self._rng = np.random.default_rng()
 
-    def _rook_uses_scan(self) -> bool:
-        """Scan-based rook body for uniform chains and all long chains.
-
-        The unrolled rook's compile time is the binding constraint at
-        scale (d=15 L=10: 348 s at panel edge 512, never finished at edge
-        1536 in 38 min); the scan body compiles in ~6-8 s at edges
-        512-4096 (measured round 3) with identical warm walls. Unrolled
-        remains only for short NON-uniform chains, where its exact
-        per-bond panel shapes avoid dmax padding."""
-        return (
-            len(self.localdims) >= 16
-            or len(set(self.localdims)) == 1
-        )
-
     def _get_sweep_rook(self, forward: bool):
+        # The SCAN rook body is the only production rook variant: one
+        # traced bond body + lax.scan compiles flat in chain length and
+        # panel edge (6-8 s cold at edges 512-4096), where the unrolled
+        # body's compile time exploded superlinearly (d=15 L=10: 348 s at
+        # edge 512, >38 min at 1536 — the retired `max_panel_edge_rook`
+        # cliff). Non-uniform chains pad their per-bond panels to dmax;
+        # the padding waste is bounded and buys compile time flat in
+        # every dimension. `_make_sweep_rook` (unrolled) remains only as
+        # the bit-parity oracle for the scan body
+        # (tests/test_device_sweep.py::test_rook_scan_matches_unrolled).
         key = (forward, self.Imax, "rook")
         if key not in self._sweeps:
-            if self.pair:
-                # complex engines run the scan body unconditionally — it is
-                # the only rook variant with (re, im)-pair slab kernels
-                self._sweeps[key] = _make_sweep_rook_scan(
-                    self.fjax, self.localdims, self.Imax, forward,
-                    self._jdtype, shard_rows=self._shard_rows, pair=True,
-                )
-            else:
-                maker = (
-                    _make_sweep_rook_scan if self._rook_uses_scan()
-                    else _make_sweep_rook
-                )
-                self._sweeps[key] = maker(
-                    self.fjax, self.localdims, self.Imax, forward,
-                    self._jdtype, shard_rows=self._shard_rows,
-                )
+            self._sweeps[key] = _make_sweep_rook_scan(
+                self.fjax, self.localdims, self.Imax, forward,
+                self._jdtype, shard_rows=self._shard_rows, pair=self.pair,
+            )
         return self._sweeps[key]
 
     def _get_sweep(self, forward: bool):
@@ -1830,11 +1809,11 @@ class DeviceSweepEngine:
         Returns False when the required capacity exceeds imax_cap (caller
         falls back to the per-bond path).
 
-        pivotsearch='rook' runs the whole-sweep rook program
-        (_make_sweep_rook / _make_sweep_rook_scan for long chains): same
-        single dispatch per sweep, slab sampling instead of full panels.
-        Pair-valued (complex) integrands are supported too (_get_sweep_rook
-        builds the pair variant of the rook body).
+        pivotsearch='rook' runs the whole-sweep scan rook program
+        (_make_sweep_rook_scan): same single dispatch per sweep, slab
+        sampling instead of full panels. Pair-valued (complex) integrands
+        are supported too (_get_sweep_rook builds the pair variant of the
+        rook body).
 
         fill_sites=True additionally computes ALL site tensors inside the
         same device program (_get_sweep_fused) and stores them on tci —
@@ -1853,17 +1832,6 @@ class DeviceSweepEngine:
         target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
-        if (
-            rook
-            and not self.pair
-            and not self._rook_uses_scan()
-            and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
-        ):
-            # The UNROLLED rook program's compile time explodes with edge
-            # (see max_panel_edge_rook): run the full-search whole-sweep
-            # program instead. The scan-based rook body compiles flat in
-            # edge and shares max_panel_edge above.
-            rook = False
         self.Imax = target
 
         Iset, Ilen = self._pack(tci.Iset, "left")
@@ -2092,13 +2060,6 @@ class DeviceSweepEngine:
         target = _imax_target(self.Imax, needed)
         if target * (max(self.localdims) + 1) > self.max_panel_edge:
             return False
-        if (
-            rook
-            and not self.pair
-            and not self._rook_uses_scan()
-            and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
-        ):
-            rook = False
         self.Imax = target
 
         Iset, Ilen = self._pack(tci.Iset, "left")
@@ -2476,14 +2437,11 @@ class DeviceSweepEngine:
         decline. Does NOT mutate tci — the caller replays the per-iteration
         bookkeeping from the stacked outputs.
 
-        pivotsearch='rook' traces the whole-sweep rook programs into the
-        loop body, with 2 slab-iteration seeds per iteration pre-drawn
+        pivotsearch='rook' traces the whole-sweep scan rook programs into
+        the loop body, with 2 slab-iteration seeds per iteration pre-drawn
         from the engine rng in the same order the per-iteration pair path
         draws them (bit-identical rook trajectories while a single block
-        covers the run; re-entries draw fresh seeds). Rook falls back to
-        full search above the unrolled rook's compile-time edge, exactly
-        like sweep2site_pair; pair-valued integrands always take the
-        pair-capable scan rook body."""
+        covers the run; re-entries draw fresh seeds)."""
         L = len(self.localdims)
         rook = pivotsearch == "rook"
         needed = max(
@@ -2503,13 +2461,6 @@ class DeviceSweepEngine:
         hist_bytes = 2 * self.loop_kmax * 2 * L * target * L * 4
         if hist_bytes > 64 * 2**20:
             return None
-        if (
-            rook
-            and not self.pair
-            and not self._rook_uses_scan()
-            and target * (max(self.localdims) + 1) > self.max_panel_edge_rook
-        ):
-            rook = False
         self.Imax = target
 
         Kmax = self.loop_kmax

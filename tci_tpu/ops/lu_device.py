@@ -166,6 +166,195 @@ def _assemble_cols_branch(A, LUp, piv_cols, i2, inv_rowperm, inv_colperm,
     return L[inv_rowperm, :], U[:, inv_colperm]
 
 
+def _make_rook_fused(M: int, N: int, Rb: int, numrookiter: int,
+                     leftorthogonal: bool):
+    """Build the ONE-DISPATCH rook alternation program for a device-resident
+    (M, N) matrix with slab width Rb (bucketed maxrank).
+
+    The host-driven rook loop (rrlu_rook_device) pays a dispatch + a pivot
+    -list round trip per slab — ~29 ms each over the development tunnel,
+    which dominates the whole factorization at N=4096 (the slab compute is
+    tens of ms). Here the alternation, self-consistency stop and the final
+    row-slab elimination are all traced into a single XLA program, the
+    same collapse the whole-sweep rook applies to TCI panels
+    (models/device_sweep._rook_alternate). The start set is pre-widened to
+    the full slab width, so the reference's outer widen-and-retry loop
+    (matrixlu.jl:512-548) collapses into this single round.
+    """
+    from .lu_kernel import _rrlu_state_fused
+
+    def slab_rows(A, I0, I0len, maxrank, reltol, abstol):
+        """Eliminate A[I0, :] (slab spans all columns)."""
+        valid = jnp.arange(Rb, dtype=jnp.int32) < I0len
+        slab = jnp.where(valid[:, None], jnp.take(A, I0, axis=0), 0.0)
+        mr = jnp.minimum(maxrank, jnp.minimum(I0len, jnp.int32(N)))
+        LUp, rp, cp, k, mags, err = _rrlu_state_fused(
+            slab, I0len, jnp.int32(N), mr, reltol, abstol, leftorthogonal
+        )
+        newI = jnp.where(valid, jnp.take(I0, rp[:Rb]), 0)
+        newJ = jnp.where(valid, cp[:Rb], 0)
+        smin = jnp.minimum(I0len, jnp.int32(N))
+        return newI, k, newJ, k, k, err, smin, LUp, rp, cp
+
+    def slab_cols(A, J0, J0len, maxrank, reltol, abstol):
+        """Eliminate A[:, J0] (slab spans all rows)."""
+        valid = jnp.arange(Rb, dtype=jnp.int32) < J0len
+        slab = jnp.where(valid[None, :], jnp.take(A, J0, axis=1), 0.0)
+        mr = jnp.minimum(maxrank, jnp.minimum(jnp.int32(M), J0len))
+        LUp, rp, cp, k, mags, err = _rrlu_state_fused(
+            slab, jnp.int32(M), J0len, mr, reltol, abstol, leftorthogonal
+        )
+        newI = jnp.where(valid, rp[:Rb], 0)
+        newJ = jnp.where(valid, jnp.take(J0, cp[:Rb]), 0)
+        smin = jnp.minimum(jnp.int32(M), J0len)
+        return newI, k, newJ, k, k, err, smin
+
+    @jax.jit
+    def run(A, I0, I0len, J0, J0len, maxrank, reltol, abstol):
+        idx = jnp.arange(Rb, dtype=jnp.int32)
+
+        def body(st):
+            (I0_, I0len_, J0_, J0len_, k_, err_, errw_, smin_, it_,
+             done_) = st
+            rookiter = it_ + 1
+            # matrixlu.jl rook alternation: for leftorthogonal the first
+            # move factorizes the column slab A[:, J0]
+            colmove = ((rookiter % 2) == 0) == leftorthogonal
+
+            def do_rows(_):
+                nI, nIl, nJ, nJl, k2, e2, sm = slab_rows(
+                    A, I0_, I0len_, maxrank, reltol, abstol
+                )[:7]
+                return nI, nIl, nJ, nJl, k2, e2, sm
+
+            def do_cols(_):
+                return slab_cols(A, J0_, J0len_, maxrank, reltol, abstol)
+
+            nI, nIl, nJ, nJl, k2, e2, sm = jax.lax.cond(
+                colmove, do_rows, do_cols, None
+            )
+            errw2 = jnp.where(k2 < sm, e2, errw_)
+            sameI = (nIl == I0len_) & jnp.all((idx >= nIl) | (nI == I0_))
+            sameJ = (nJl == J0len_) & jnp.all((idx >= nJl) | (nJ == J0_))
+            return (nI, nIl, nJ, nJl, k2, e2, errw2, sm, it_ + 1,
+                    sameI & sameJ)
+
+        st0 = (
+            I0, I0len, J0, J0len, jnp.int32(0), jnp.float64(jnp.nan),
+            jnp.float64(jnp.nan), jnp.int32(0), jnp.int32(0), False,
+        )
+        (I0f, I0flen, J0f, J0flen, k, err, errw, smin, _, _) = (
+            jax.lax.while_loop(lambda st: (~st[9]) & (st[8] < numrookiter),
+                               body, st0)
+        )
+        # Final ROW slab elimination on the converged row set: provides the
+        # factors for the "slab spans all columns" assembly
+        # (_assemble_cols_branch) in one pass.
+        newI, _, newJ, _, kf, ef, sminf, LUp, rp, cp = slab_rows(
+            A, I0f, I0flen, maxrank, reltol, abstol
+        )
+        errw = jnp.where(kf < sminf, ef, errw)
+        err_final = jnp.where(
+            jnp.isnan(errw), jnp.where(kf >= sminf, 0.0, ef), errw
+        )
+        return LUp, rp, cp, kf, err_final, newI, newJ
+
+    return run
+
+
+_rook_fused_cache: dict = {}
+
+
+def rrlu_rook_device_fused(
+    A,
+    maxrank: int,
+    reltol: float = 1e-14,
+    abstol: float = 0.0,
+    leftorthogonal: bool = True,
+    numrookiter: int = 5,
+    rng: Optional[np.random.Generator] = None,
+) -> "DeviceRRLU":
+    """One-dispatch adaptive rook rrLU of a device-resident matrix.
+
+    Same slab alternation and self-consistency stop as ``rrlu_rook_device``
+    but with the entire rook loop traced into one XLA program — the
+    production path for large panels over a high-latency link (host round
+    trips per slab otherwise dominate: measured ~29 ms each over the
+    development tunnel vs tens of ms of total slab compute at 4096²).
+
+    The start set is the full slab width (maxrank random distinct columns
+    for leftorthogonal, rows otherwise), which collapses the reference's
+    outer widen-and-retry loop (matrixlu.jl:512-548) into a single round —
+    the same design as the whole-sweep rook (models/device_sweep).
+    Factors stay on device (DeviceRRLU); only the k×k pivot block and the
+    index lists cross to the host for the triangular inversion + assembly.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+    A = jnp.asarray(A)
+    m, n = A.shape
+    maxrank = int(min(maxrank, m, n))
+    Rb = bucket(maxrank)
+    key = (m, n, Rb, numrookiter, leftorthogonal, str(A.dtype))
+    if key not in _rook_fused_cache:
+        _rook_fused_cache[key] = _make_rook_fused(
+            m, n, Rb, numrookiter, leftorthogonal
+        )
+    run = _rook_fused_cache[key]
+
+    I0 = np.zeros((Rb,), dtype=np.int32)
+    J0 = np.zeros((Rb,), dtype=np.int32)
+    if leftorthogonal:
+        J0[:maxrank] = rng.choice(n, size=maxrank, replace=False)
+        I0len, J0len = 0, maxrank
+    else:
+        I0[:maxrank] = rng.choice(m, size=maxrank, replace=False)
+        I0len, J0len = maxrank, 0
+
+    LUp, rp, cp, k, err, I0f, J0f = run(
+        A, jnp.asarray(I0), jnp.int32(I0len), jnp.asarray(J0),
+        jnp.int32(J0len),
+        jnp.int32(maxrank), jnp.float64(reltol), jnp.float64(abstol),
+    )
+    k = int(k)
+    err = float(err)
+    rp = np.asarray(rp)
+    cp = np.asarray(cp)
+    I0f = np.asarray(I0f)
+
+    # assembly: final slab was the ROW slab A[I0f_prev, :] (all columns) —
+    # same code path as rrlu_rook_device's materialize="device" with
+    # last_full_rows=False
+    from scipy.linalg import solve_triangular as _st
+
+    blk = np.asarray(LUp[:k, :k])
+    Lblk = np.tril(blk)
+    Ublk = np.triu(blk)
+    if leftorthogonal:
+        np.fill_diagonal(Lblk, 1.0)
+    else:
+        np.fill_diagonal(Ublk, 1.0)
+    colpermutation = np.asarray(cp[:n], dtype=np.int64)
+    I0sel = [int(i) for i in I0f[:k]]
+    I2 = [i for i in range(m) if i not in set(I0sel)]
+    rowpermutation = np.array(I0sel + I2, dtype=np.int64)
+    Uinv = _st(Ublk, np.eye(k), lower=False)
+    err_fin = 0.0 if k >= min(m, n) else err
+    L_nat, U_nat = _assemble_cols_branch(
+        A, LUp,
+        jnp.asarray(colpermutation[:k], dtype=np.int32),
+        jnp.asarray(I2 if I2 else np.zeros((0,)), dtype=np.int32),
+        jnp.asarray(np.argsort(rowpermutation), dtype=np.int32),
+        jnp.asarray(np.argsort(colpermutation), dtype=np.int32),
+        jnp.asarray(Uinv),
+        k=k, unit_lower=leftorthogonal,
+    )
+    return DeviceRRLU(
+        L_nat, U_nat, rowpermutation, colpermutation, k, err_fin,
+        leftorthogonal,
+    )
+
+
 def rrlu_rook_device(
     A,
     I0=(),

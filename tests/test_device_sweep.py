@@ -409,9 +409,8 @@ def test_rook_long_chain_uses_scan_and_converges():
 def test_rook_scan_nonuniform_dims_converges():
     """Non-uniform localdims exercise the scan rook body's dmax padding and
     validity masks (the only path that differs nontrivially from the
-    uniform case, where scan == unrolled bit-for-bit). L>=16 so the engine
-    picks the scan body; results must match the full-search interpolation
-    pointwise."""
+    uniform case, where scan == unrolled bit-for-bit); results must match
+    the full-search interpolation pointwise."""
     L = 16
     localdims = [3, 2] * (L // 2)
 
@@ -1006,3 +1005,32 @@ def test_optimize_loop_rook_complex_pair():
     for a, b in zip(t1.sitetensors(), t2.sitetensors()):
         assert np.allclose(a, b, atol=1e-12)
     assert n1 == n2
+
+
+def test_rook_scan_short_nonuniform_chain():
+    """Short NON-uniform chains now route through the scan rook body too
+    (the unrolled body and its max_panel_edge_rook compile cliff are
+    retired from production). Convergence must match full search."""
+    localdims = [4, 3, 5, 4, 2, 3]
+    L = len(localdims)
+
+    def fjax(idx):
+        import jax.numpy as jnp
+
+        w = 1.0 / (2.0 + jnp.arange(L, dtype=jnp.float64))
+        x = jnp.sum(idx.astype(jnp.float64) * w)
+        return 1.0 / (1.0 + x * x)
+
+    def fpy(v):
+        w = 1.0 / (2.0 + np.arange(L, dtype=float))
+        x = float(np.sum(np.asarray(v, float) * w))
+        return 1.0 / (1.0 + x * x)
+
+    bf = JaxBatchEvaluator(fjax, localdims)
+    t1, r1, e1 = tci.crossinterpolate2(
+        np.float64, bf, localdims, tolerance=1e-10, pivotsearch="rook",
+        rng=np.random.default_rng(5),
+    )
+    assert e1[-1] < 1e-10
+    for v in [(0, 0, 0, 0, 0, 0), (3, 2, 4, 3, 1, 2), (1, 1, 2, 0, 1, 0)]:
+        assert abs(t1.evaluate(v) - fpy(v)) < 1e-8
