@@ -29,7 +29,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .contraction_device import _lu_split_pair
 from .tensortrain import TensorTrain
 
 _INTMAX = 2**62
@@ -38,14 +37,6 @@ _INTMAX = 2**62
 # contraction_device._whole_programs (tolerances are traced operands, so a
 # tolerance change never recompiles).
 _programs: dict = {}
-
-
-def _split_pair(Cmr, Cmi, m_true: int, n_true: int, reltol, abstol,
-                cap: int, leftorthogonal: bool):
-    """Pair-mode _split: the complex matrix is carried as (re, im) f64."""
-    return _lu_split_pair(Cmr, Cmi, jnp.int32(m_true), jnp.int32(n_true),
-                          reltol, abstol, cap=cap,
-                          leftorthogonal=leftorthogonal)
 
 
 def _two_pass(cores: List, reltol, abstol, mbd: int, mesh=None):
@@ -104,8 +95,13 @@ def _two_pass(cores: List, reltol, abstol, mbd: int, mesh=None):
     return tuple(tt) + tuple(ranks)
 
 
-def _two_pass_pair(crs: List, cis: List, reltol, abstol, mbd: int):
-    """Pair-mode _two_pass over (re, im) core stacks."""
+def _two_pass_pair(crs: List, cis: List, reltol, abstol, mbd: int,
+                   mesh=None):
+    """Pair-mode _two_pass over (re, im) core stacks. With ``mesh``, every
+    bond split's elimination runs row-sharded via the pair elimination
+    (contraction_device._split_pair_for)."""
+    from .contraction_device import _split_pair_for
+
     L = len(crs)
     ttr = list(crs)
     tti = list(cis)
@@ -115,9 +111,9 @@ def _two_pass_pair(crs: List, cis: List, reltol, abstol, mbd: int):
         m = int(np.prod(sh[:-1]))
         n = int(sh[-1])
         cap = min(m, n)
-        lr, li, rr, ri, _ = _split_pair(
+        lr, li, rr, ri, _ = _split_pair_for(mesh, m, n, cap, True)(
             ttr[ell].reshape(m, n), tti[ell].reshape(m, n),
-            m, n, zero, zero, cap, True,
+            jnp.int32(m), jnp.int32(n), zero, zero,
         )
         ttr[ell] = lr.reshape(*sh[:-1], cap)
         tti[ell] = li.reshape(*sh[:-1], cap)
@@ -133,9 +129,9 @@ def _two_pass_pair(crs: List, cis: List, reltol, abstol, mbd: int):
         m = int(sh[0])
         n = int(np.prod(sh[1:]))
         cap = int(min(m, n, mbd))
-        lr, li, rr, ri, kk = _split_pair(
+        lr, li, rr, ri, kk = _split_pair_for(mesh, m, n, cap, False)(
             ttr[ell].reshape(m, n), tti[ell].reshape(m, n),
-            m, n, reltol, abstol, cap, False,
+            jnp.int32(m), jnp.int32(n), reltol, abstol,
         )
         ttr[ell] = rr.reshape(cap, *sh[1:])
         tti[ell] = ri.reshape(cap, *sh[1:])
@@ -177,10 +173,8 @@ def compress_device(
 
     With ``mesh`` (1-D ``jax.sharding.Mesh``), every bond split's
     complete-pivot elimination runs row-sharded over the devices
-    (ops/lu_sharded; bit-identical pivot order). Complex chains on a
-    complex-capable backend run the sharded elimination natively in
-    complex128; on a complex-free backend complex+mesh raises (the pair
-    programs do not shard yet)."""
+    (ops/lu_sharded; bit-identical pivot order); complex chains shard
+    through the (re, im) pair elimination."""
     if method != "LU":
         raise ValueError(
             "compress_device supports method='LU' only (the production "
@@ -200,38 +194,31 @@ def compress_device(
     )
     shapes = tuple(t.shape for t in cores)
 
-    wdtype = jnp.float64
-    if np.issubdtype(dtype, np.complexfloating):
-        if mesh is None:
-            crs = [jnp.asarray(np.real(t), dtype=jnp.float64)
-                   for t in cores]
-            cis = [jnp.asarray(np.imag(t), dtype=jnp.float64)
-                   for t in cores]
-            key = ("compress_pair", shapes, mbd)
-            if key not in _programs:
-                def run(rt, at, *cs):
-                    return _two_pass_pair(
-                        list(cs[:L]), list(cs[L:]), rt, at, mbd
-                    )
-
-                _programs[key] = jax.jit(run)
-            outs = jax.device_get(
-                _programs[key](jnp.float64(reltol), jnp.float64(abstol),
-                               *crs, *cis)
-            )
-            hr, hi, kks = outs[:L], outs[L:2 * L], outs[2 * L:]
-            ranks = [max(1, int(k)) for k in kks][::-1]
-            host = [np.asarray(r) + 1j * np.asarray(i)
-                    for r, i in zip(hr, hi)]
-            return TensorTrain(_unpad(host, ranks, dtype))
-        from .contraction_device import _complex_mesh_dtype
-
-        wdtype = _complex_mesh_dtype(mesh, "compression")
-
     from .contraction_device import _mesh_key
 
-    cjs = [jnp.asarray(t, dtype=wdtype) for t in cores]
-    key = ("compress", shapes, mbd, str(np.dtype(wdtype)), _mesh_key(mesh))
+    if np.issubdtype(dtype, np.complexfloating):
+        crs = [jnp.asarray(np.real(t), dtype=jnp.float64) for t in cores]
+        cis = [jnp.asarray(np.imag(t), dtype=jnp.float64) for t in cores]
+        key = ("compress_pair", shapes, mbd, _mesh_key(mesh))
+        if key not in _programs:
+            def run(rt, at, *cs):
+                return _two_pass_pair(
+                    list(cs[:L]), list(cs[L:]), rt, at, mbd, mesh=mesh
+                )
+
+            _programs[key] = jax.jit(run)
+        outs = jax.device_get(
+            _programs[key](jnp.float64(reltol), jnp.float64(abstol),
+                           *crs, *cis)
+        )
+        hr, hi, kks = outs[:L], outs[L:2 * L], outs[2 * L:]
+        ranks = [max(1, int(k)) for k in kks][::-1]
+        host = [np.asarray(r) + 1j * np.asarray(i)
+                for r, i in zip(hr, hi)]
+        return TensorTrain(_unpad(host, ranks, dtype))
+
+    cjs = [jnp.asarray(t, dtype=jnp.float64) for t in cores]
+    key = ("compress", shapes, mbd, _mesh_key(mesh))
     if key not in _programs:
         def run(rt, at, *cs):
             return _two_pass(list(cs), rt, at, mbd, mesh=mesh)

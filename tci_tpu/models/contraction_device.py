@@ -58,9 +58,11 @@ def _split_for(mesh, m: int, n: int, cap: int, leftorthogonal: bool):
     """Bond-split kernel selector: the single-device fused rrLU split, or —
     given a mesh — the row-sharded tensor-parallel elimination
     (ops/lu_sharded.make_lu_split_sharded, same per-device body as
-    ``rrlu_sharded_raw``: bit-identical pivot order). The shard_map's row
-    spec propagates backward through the reshape into the merge einsums,
-    so XLA computes the Kronecker/zip contractions distributed as well."""
+    ``rrlu_sharded_raw``: bit-identical pivot order). Only the elimination
+    — the sequential hot loop — computes sharded; the surrounding merge
+    einsums are pinned replicated at the shard_map boundary so mesh and
+    single-device tiers stay bit-identical (see the bit-parity note in
+    make_lu_split_sharded)."""
     if mesh is None:
         def split(Cm, m_true, n_true, reltol, abstol):
             return _lu_split(Cm, m_true, n_true, reltol, abstol, cap=cap,
@@ -72,6 +74,26 @@ def _split_for(mesh, m: int, n: int, cap: int, leftorthogonal: bool):
         from ..ops.lu_sharded import make_lu_split_sharded
 
         _split_cache[key] = make_lu_split_sharded(
+            mesh, m, n, cap, leftorthogonal
+        )
+    return _split_cache[key]
+
+
+def _split_pair_for(mesh, m: int, n: int, cap: int, leftorthogonal: bool):
+    """Pair-mode (re, im) counterpart of _split_for: single-device
+    _lu_split_pair, or the row-sharded pair elimination
+    (ops/lu_sharded.make_lu_split_sharded_pair) when a mesh is given."""
+    if mesh is None:
+        def split(Cmr, Cmi, m_true, n_true, reltol, abstol):
+            return _lu_split_pair(Cmr, Cmi, m_true, n_true, reltol, abstol,
+                                  cap=cap, leftorthogonal=leftorthogonal)
+
+        return split
+    key = (_mesh_key(mesh), m, n, cap, leftorthogonal, "pair")
+    if key not in _split_cache:
+        from ..ops.lu_sharded import make_lu_split_sharded_pair
+
+        _split_cache[key] = make_lu_split_sharded_pair(
             mesh, m, n, cap, leftorthogonal
         )
     return _split_cache[key]
@@ -101,23 +123,6 @@ def _zip_step(R, a, b, reltol, cap: int, last: bool, mesh=None):
     return left.reshape(P, i, j, cap), right.reshape(cap, Ra, Rb), kk
 
 
-def _complex_mesh_dtype(mesh, what: str):
-    """Mesh routing for complex operands: the pair (re, im) programs do not
-    shard yet, but complex-capable backends (the virtual CPU mesh — the
-    multi-chip dry-run/test case) run the sharded elimination natively in
-    complex128. On a complex-free backend (the tunneled TPU) complex+mesh
-    raises until a sharded pair body lands."""
-    from ..parallel.batcheval import platform_supports_complex
-
-    if platform_supports_complex():
-        return jnp.complex128
-    raise NotImplementedError(
-        f"mesh-sharded {what} of complex operands requires a "
-        "complex-capable backend (the pair-mode programs do not shard "
-        "yet); drop mesh= to use the single-device (re, im) pair tier."
-    )
-
-
 def contract_zipup_device(
     A: TensorTrain,
     B: TensorTrain,
@@ -134,18 +139,19 @@ def contract_zipup_device(
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), every bond's rrLU split
     runs row-sharded over the devices (ops/lu_sharded) with bit-identical
-    pivot order, and XLA computes the zip einsums distributed.
+    pivot order; complex operands shard through the (re, im) pair
+    elimination.
     """
     if len(A) != len(B):
         raise ValueError("Cannot contract tensor trains with different length.")
     dtype = np.result_type(A[0].dtype, B[0].dtype)
     wdtype = jnp.float64
     if np.issubdtype(dtype, np.complexfloating):
-        if mesh is None:
-            # complex operands run the (re, im) f64 pair programs — no TPU
-            # backend executes complex dtypes (ops/complex_pair.py)
-            return _contract_zipup_device_pair(A, B, tolerance, maxbonddim)
-        wdtype = _complex_mesh_dtype(mesh, "zip-up contraction")
+        # complex operands run the (re, im) f64 pair programs — no TPU
+        # backend executes complex dtypes (ops/complex_pair.py); with a
+        # mesh the pair bond splits run the row-sharded pair elimination
+        return _contract_zipup_device_pair(A, B, tolerance, maxbonddim,
+                                           mesh=mesh)
     L = len(A)
     ajs = [jnp.asarray(A[n], dtype=wdtype) for n in range(L)]
     bjs = [jnp.asarray(B[n], dtype=wdtype) for n in range(L)]
@@ -438,10 +444,10 @@ def contract_naive_device(
     dtype = np.result_type(A[0].dtype, B[0].dtype)
     wdtype = jnp.float64
     if np.issubdtype(dtype, np.complexfloating):
-        if mesh is None:
-            # complex operands run the (re, im) f64 pair programs
-            return _contract_naive_device_pair(A, B, tolerance, maxbonddim)
-        wdtype = _complex_mesh_dtype(mesh, "naive contraction")
+        # complex operands run the (re, im) f64 pair programs; with a mesh
+        # the pair bond splits run the row-sharded pair elimination
+        return _contract_naive_device_pair(A, B, tolerance, maxbonddim,
+                                           mesh=mesh)
     L = len(A)
     ajs = [jnp.asarray(A[n], dtype=wdtype) for n in range(L)]
     bjs = [jnp.asarray(B[n], dtype=wdtype) for n in range(L)]
@@ -524,8 +530,8 @@ def contract_naive_device(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cap", "last"))
-def _zip_step_pair(Rr, Ri, ar, ai, br, bi, reltol, cap: int, last: bool):
+def _zip_step_pair(Rr, Ri, ar, ai, br, bi, reltol, cap: int, last: bool,
+                   mesh=None):
     """Pair-mode _zip_step: C = R·A[n]·B[n] via 4 real einsums per complex
     product, then the shared pair rrLU split (_lu_split_pair,
     leftorthogonal=False convention, matching _zip_step)."""
@@ -544,18 +550,21 @@ def _zip_step_pair(Rr, Ri, ar, ai, br, bi, reltol, cap: int, last: bool):
         return (Cr.reshape(P, i, j, Ra * Rb), Ci.reshape(P, i, j, Ra * Rb),
                 None, None, None)
     m, n = P * i * j, Ra * Rb
-    lr, li, rr, ri, kk = _lu_split_pair(
+    lr, li, rr, ri, kk = _split_pair_for(mesh, m, n, cap, False)(
         Cr.reshape(m, n), Ci.reshape(m, n), jnp.int32(m), jnp.int32(n),
-        reltol, jnp.float64(0.0), cap=cap, leftorthogonal=False,
+        reltol, jnp.float64(0.0),
     )
     return (lr.reshape(P, i, j, cap), li.reshape(P, i, j, cap),
             jnp.stack([rr, ri]).reshape(2, cap, Ra, Rb), kk, None)
 
 
 def _contract_zipup_device_pair(
-    A: TensorTrain, B: TensorTrain, tolerance: float, maxbonddim: int
+    A: TensorTrain, B: TensorTrain, tolerance: float, maxbonddim: int,
+    mesh=None,
 ) -> TensorTrain:
-    """Complex zip-up on device via (re, im) f64 pair programs."""
+    """Complex zip-up on device via (re, im) f64 pair programs. With a
+    mesh, every bond split's elimination runs row-sharded
+    (ops/lu_sharded.make_lu_split_sharded_pair)."""
     L = len(A)
     ars = [jnp.asarray(np.real(A[n]), dtype=jnp.float64) for n in range(L)]
     ais = [jnp.asarray(np.imag(A[n]), dtype=jnp.float64) for n in range(L)]
@@ -590,7 +599,7 @@ def _contract_zipup_device_pair(
                     break
                 lr, li, Rpair, kk, _ = _zip_step_pair(
                     Rr, Ri, ars_[n], ais_[n], brs_[n], bis_[n],
-                    reltol, cap=caps[n], last=False,
+                    reltol, cap=caps[n], last=False, mesh=mesh,
                 )
                 sites.append(lr)
                 sites.append(li)
@@ -600,7 +609,9 @@ def _contract_zipup_device_pair(
 
         return run
 
-    prog = _cached_program(("zip_pair", ash, bsh, tuple(caps)), builder)
+    prog = _cached_program(
+        ("zip_pair", ash, bsh, tuple(caps), _mesh_key(mesh)), builder
+    )
     outs = jax.device_get(
         prog(jnp.float64(tolerance), *ars, *ais, *brs, *bis)
     )
@@ -667,9 +678,11 @@ def _merge_sites_pair(ar, ai, br, bi):
 
 
 def _contract_naive_device_pair(
-    A: TensorTrain, B: TensorTrain, tolerance: float, maxbonddim: int
+    A: TensorTrain, B: TensorTrain, tolerance: float, maxbonddim: int,
+    mesh=None,
 ) -> TensorTrain:
-    """Complex naive contraction on device via (re, im) f64 pair programs."""
+    """Complex naive contraction on device via (re, im) f64 pair programs.
+    With a mesh, every bond split's elimination runs row-sharded."""
     from ..ops.complex_pair import _matmul_pair
 
     L = len(A)
@@ -700,10 +713,10 @@ def _contract_naive_device_pair(
                 m = int(np.prod(sh[:-1]))
                 n = int(sh[-1])
                 cap = min(m, n)
-                lr, li, rr, ri, _ = _lu_split_pair(
+                lr, li, rr, ri, _ = _split_pair_for(mesh, m, n, cap, True)(
                     tr.reshape(m, n), ti.reshape(m, n),
                     jnp.int32(m), jnp.int32(n),
-                    zero, zero, cap=cap, leftorthogonal=True,
+                    zero, zero,
                 )
                 tt[ell] = (
                     lr.reshape(*sh[:-1], cap), li.reshape(*sh[:-1], cap)
@@ -726,10 +739,10 @@ def _contract_naive_device_pair(
                 m = int(sh[0])
                 n = int(np.prod(sh[1:]))
                 cap = int(min(m, n, mbd))
-                lr, li, rr, ri, kk = _lu_split_pair(
+                lr, li, rr, ri, kk = _split_pair_for(mesh, m, n, cap, False)(
                     tr.reshape(m, n), ti.reshape(m, n),
                     jnp.int32(m), jnp.int32(n),
-                    reltol, zero, cap=cap, leftorthogonal=False,
+                    reltol, zero,
                 )
                 tt[ell] = (
                     rr.reshape(cap, *sh[1:]), ri.reshape(cap, *sh[1:])
@@ -751,7 +764,9 @@ def _contract_naive_device_pair(
 
         return run
 
-    prog = _cached_program(("naive_pair", ash, bsh, mbd, truncate), builder)
+    prog = _cached_program(
+        ("naive_pair", ash, bsh, mbd, truncate, _mesh_key(mesh)), builder
+    )
     outs = jax.device_get(
         prog(jnp.float64(tolerance), *ars, *ais, *brs, *bis)
     )

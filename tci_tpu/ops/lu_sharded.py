@@ -217,6 +217,244 @@ def _make_state_fn(axis: str, Pn: int, m_blk: int, npd: int,
     return state_fn
 
 
+def _make_state_fn_pair(axis: str, Pn: int, m_blk: int, npd: int,
+                        leftorthogonal: bool):
+    """Pair-mode (re, im) per-device elimination body: the swap-free
+    row-sharded complete-pivot LU of a complex panel carried as two f64
+    blocks. Mirrors _make_state_fn exactly (same collectives: one-hot psum
+    max/min, one-owner psum pivot-row broadcast) with |z|^2 pivot metric
+    and _cdiv/_cmul complex arithmetic (ops/complex_pair.py) — the
+    complex-sharded path for complex-free backends (the real TPU)."""
+    from .complex_pair import _cdiv, _cmul
+
+    def state_fn(Arblk, Aiblk, m_true, n_true, maxrank, reltol, abstol):
+        mp = m_blk * Pn
+        rmax = min(mp, npd)
+        ix = jax.lax.axis_index(axis)
+        offset = ix * m_blk
+        gids = offset + jnp.arange(m_blk, dtype=jnp.int32)
+        cols = jnp.arange(npd, dtype=jnp.int32)
+        BIG = jnp.int32(2**30)
+        onehot_ix = (jnp.arange(Pn, dtype=jnp.int32) == ix)
+
+        def axmax(x):
+            table = jax.lax.psum(
+                jnp.where(
+                    onehot_ix.reshape((Pn,) + (1,) * jnp.ndim(x)),
+                    x[None], jnp.zeros_like(x)[None],
+                ),
+                axis,
+            )
+            return jnp.max(table, axis=0)
+
+        def axmin_int(x):
+            table = jax.lax.psum(
+                jnp.where(
+                    onehot_ix.reshape((Pn,) + (1,) * jnp.ndim(x)),
+                    x[None], jnp.zeros_like(x)[None],
+                ),
+                axis,
+            )
+            return jnp.min(table, axis=0)
+
+        def metric_of(Ar, Ai, rowpos, k):
+            validr = (rowpos[gids] >= k) & (gids < m_true)
+            return jnp.where(validr[:, None], Ar * Ar + Ai * Ai, -1.0)
+
+        def cond(state):
+            return (state[8] < maxrank) & (~state[11])
+
+        def body(state):
+            (Arblk, Aiblk, rowperm, colperm, rowpos, colpos, colmax, _mg,
+             k, maxerror, err, done, mags) = state
+
+            validc = (colpos >= k) & (cols < n_true)
+            cm = jnp.where(validc, colmax, -1.0)
+            M = jnp.max(cm)
+            bestcolpos = jnp.min(jnp.where((cm == M) & validc, colpos, BIG))
+            pc = colperm[jnp.minimum(bestcolpos, npd - 1)]
+
+            validr = (rowpos[gids] >= k) & (gids < m_true)
+            met = jnp.where(
+                validr,
+                Arblk[:, pc] * Arblk[:, pc] + Aiblk[:, pc] * Aiblk[:, pc],
+                -1.0,
+            )
+            Mr = axmax(jnp.max(met))
+            bestrowpos = axmin_int(
+                jnp.min(jnp.where((met == Mr) & validr, rowpos[gids], BIG))
+            )
+            pr = rowperm[jnp.minimum(bestrowpos, mp - 1)]
+            newerr = jnp.sqrt(jnp.maximum(Mr, 0.0)).astype(jnp.float64)
+
+            exhausted = (M < 0) | (Mr < 0)
+            stop = (
+                (newerr < reltol * maxerror) | (newerr < abstol)
+            ) & (k > 0)
+            stop = stop | exhausted | ((newerr == 0.0) & (k > 0))
+            do = ~stop
+
+            brp = jnp.where(do, bestrowpos, k)
+            r_at_k = rowperm[k]
+            pr_eff = jnp.where(do, pr, r_at_k)
+            rowperm = rowperm.at[brp].set(r_at_k).at[k].set(pr_eff)
+            rowpos = rowpos.at[r_at_k].set(brp).at[pr_eff].set(k)
+
+            bcp = jnp.where(do, bestcolpos, k)
+            c_at_k = colperm[k]
+            pc_eff = jnp.where(do, pc, c_at_k)
+            colperm = colperm.at[bcp].set(c_at_k).at[k].set(pc_eff)
+            colpos = colpos.at[c_at_k].set(bcp).at[pc_eff].set(k)
+
+            owner = (pr_eff >= offset) & (pr_eff < offset + m_blk)
+            lid = jnp.clip(pr_eff - offset, 0, m_blk - 1)
+            yfull = jax.lax.psum(
+                jnp.where(
+                    owner,
+                    jnp.stack([Arblk[lid, :], Aiblk[lid, :]]),
+                    jnp.zeros((2, npd), dtype=Arblk.dtype),
+                ),
+                axis,
+            )
+            yr_full, yi_full = yfull[0], yfull[1]
+            piv_r = yr_full[pc_eff]
+            piv_i = yi_full[pc_eff]
+            nz = do & ((piv_r != 0) | (piv_i != 0))
+            safe_r = jnp.where(nz, piv_r, 1.0)
+            safe_i = jnp.where(nz, piv_i, 0.0)
+
+            urow = (rowpos[gids] >= k + 1) & (gids < m_true)
+            ucol = (colpos >= k + 1) & (cols < n_true)
+            if leftorthogonal:
+                mr_, mi_ = _cdiv(Arblk[:, pc_eff], Aiblk[:, pc_eff],
+                                 safe_r, safe_i)
+                xr = jnp.where(urow & do, mr_, 0.0)
+                xi = jnp.where(urow & do, mi_, 0.0)
+                yr = jnp.where(ucol, yr_full, 0.0)
+                yi = jnp.where(ucol, yi_full, 0.0)
+                upr, upi = _cmul(xr[:, None], xi[:, None],
+                                 yr[None, :], yi[None, :])
+                Anr = Arblk - upr
+                Ani = Aiblk - upi
+                store = (cols[None, :] == pc_eff) & (urow & do)[:, None]
+                Anr = jnp.where(store, mr_[:, None], Anr)
+                Ani = jnp.where(store, mi_[:, None], Ani)
+            else:
+                dr_, di_ = _cdiv(yr_full, yi_full, safe_r, safe_i)
+                yr = jnp.where(ucol & do, dr_, 0.0)
+                yi = jnp.where(ucol & do, di_, 0.0)
+                xr = jnp.where(urow, Arblk[:, pc_eff], 0.0)
+                xi = jnp.where(urow, Aiblk[:, pc_eff], 0.0)
+                upr, upi = _cmul(xr[:, None], xi[:, None],
+                                 yr[None, :], yi[None, :])
+                Anr = Arblk - upr
+                Ani = Aiblk - upi
+                store = (gids[:, None] == pr_eff) & (ucol & do)[None, :]
+                Anr = jnp.where(store, dr_[None, :], Anr)
+                Ani = jnp.where(store, di_[None, :], Ani)
+            metric_next = jnp.where(
+                ((rowpos[gids] >= k + 1) & (gids < m_true))[:, None],
+                Anr * Anr + Ani * Ani, -1.0,
+            )
+            colmax = axmax(jnp.max(metric_next, axis=0))
+
+            mags = jnp.where((jnp.arange(rmax) == k) & do, newerr, mags)
+            return (
+                Anr, Ani, rowperm, colperm, rowpos, colpos, colmax,
+                _mg, k + do.astype(jnp.int32),
+                jnp.where(do, jnp.maximum(maxerror, newerr), maxerror),
+                newerr, stop, mags,
+            )
+
+        rows_full = jnp.arange(mp, dtype=jnp.int32)
+        colmax0 = axmax(jnp.max(
+            metric_of(Arblk, Aiblk, rows_full, 0), axis=0
+        ))
+        state0 = (
+            Arblk, Aiblk, rows_full, cols, rows_full, cols, colmax0,
+            jnp.int32(0), jnp.int32(0), jnp.float64(0.0),
+            jnp.float64(jnp.nan), False,
+            jnp.zeros((rmax,), dtype=jnp.float64),
+        )
+        st = jax.lax.while_loop(cond, body, state0)
+        (Arblk, Aiblk, rowperm, colperm, _rp, _cp, _cm, _mg, k, _me, err,
+         _dn, mags) = st
+        return Arblk, Aiblk, rowperm, colperm, k, mags, err
+
+    return state_fn
+
+
+def make_lu_split_sharded_pair(mesh: Mesh, m: int, n: int, cap: int,
+                               leftorthogonal: bool):
+    """Pair-mode ``make_lu_split_sharded``: traceable split of a complex
+    panel carried as (re, im) f64 — ``split(Cmr, Cmi, m_true, n_true,
+    reltol, abstol) -> (lr, li, rr, ri, kk)`` with the elimination
+    row-sharded over ``mesh`` and the factor extraction matching
+    ``models.contraction_device._lu_split_pair``. Same bit-parity design as
+    the real variant: panel and factored buffers are pinned replicated at
+    the shard_map boundary."""
+    axis = mesh.axis_names[0]
+    Pn = int(np.prod(mesh.devices.shape))
+    mp = ((m + Pn - 1) // Pn) * Pn
+    state_fn = _make_state_fn_pair(axis, Pn, mp // Pn, n, leftorthogonal)
+    mapped = shard_map(
+        state_fn,
+        mesh=mesh,
+        in_specs=(
+            PSpec(axis, None), PSpec(axis, None), PSpec(), PSpec(),
+            PSpec(), PSpec(), PSpec(),
+        ),
+        out_specs=(
+            PSpec(axis, None), PSpec(axis, None), PSpec(), PSpec(),
+            PSpec(), PSpec(), PSpec(),
+        ),
+    )
+    maxrank = min(m, n, cap)
+    rep = lambda x: jax.lax.with_sharding_constraint(  # noqa: E731
+        x, jax.sharding.NamedSharding(mesh, PSpec(None, None))
+    )
+
+    def split(Cmr, Cmi, m_true, n_true, reltol, abstol):
+        Cmr = rep(Cmr)
+        Cmi = rep(Cmi)
+        if mp != m:
+            Cpr = jnp.zeros((mp, n), dtype=Cmr.dtype).at[:m, :].set(Cmr)
+            Cpi = jnp.zeros((mp, n), dtype=Cmi.dtype).at[:m, :].set(Cmi)
+        else:
+            Cpr, Cpi = Cmr, Cmi
+        Ar_full, Ai_full, rowperm, colperm, kk, _, _ = mapped(
+            Cpr, Cpi, m_true, n_true, jnp.int32(maxrank), reltol, abstol
+        )
+        Ar_full = rep(Ar_full)
+        Ai_full = rep(Ai_full)
+        Ar = Ar_full[rowperm, :][:, colperm]
+        Ai = Ai_full[rowperm, :][:, colperm]
+        rmax = min(mp, n)
+        ridx = jnp.arange(rmax)
+        keep = ridx < kk
+        Lr = jnp.tril(Ar[:, :rmax])
+        Li = jnp.tril(Ai[:, :rmax])
+        Ur = jnp.triu(Ar[:rmax, :])
+        Ui = jnp.triu(Ai[:rmax, :])
+        if leftorthogonal:
+            Lr = Lr.at[jnp.arange(mp)[:rmax], ridx].set(1.0)
+            Li = Li.at[jnp.arange(mp)[:rmax], ridx].set(0.0)
+        else:
+            Ur = Ur.at[ridx, jnp.arange(n)[:rmax]].set(1.0)
+            Ui = Ui.at[ridx, jnp.arange(n)[:rmax]].set(0.0)
+        Lr = jnp.where(keep[None, :], Lr, 0.0)
+        Li = jnp.where(keep[None, :], Li, 0.0)
+        Ur = jnp.where(keep[:, None], Ur, 0.0)
+        Ui = jnp.where(keep[:, None], Ui, 0.0)
+        lr = jnp.zeros_like(Lr).at[rowperm, :].set(Lr)[:m, :cap]
+        li = jnp.zeros_like(Li).at[rowperm, :].set(Li)[:m, :cap]
+        rr = jnp.zeros_like(Ur).at[:, colperm].set(Ur)[:cap, :n]
+        ri = jnp.zeros_like(Ui).at[:, colperm].set(Ui)[:cap, :n]
+        return lr, li, rr, ri, kk
+
+    return split
+
+
 def _get_program(mesh: Mesh, mp: int, npd: int, dtype,
                  leftorthogonal: bool):
     axis = mesh.axis_names[0]

@@ -86,10 +86,10 @@ def test_compress_mesh_bit_identical(rng, mesh):
     _bits_equal(t_single, t_mesh)
 
 
-def test_compress_mesh_complex_native(rng, mesh):
-    """Complex chains on the complex-capable CPU mesh run the sharded
-    elimination natively in complex128; result must match the host
-    compression to rounding."""
+def test_compress_mesh_complex_pair(rng, mesh):
+    """Complex chains shard through the (re, im) pair elimination
+    (make_lu_split_sharded_pair); result must match the host compression
+    to rounding."""
     L, chi, d = 4, 6, 3
     bonds = [1] + [chi] * (L - 1) + [1]
     ts = [
@@ -105,7 +105,7 @@ def test_compress_mesh_complex_native(rng, mesh):
     assert np.allclose(fh, fm, atol=1e-9 * np.abs(fh).max())
 
 
-def test_zipup_mesh_complex_native(rng, mesh):
+def test_zipup_mesh_complex_pair(rng, mesh):
     A = _rand_cmpo(rng, 4, 3, 2, 2)
     B = _rand_cmpo(rng, 4, 3, 2, 2)
     host = contract_zipup(A, B, tolerance=1e-10, method="LU")
@@ -137,14 +137,23 @@ def test_mesh_requires_jax_native(rng, mesh):
         contract(A, B, algorithm="naive", mesh=mesh)
 
 
-def test_mesh_complex_pair_backend_raises(rng, mesh, monkeypatch):
-    """On a complex-free backend (the tunneled TPU), complex + mesh raises
-    until the pair programs shard."""
-    from tci_tpu.parallel import batcheval
-
-    A = _rand_cmpo(rng, 3, 2, 2, 2)
-    B = _rand_cmpo(rng, 3, 2, 2, 2)
-    monkeypatch.setattr(batcheval, "platform_supports_complex",
-                        lambda: False)
-    with pytest.raises(NotImplementedError, match="pair"):
-        contract_zipup(A, B, method="LU", jax_native=True, mesh=mesh)
+def test_mesh_extent_invariance_real_and_pair(rng, mesh):
+    """Results must be BITWISE independent of the mesh extent (1 vs 8
+    devices): the collectives are exact (one-hot psum tables, one-owner
+    broadcasts) and everything outside the shard_map is pinned replicated,
+    so changing the device count must not change a single bit."""
+    m1 = default_mesh(1)
+    A = _rand_mpo(rng, 4, 4, 3, 3)
+    B = _rand_mpo(rng, 4, 4, 3, 2)
+    r1 = contract_zipup(A, B, tolerance=1e-10, method="LU",
+                        jax_native=True, mesh=m1)
+    r8 = contract_zipup(A, B, tolerance=1e-10, method="LU",
+                        jax_native=True, mesh=mesh)
+    _bits_equal(r1, r8)
+    Ac = _rand_cmpo(rng, 4, 3, 2, 2)
+    Bc = _rand_cmpo(rng, 4, 3, 2, 2)
+    c1 = contract_zipup(Ac, Bc, tolerance=1e-10, method="LU",
+                        jax_native=True, mesh=m1)
+    c8 = contract_zipup(Ac, Bc, tolerance=1e-10, method="LU",
+                        jax_native=True, mesh=mesh)
+    _bits_equal(c1, c8)
