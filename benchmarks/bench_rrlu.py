@@ -103,13 +103,16 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     # tunnel), which dominated the 4096² wall in round 3.
     from tci_tpu.ops.lu_device import rrlu_rook_device_fused
 
-    def run_rook(Amat, size):
+    def run_rook(Amat, size, precision="f64"):
         lu = rrlu_rook_device_fused(
             Amat, maxrank=rank, reltol=tol, rng=np.random.default_rng(7),
+            precision=precision,
         )
-        # fetch a scalar: block_until_ready does not synchronize on the
-        # tunneled backend
-        float(jnp.sum(jnp.abs(lu.right()[0])))
+        if precision == "f64":
+            # fetch a scalar: block_until_ready does not synchronize on
+            # the tunneled backend (the mixed path's single packed fetch
+            # already IS the execution sync)
+            float(jnp.sum(jnp.abs(lu.right()[0])))
         return lu
 
     lu_rook = run_rook(A, N)  # warm-up (compiles the slab-size buckets)
@@ -120,6 +123,22 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     r_rook = lu_rook.npivots()
     gflops_rook = 2.0 * r_rook * N * N / wall_rook / 1e9
     err_rook = _recon_err_device(jnp, A, lu_rook)
+
+    # --- MIXED-PRECISION rook: f32 pivot hunt + f64 MXU completion --------
+    # TPU has no native f64; the TPU-native factorization hunts pivots in
+    # f32 (where the VPU is native and HBM traffic halves) and rebuilds the
+    # f64 factors from the pivot sets with a fixed-order block LU + two MXU
+    # GEMMs (ops/lu_device._assemble_mixed_body). The FULL f64
+    # reconstruction check below is the honest quality gate: the error is
+    # spectrum-floor-limited, same as the pure-f64 path.
+    lu_mx = run_rook(A, N, precision="mixed")  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        lu_mx = run_rook(A, N, precision="mixed")
+    wall_mx = (time.perf_counter() - t0) / reps
+    r_mx = lu_mx.npivots()
+    gflops_mx = 2.0 * r_mx * N * N / wall_mx / 1e9
+    err_mx = _recon_err_device(jnp, A, lu_mx)
 
     # --- scaling row: the blocked path's asymptotic advantage -------------
     # At N=16384 the exact path must stream 2.1 GB per pivot step; the rook
@@ -199,6 +218,19 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
                         "full_recon_relerr": err_rook,
                         "pct_of_f64_gemm_roofline": round(
                             100 * gflops_rook / gemm_gflops, 1
+                        ),
+                    },
+                    "rook_mixed": {
+                        "effective_gflops": round(gflops_mx, 2),
+                        "npivots": int(r_mx),
+                        "wall_s": round(wall_mx, 4),
+                        "full_recon_relerr": err_mx,
+                        "pct_of_f64_gemm_roofline": round(
+                            100 * gflops_mx / gemm_gflops, 1
+                        ),
+                        "note": (
+                            "f32 pivot hunt + f64 MXU completion from the "
+                            "pivot sets; full f64 reconstruction checked"
                         ),
                     },
                     "exact_complete_pivot": {

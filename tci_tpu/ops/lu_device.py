@@ -166,8 +166,160 @@ def _assemble_cols_branch(A, LUp, piv_cols, i2, inv_rowperm, inv_colperm,
     return L[inv_rowperm, :], U[:, inv_colperm]
 
 
-def _make_rook_fused(M: int, N: int, Rb: int, numrookiter: int,
-                     leftorthogonal: bool):
+def _assemble_mixed_body(A, Ipad, Jpad, k, reltol, abstol, *,
+                         unit_lower: bool):
+    """Completion of the rook factors in f64 from the PIVOT SETS alone.
+
+    The mixed-precision rook (see rrlu_rook_device_fused(precision=
+    "mixed")) hunts pivots in f32 — pivot selection is a decision process,
+    not an accuracy-critical computation — and this program rebuilds full
+    f64 factors from the chosen pivot rows I and columns J without ever
+    running an f64 elimination over the big matrix:
+
+      B = A[I, J]            (k x k pivot block, gathered in f64)
+      B = Lblk · Ublk        (fixed-order Doolittle LU, fori_loop — the
+                              pivot ORDER is already chosen, so no pivoting)
+      Binv                   (fixed-order Gauss-Jordan, fori_loop)
+      L = A[:, J] · (Binv · Lblk)   = A[:, J] · Ublk⁻¹   (one MXU GEMM)
+      U = (Ublk · Binv) · A[I, :]   = Lblk⁻¹ · A[I, :]   (one MXU GEMM)
+
+    which are exactly cols2Lmatrix / rows2Umatrix (matrixlu.jl:627-674)
+    evaluated through the pivot-block inverse. The sequential parts touch
+    only k² data (fori_loop over k rank-1 passes); all O(m·k)/O(k·n) work
+    is MXU GEMMs. On pivot rows/columns the GEMM reproduces the triangular
+    blocks up to f64 rounding; the blocks are scattered in exactly so the
+    factor triangularity is bit-clean.
+
+    Ipad/Jpad are the ordered pivot ids padded to the slab width Rb; padded
+    slots (>= k) are masked out of every gather/scatter (scatter indices are
+    pushed out of bounds, which XLA drops). Returns natural-order L (m, Rb)
+    and U (Rb, n) whose rows/columns beyond k are zero.
+    """
+    m, n = A.shape
+    Rb = Ipad.shape[0]
+    dt = A.dtype
+    rows = jnp.arange(Rb, dtype=jnp.int32)
+    valid = rows < k
+    Ig = jnp.where(valid, Ipad, 0)
+    Jg = jnp.where(valid, Jpad, 0)
+
+    eye = jnp.eye(Rb, dtype=dt)
+    B0 = jnp.take(jnp.take(A, Ig, axis=0), Jg, axis=1)
+    v2k = valid[:, None] & valid[None, :]
+    B0 = jnp.where(v2k, B0, eye)  # padded block = identity (invertible)
+
+    idx = jnp.arange(Rb, dtype=jnp.int32)
+
+    # --- pass 1: f64 rank detection along the fixed pivot order -----------
+    # The f32 hunt may keep noise pivots past the true rank (anything the
+    # f32 stop rule cannot resolve); re-apply the reference stop rule
+    # (matrixlu.jl:363) to the f64 pivot magnitudes of the SAME fixed-order
+    # elimination, so the f64 block LU below never divides by a numerically
+    # zero pivot.
+    def rank_body(j, carry):
+        M, keff, maxerr, rejerr, live = carry
+        piv = M[j, j]
+        errj = jnp.abs(piv)
+        stop = (((errj < reltol * maxerr) | (errj <= abstol)) & (j > 0)) | (
+            errj == 0
+        )
+        live = live & (j < k) & (~stop)
+        rejerr = jnp.where((~live) & (j == keff) & (j < k), errj, rejerr)
+        do = live.astype(dt)
+        after = (idx > j).astype(dt) * do
+        mult = M[:, j] / jnp.where(live, piv, 1.0) * (idx > j).astype(dt)
+        M = M - (mult * do)[:, None] * (M[j, :] * after)[None, :]
+        return (
+            M,
+            keff + live.astype(jnp.int32),
+            jnp.where(live, jnp.maximum(maxerr, errj), maxerr),
+            rejerr,
+            live,
+        )
+
+    _, keff, _, rejerr, _ = jax.lax.fori_loop(
+        0, Rb, rank_body,
+        (B0, jnp.int32(0), jnp.zeros((), dt), jnp.zeros((), dt), True),
+    )
+    valid = idx < keff
+    Ig = jnp.where(valid, Ipad, 0)
+    Jg = jnp.where(valid, Jpad, 0)
+    v2 = valid[:, None] & valid[None, :]
+    B = jnp.where(v2, B0, eye)
+
+    def lu_gj_body(j, carry):
+        M_lu, M_gj = carry
+        # --- Doolittle step on M_lu (store multipliers in place) ----------
+        pivrow = M_lu[j, :]
+        pivcol = M_lu[:, j]
+        piv = M_lu[j, j]
+        below = (idx > j).astype(dt)
+        after = (idx > j).astype(dt)
+        if unit_lower:
+            mult = pivcol / piv * below
+            M_lu = M_lu - mult[:, None] * (pivrow * after)[None, :]
+            M_lu = jnp.where(
+                (below[:, None] > 0) & (idx == j)[None, :],
+                mult[:, None], M_lu,
+            )
+        else:
+            mult = pivrow / piv * after
+            M_lu = M_lu - (pivcol * below)[:, None] * mult[None, :]
+            M_lu = jnp.where(
+                (idx == j)[:, None] & (after > 0)[None, :],
+                mult[None, :], M_lu,
+            )
+        # --- Gauss-Jordan step on [B | I] ---------------------------------
+        grow = M_gj[j, :] / M_gj[j, j]
+        gcol = M_gj[:, j] * (idx != j).astype(dt)
+        M_gj = M_gj - gcol[:, None] * grow[None, :]
+        M_gj = jnp.where((idx == j)[:, None], grow[None, :], M_gj)
+        return (M_lu, M_gj)
+
+    M_lu, M_gj = jax.lax.fori_loop(
+        0, Rb, lu_gj_body, (B, jnp.concatenate([B, eye], axis=1))
+    )
+    Binv = M_gj[:, Rb:]
+    tri_lo = (idx[:, None] >= idx[None, :]).astype(dt)
+    tri_up = (idx[:, None] <= idx[None, :]).astype(dt)
+    dia = eye
+    if unit_lower:
+        Lblk = M_lu * tri_lo * (1 - dia) + dia
+        Ublk = M_lu * tri_up
+    else:
+        Lblk = M_lu * tri_lo
+        Ublk = M_lu * tri_up * (1 - dia) + dia
+    Lblk = jnp.where(v2, Lblk, 0)
+    Ublk = jnp.where(v2, Ublk, 0)
+    Binv = jnp.where(v2, Binv, 0)
+
+    Uinv = Binv @ Lblk          # = Ublk^{-1} on the valid block
+    Linv = Ublk @ Binv          # = Lblk^{-1}
+    L_all = jnp.take(A, Jg, axis=1) * valid[None, :].astype(dt)
+    L_nat = L_all @ Uinv        # (m, Rb): A[:, J] · Ublk^{-1}
+    U_all = jnp.take(A, Ig, axis=0) * valid[:, None].astype(dt)
+    U_nat = Linv @ U_all        # (Rb, n): Lblk^{-1} · A[I, :]
+
+    # Scatter the exact triangular blocks into the pivot rows/columns
+    # (the GEMM reproduces them only up to rounding). Padded slots point
+    # out of bounds, which XLA scatter drops.
+    Iscat = jnp.where(valid, Ipad, m)
+    Jscat = jnp.where(valid, Jpad, n)
+    L_nat = L_nat.at[Iscat, :].set(Lblk)
+    U_nat = U_nat.at[:, Jscat].set(Ublk)
+    # zero out the invalid factor columns/rows so L @ U is rank-keff exactly
+    L_nat = L_nat * valid[None, :].astype(dt)
+    U_nat = U_nat * valid[:, None].astype(dt)
+    return L_nat, U_nat, keff, rejerr
+
+
+_assemble_mixed = jax.jit(
+    _assemble_mixed_body, static_argnames=("unit_lower",)
+)
+
+
+def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
+                           leftorthogonal: bool):
     """Build the ONE-DISPATCH rook alternation program for a device-resident
     (M, N) matrix with slab width Rb (bucketed maxrank).
 
@@ -209,55 +361,122 @@ def _make_rook_fused(M: int, N: int, Rb: int, numrookiter: int,
         smin = jnp.minimum(jnp.int32(M), J0len)
         return newI, k, newJ, k, k, err, smin
 
-    @jax.jit
-    def run(A, I0, I0len, J0, J0len, maxrank, reltol, abstol):
+    def alternation(A, I0, I0len, J0, J0len, maxrank, reltol, abstol):
         idx = jnp.arange(Rb, dtype=jnp.int32)
 
         def body(st):
             (I0_, I0len_, J0_, J0len_, k_, err_, errw_, smin_, it_,
-             done_) = st
+             done_, LUp_c, rp_c, cp_c, rowok_) = st
             rookiter = it_ + 1
             # matrixlu.jl rook alternation: for leftorthogonal the first
             # move factorizes the column slab A[:, J0]
             colmove = ((rookiter % 2) == 0) == leftorthogonal
 
             def do_rows(_):
-                nI, nIl, nJ, nJl, k2, e2, sm = slab_rows(
+                nI, nIl, nJ, nJl, k2, e2, sm, LUp, rp, cp = slab_rows(
                     A, I0_, I0len_, maxrank, reltol, abstol
-                )[:7]
-                return nI, nIl, nJ, nJl, k2, e2, sm
+                )
+                return nI, nIl, nJ, nJl, k2, e2, sm, LUp, rp, cp, True
 
             def do_cols(_):
-                return slab_cols(A, J0_, J0len_, maxrank, reltol, abstol)
+                nI, nIl, nJ, nJl, k2, e2, sm = slab_cols(
+                    A, J0_, J0len_, maxrank, reltol, abstol
+                )
+                return (nI, nIl, nJ, nJl, k2, e2, sm, LUp_c, rp_c, cp_c,
+                        False)
 
-            nI, nIl, nJ, nJl, k2, e2, sm = jax.lax.cond(
-                colmove, do_rows, do_cols, None
+            (nI, nIl, nJ, nJl, k2, e2, sm, LUp2, rp2, cp2, isrow) = (
+                jax.lax.cond(colmove, do_rows, do_cols, None)
             )
             errw2 = jnp.where(k2 < sm, e2, errw_)
             sameI = (nIl == I0len_) & jnp.all((idx >= nIl) | (nI == I0_))
             sameJ = (nJl == J0len_) & jnp.all((idx >= nJl) | (nJ == J0_))
+            done2 = sameI & sameJ
+            # a row move that PROVED self-consistency (output sets == its
+            # own input sets) already is the final row-slab elimination
             return (nI, nIl, nJ, nJl, k2, e2, errw2, sm, it_ + 1,
-                    sameI & sameJ)
+                    done2, LUp2, rp2, cp2, isrow & done2)
 
         st0 = (
             I0, I0len, J0, J0len, jnp.int32(0), jnp.float64(jnp.nan),
             jnp.float64(jnp.nan), jnp.int32(0), jnp.int32(0), False,
+            jnp.zeros((Rb, N), A.dtype), jnp.zeros((Rb,), jnp.int32),
+            jnp.zeros((N,), jnp.int32), False,
         )
-        (I0f, I0flen, J0f, J0flen, k, err, errw, smin, _, _) = (
+        (I0f, I0flen, J0f, J0flen, kc, errc, errw, sminc, _, _,
+         LUp_c, rp_c, cp_c, rowok) = (
             jax.lax.while_loop(lambda st: (~st[9]) & (st[8] < numrookiter),
                                body, st0)
         )
+
         # Final ROW slab elimination on the converged row set: provides the
         # factors for the "slab spans all columns" assembly
-        # (_assemble_cols_branch) in one pass.
-        newI, _, newJ, _, kf, ef, sminf, LUp, rp, cp = slab_rows(
-            A, I0f, I0flen, maxrank, reltol, abstol
+        # (_assemble_cols_branch) in one pass. When the alternation was
+        # proved consistent BY a row move, that move's elimination had the
+        # identical input set — reuse its factors instead of re-eliminating
+        # the slab (one full streamed pass saved per factorization).
+        def reuse(_):
+            return (I0f, I0flen, J0f, J0flen, kc, errc, sminc,
+                    LUp_c, rp_c, cp_c)
+
+        def rerun(_):
+            return slab_rows(A, I0f, I0flen, maxrank, reltol, abstol)
+
+        newI, _, newJ, _, kf, ef, sminf, LUp, rp, cp = jax.lax.cond(
+            rowok, reuse, rerun, None
         )
         errw = jnp.where(kf < sminf, ef, errw)
         err_final = jnp.where(
             jnp.isnan(errw), jnp.where(kf >= sminf, 0.0, ef), errw
         )
         return LUp, rp, cp, kf, err_final, newI, newJ
+
+    return alternation
+
+
+def _make_rook_fused(M: int, N: int, Rb: int, numrookiter: int,
+                     leftorthogonal: bool):
+    return jax.jit(
+        _make_rook_alternation(M, N, Rb, numrookiter, leftorthogonal)
+    )
+
+
+def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
+                           leftorthogonal: bool):
+    """Whole mixed-precision rook — f32 alternation + f64 completion — as
+    ONE XLA program, with the host-bound results packed into two buffers
+    (one int32, one f64) so the epilogue costs exactly two device→host
+    transfers. Splitting the elimination and the assembly into separate
+    dispatches costs ~5 small fetches/uploads in between, each paying the
+    link's per-transfer latency — measured at 4096²: 0.26 s split vs the
+    fused program's wall, with only ~0.09 s of actual device work."""
+    alt = _make_rook_alternation(M, N, Rb, numrookiter, leftorthogonal)
+
+    @jax.jit
+    def run(A64, I0, I0len, J0, J0len, maxrank, reltol, abstol):
+        LUp, rp, cp, kf, err, newI, newJ = alt(
+            A64.astype(jnp.float32), I0, I0len, J0, J0len, maxrank,
+            reltol, abstol,
+        )
+        L_nat, U_nat, keff, rejerr = _assemble_mixed_body(
+            A64, newI.astype(jnp.int32), cp[:Rb].astype(jnp.int32), kf,
+            reltol, abstol, unit_lower=leftorthogonal,
+        )
+        # ONE packed f64 buffer (indices are exact in f64 far beyond any
+        # real m/n): scalars ++ pivot rows ++ column permutation. The
+        # epilogue then costs exactly one device→host transfer — the same
+        # dispatch + single-fetch structure as a plain GEMM, so the
+        # benchmark comparison against the GEMM roofline is floor-symmetric
+        # on a high-latency link.
+        pack = jnp.concatenate([
+            jnp.stack([
+                keff.astype(jnp.float64), rejerr.astype(jnp.float64),
+                kf.astype(jnp.float64), err.astype(jnp.float64),
+            ]),
+            newI.astype(jnp.float64),
+            cp.astype(jnp.float64),
+        ])
+        return L_nat, U_nat, pack
 
     return run
 
@@ -273,6 +492,7 @@ def rrlu_rook_device_fused(
     leftorthogonal: bool = True,
     numrookiter: int = 5,
     rng: Optional[np.random.Generator] = None,
+    precision: str = "f64",
 ) -> "DeviceRRLU":
     """One-dispatch adaptive rook rrLU of a device-resident matrix.
 
@@ -288,6 +508,18 @@ def rrlu_rook_device_fused(
     the same design as the whole-sweep rook (models/device_sweep).
     Factors stay on device (DeviceRRLU); only the k×k pivot block and the
     index lists cross to the host for the triangular inversion + assembly.
+
+    precision="mixed" (f64 inputs only): the slab eliminations — the
+    sequential, VPU-bound part that f64 emulation makes ~5x slower — run on
+    an f32 copy of the matrix, selecting the SAME kind of rook pivot sets,
+    and the f64 factors are then rebuilt from those pivot sets alone by
+    ``_assemble_mixed`` (fixed-order block LU + Gauss-Jordan over the k²
+    pivot block, two MXU GEMMs for the completion). TPU has no native f64:
+    pivot HUNTING in f32 + f64 completion is the TPU-native shape of this
+    factorization. The returned ``error`` estimate is f32-resolution
+    (~1e-7 relative); reltol below that is indistinguishable from 0 for
+    the stop rule, so pass precision="f64" when the adaptive stop must
+    resolve tighter tolerances (fixed-maxrank workloads are unaffected).
     """
     if rng is None:
         rng = np.random.default_rng()
@@ -295,9 +527,11 @@ def rrlu_rook_device_fused(
     m, n = A.shape
     maxrank = int(min(maxrank, m, n))
     Rb = bucket(maxrank)
-    key = (m, n, Rb, numrookiter, leftorthogonal, str(A.dtype))
+    mixed = precision == "mixed" and A.dtype == jnp.float64
+    key = (m, n, Rb, numrookiter, leftorthogonal, mixed, str(A.dtype))
     if key not in _rook_fused_cache:
-        _rook_fused_cache[key] = _make_rook_fused(
+        maker = _make_rook_fused_mixed if mixed else _make_rook_fused
+        _rook_fused_cache[key] = maker(
             m, n, Rb, numrookiter, leftorthogonal
         )
     run = _rook_fused_cache[key]
@@ -311,11 +545,35 @@ def rrlu_rook_device_fused(
         I0[:maxrank] = rng.choice(m, size=maxrank, replace=False)
         I0len, J0len = maxrank, 0
 
-    LUp, rp, cp, k, err, I0f, J0f = run(
+    run_args = (
         A, jnp.asarray(I0), jnp.int32(I0len), jnp.asarray(J0),
         jnp.int32(J0len),
         jnp.int32(maxrank), jnp.float64(reltol), jnp.float64(abstol),
     )
+
+    if mixed:
+        L_nat, U_nat, pack = run(*run_args)
+        pk = np.asarray(pack)   # the ONE device→host transfer (also the
+        #                         execution sync: outputs materialize
+        #                         together, so the factors are ready)
+        keff, kf = int(pk[0]), int(pk[2])
+        err = float(pk[1]) if keff < kf else float(pk[3])
+        k = keff
+        I0f = pk[4:4 + Rb].astype(np.int64)
+        cp = pk[4 + Rb:].astype(np.int64)
+        colpermutation = cp[:n]
+        I0sel = [int(i) for i in I0f[:k]]
+        I2 = [i for i in range(m) if i not in set(I0sel)]
+        rowpermutation = np.array(I0sel + I2, dtype=np.int64)
+        err_fin = 0.0 if k >= min(m, n) else err
+        if k < Rb:  # trim the zero-padded factor columns/rows
+            L_nat, U_nat = L_nat[:, :k], U_nat[:k, :]
+        return DeviceRRLU(
+            L_nat, U_nat, rowpermutation, colpermutation,
+            k, err_fin, leftorthogonal,
+        )
+
+    LUp, rp, cp, k, err, I0f, J0f = run(*run_args)
     k = int(k)
     err = float(err)
     rp = np.asarray(rp)

@@ -380,3 +380,99 @@ def pallas_rrlu_call(A, m_true, n_true, maxrank, reltol, abstol,
     k = out_sc[0].astype(jnp.int32)
     err = out_sc[1]
     return A_sw, rowperm, colperm, k, mags, err
+
+
+@functools.partial(jax.jit, static_argnames=("leftorthogonal", "interpret"))
+def pallas_rrlu_batched(A, m_true, n_true, maxrank, reltol, abstol,
+                        *, leftorthogonal: bool, interpret: bool = False):
+    """Batched VMEM-resident rrLU: one grid program per panel.
+
+    The single-panel kernel pays the per-dispatch latency of the link
+    (~29 ms over the dev tunnel) per factorization, which is why it only
+    ever tied XLA at TCI panel sizes. Batching B same-shape panels into ONE
+    pallas_call with ``grid=(B,)`` amortizes that floor across the batch and
+    keeps each elimination entirely VMEM-resident, while the XLA
+    alternative — a vmapped while-loop — must stream all B panels through
+    HBM on EVERY rank-1 step (the batched while body updates the whole
+    (B, m, n) buffer each iteration, masked, until the slowest panel
+    finishes). Pallas grid programs run back-to-back on the core with the
+    next panel's DMA overlapped by the pipeline, so HBM traffic is one
+    read + one write per panel total.
+
+    Args: A (B, m, n) f32; m_true/n_true/maxrank (B,) int32 per-panel true
+    sizes and rank caps; reltol/abstol (B,) per-panel tolerances. Returns
+    per-panel swapped-layout LU buffers, permutations, npivots, pivot
+    magnitudes and final errors — the batched analogue of
+    ``pallas_rrlu_call`` (same contract as lu_kernel._rrlu_while, stop rule
+    matrixlu.jl:363).
+    """
+    B, mp, npd = A.shape
+    rmax = min(mp, npd)
+    ftype = jnp.float64 if A.dtype in (jnp.float64, jnp.complex128) \
+        else jnp.float32
+    scalars = jnp.stack(
+        [jnp.broadcast_to(m_true, (B,)).astype(jnp.int32),
+         jnp.broadcast_to(n_true, (B,)).astype(jnp.int32),
+         jnp.broadcast_to(maxrank, (B,)).astype(jnp.int32)],
+        axis=1,
+    )
+    tol = jnp.stack(
+        [jnp.broadcast_to(reltol, (B,)).astype(ftype),
+         jnp.broadcast_to(abstol, (B,)).astype(ftype)],
+        axis=1,
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, mp, npd), A.dtype),
+        jax.ShapeDtypeStruct((B, mp), jnp.int32),
+        jax.ShapeDtypeStruct((B, npd), jnp.int32),
+        jax.ShapeDtypeStruct((B, rmax), ftype),
+        jax.ShapeDtypeStruct((B, 2), ftype),
+    )
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        )
+    # Leading batch dims are squeezed (`None` block entries), so the kernel
+    # body sees exactly the single-panel ref shapes and is reused unchanged.
+    A_out, rowperm, colperm, mags, out_sc = pl.pallas_call(
+        functools.partial(_rrlu_kernel, leftorthogonal=leftorthogonal),
+        grid=(B,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec((None, 3), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, mp, npd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, mp, npd), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, mp), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, npd), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, rmax), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2), lambda b: (b, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((mp,), jnp.int32),
+            pltpu.VMEM((npd,), jnp.int32),
+            pltpu.VMEM((npd,), ftype),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(scalars, A, tol)
+
+    A_sw = jax.vmap(lambda a, rp, cp: a[rp, :][:, cp])(
+        A_out, rowperm, colperm
+    )
+    k = out_sc[:, 0].astype(jnp.int32)
+    err = out_sc[:, 1]
+    return A_sw, rowperm, colperm, k, mags, err

@@ -208,3 +208,62 @@ def test_rook_fused_maxrank_cap(rng):
     # rank-8 cross approximation of a random matrix is inexact: the
     # reported error must be finite (residual bookkeeping ran)
     assert np.isfinite(lu.error)
+
+
+@pytest.mark.parametrize("leftorthogonal", [True, False])
+def test_rook_fused_mixed_precision(rng, leftorthogonal):
+    """precision="mixed": pivot hunting in f32, f64 factors rebuilt from the
+    pivot sets by _assemble_mixed (fixed-order block LU + Gauss-Jordan +
+    MXU completion GEMMs). Rank, reconstruction quality and factor
+    triangularity must match the pure-f64 path; the f64 rank-detection
+    prepass must reject f32 noise pivots past the true rank."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    for (m, n, r, cap) in [(200, 160, 40, 64), (96, 96, 96, 96),
+                           (300, 100, 25, 40)]:
+        U = rng.standard_normal((m, r))
+        V = rng.standard_normal((r, n))
+        A = (U * np.exp(-np.arange(r) / 8.0)) @ V
+        lu64 = rrlu_rook_device_fused(
+            A, maxrank=cap, reltol=1e-12, leftorthogonal=leftorthogonal,
+            rng=np.random.default_rng(7),
+        )
+        lumx = rrlu_rook_device_fused(
+            A, maxrank=cap, reltol=1e-12, leftorthogonal=leftorthogonal,
+            rng=np.random.default_rng(7), precision="mixed",
+        )
+        assert lumx.npivots() == lu64.npivots()
+        scale = np.abs(A).max()
+        emx = np.abs(
+            np.asarray(lumx.left() @ lumx.right()) - A
+        ).max() / scale
+        assert emx < 1e-11, (m, n, emx)
+        # factors are triangular (with unit diagonal on the orthogonal
+        # side) in pivot order — the scattered exact blocks
+        k = lumx.npivots()
+        Lp = np.asarray(lumx.left())[lumx.rowpermutation[:k], :]
+        Up = np.asarray(lumx.right())[:, lumx.colpermutation[:k]]
+        assert np.allclose(np.triu(Lp[:k], 1), 0)
+        assert np.allclose(np.tril(Up[:, :k], -1), 0)
+        if leftorthogonal:
+            assert np.allclose(np.diagonal(Lp), 1.0)
+        else:
+            assert np.allclose(np.diagonal(Up), 1.0)
+        # permutations are real permutations
+        assert sorted(lumx.rowpermutation.tolist()) == list(range(m))
+        assert sorted(lumx.colpermutation.tolist()) == list(range(n))
+
+
+def test_rook_fused_mixed_f32_input_passthrough(rng):
+    """precision="mixed" on an f32 input degrades to the plain f32 path
+    (nothing to mix); result must equal precision="f64" on the same rng."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    A = (rng.standard_normal((64, 48, 8)) @ np.ones(8)).astype(np.float32)
+    a = rrlu_rook_device_fused(A, maxrank=16, reltol=1e-6,
+                               rng=np.random.default_rng(3))
+    b = rrlu_rook_device_fused(A, maxrank=16, reltol=1e-6,
+                               rng=np.random.default_rng(3),
+                               precision="mixed")
+    assert a.npivots() == b.npivots()
+    np.testing.assert_array_equal(np.asarray(a.left()), np.asarray(b.left()))

@@ -143,3 +143,41 @@ def test_pallas_tiled_rows_match_xla(rng):
         np.asarray(out[0])[:500, :60].astype(np.float64),
         atol=1e-4,
     )
+
+
+@pytest.mark.skipif(not HAVE_PALLAS, reason="pallas unavailable")
+@pytest.mark.parametrize("leftorthogonal", [True, False])
+def test_pallas_batched_matches_per_panel(rng, leftorthogonal):
+    """pallas_rrlu_batched: one grid program per panel, heterogeneous
+    per-panel true sizes / rank caps / tolerances; every panel must be
+    bit-identical to the single-panel kernel on the same inputs."""
+    import jax.numpy as jnp
+
+    from tci_tpu.ops.pallas_lu import pallas_rrlu_batched
+
+    B, m, n = 4, 32, 24
+    A = jnp.asarray(rng.standard_normal((B, m, n)).astype(np.float32))
+    mt = jnp.array([32, 30, 32, 17], jnp.int32)
+    nt = jnp.array([24, 24, 20, 24], jnp.int32)
+    mr = jnp.array([24, 8, 24, 24], jnp.int32)
+    rt = jnp.array([0.0, 0.0, 1e-3, 0.0], jnp.float32)
+    at = jnp.zeros(4, jnp.float32)
+    out_b = pallas_rrlu_batched(
+        A, mt, nt, mr, rt, at, leftorthogonal=leftorthogonal,
+        interpret=True,
+    )
+    for i in range(B):
+        out_s = pallas_rrlu_call(
+            A[i], mt[i], nt[i], mr[i],
+            rt[i].astype(jnp.float64), at[i].astype(jnp.float64),
+            leftorthogonal=leftorthogonal, interpret=True,
+        )
+        assert int(out_b[3][i]) == int(out_s[3])
+        np.testing.assert_array_equal(
+            np.asarray(out_b[0][i]), np.asarray(out_s[0]))
+        np.testing.assert_array_equal(
+            np.asarray(out_b[1][i]), np.asarray(out_s[1]))
+        np.testing.assert_array_equal(
+            np.asarray(out_b[2][i]), np.asarray(out_s[2]))
+        np.testing.assert_array_equal(
+            np.asarray(out_b[4][i]), np.asarray(out_s[4]))
