@@ -90,7 +90,8 @@ class DeviceRRLU:
     (natural-order) factors as jax arrays; to_rrlu() fetches to host."""
 
     def __init__(self, L_nat, U_nat, rowpermutation, colpermutation,
-                 npivot: int, error: float, leftorthogonal: bool):
+                 npivot: int, error: float, leftorthogonal: bool,
+                 nslabs: Optional[int] = None):
         self.L_nat = L_nat  # (m, k) device, natural row order
         self.U_nat = U_nat  # (k, n) device, natural column order
         self.rowpermutation = np.asarray(rowpermutation, dtype=np.int64)
@@ -98,6 +99,9 @@ class DeviceRRLU:
         self.npivot = int(npivot)
         self.error = float(error)
         self.leftorthogonal = bool(leftorthogonal)
+        # diagnostic: number of slab eliminations the rook alternation ran
+        # (fused paths only; None for the host-driven loop)
+        self.nslabs = None if nslabs is None else int(nslabs)
 
     def npivots(self) -> int:
         return self.npivot
@@ -403,7 +407,7 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
             jnp.zeros((Rb, N), A.dtype), jnp.zeros((Rb,), jnp.int32),
             jnp.zeros((N,), jnp.int32), False,
         )
-        (I0f, I0flen, J0f, J0flen, kc, errc, errw, sminc, _, _,
+        (I0f, I0flen, J0f, J0flen, kc, errc, errw, sminc, iters, _,
          LUp_c, rp_c, cp_c, rowok) = (
             jax.lax.while_loop(lambda st: (~st[9]) & (st[8] < numrookiter),
                                body, st0)
@@ -429,7 +433,9 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
         err_final = jnp.where(
             jnp.isnan(errw), jnp.where(kf >= sminf, 0.0, ef), errw
         )
-        return LUp, rp, cp, kf, err_final, newI, newJ
+        # total slab eliminations = iters + (0 if reused else 1)
+        nslabs = iters + jnp.where(rowok, 0, 1).astype(jnp.int32)
+        return LUp, rp, cp, kf, err_final, newI, newJ, nslabs
 
     return alternation
 
@@ -454,7 +460,7 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
 
     @jax.jit
     def run(A64, I0, I0len, J0, J0len, maxrank, reltol, abstol):
-        LUp, rp, cp, kf, err, newI, newJ = alt(
+        LUp, rp, cp, kf, err, newI, newJ, nslabs = alt(
             A64.astype(jnp.float32), I0, I0len, J0, J0len, maxrank,
             reltol, abstol,
         )
@@ -472,6 +478,7 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
             jnp.stack([
                 keff.astype(jnp.float64), rejerr.astype(jnp.float64),
                 kf.astype(jnp.float64), err.astype(jnp.float64),
+                nslabs.astype(jnp.float64),
             ]),
             newI.astype(jnp.float64),
             cp.astype(jnp.float64),
@@ -479,6 +486,25 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
         return L_nat, U_nat, pack
 
     return run
+
+
+class _PendingRRLU:
+    """Deferred handle from ``rrlu_rook_device_fused(defer=True)``.
+
+    The factorization program is already dispatched (JAX async); the host
+    epilogue (single fetch + index bookkeeping) runs on the first
+    ``result()`` call. Issue several handles, then collect — the device
+    pipelines the programs and the link latency is paid per batch."""
+
+    def __init__(self, finish):
+        self._finish = finish
+        self._result: Optional[DeviceRRLU] = None
+
+    def result(self) -> DeviceRRLU:
+        if self._result is None:
+            self._result = self._finish()
+            self._finish = None
+        return self._result
 
 
 _rook_fused_cache: dict = {}
@@ -493,7 +519,8 @@ def rrlu_rook_device_fused(
     numrookiter: int = 5,
     rng: Optional[np.random.Generator] = None,
     precision: str = "f64",
-) -> "DeviceRRLU":
+    defer: bool = False,
+):
     """One-dispatch adaptive rook rrLU of a device-resident matrix.
 
     Same slab alternation and self-consistency stop as ``rrlu_rook_device``
@@ -520,6 +547,14 @@ def rrlu_rook_device_fused(
     (~1e-7 relative); reltol below that is indistinguishable from 0 for
     the stop rule, so pass precision="f64" when the adaptive stop must
     resolve tighter tolerances (fixed-maxrank workloads are unaffected).
+
+    defer=True returns a ``_PendingRRLU`` handle instead of a finished
+    ``DeviceRRLU``: the whole program is DISPATCHED (JAX async) but no
+    device→host fetch happens until ``.result()``. Issuing several
+    independent factorizations deferred and then collecting the results
+    pipelines the device work and pays the link's per-transfer latency
+    floor once per batch instead of once per factorization — the serving
+    pattern for many-panel workloads over a high-latency link.
     """
     if rng is None:
         rng = np.random.default_rng()
@@ -552,65 +587,79 @@ def rrlu_rook_device_fused(
     )
 
     if mixed:
-        L_nat, U_nat, pack = run(*run_args)
-        pk = np.asarray(pack)   # the ONE device→host transfer (also the
-        #                         execution sync: outputs materialize
-        #                         together, so the factors are ready)
-        keff, kf = int(pk[0]), int(pk[2])
-        err = float(pk[1]) if keff < kf else float(pk[3])
-        k = keff
-        I0f = pk[4:4 + Rb].astype(np.int64)
-        cp = pk[4 + Rb:].astype(np.int64)
-        colpermutation = cp[:n]
+        L_nat, U_nat, pack = run(*run_args)  # dispatched async
+
+        def finish_mixed() -> DeviceRRLU:
+            pk = np.asarray(pack)  # the ONE device→host transfer (also the
+            #                        execution sync: outputs materialize
+            #                        together, so the factors are ready)
+            keff, kf = int(pk[0]), int(pk[2])
+            err = float(pk[1]) if keff < kf else float(pk[3])
+            nslabs = int(pk[4])
+            k = keff
+            I0f = pk[5:5 + Rb].astype(np.int64)
+            cp = pk[5 + Rb:].astype(np.int64)
+            colpermutation = cp[:n]
+            I0sel = [int(i) for i in I0f[:k]]
+            I2 = [i for i in range(m) if i not in set(I0sel)]
+            rowpermutation = np.array(I0sel + I2, dtype=np.int64)
+            err_fin = 0.0 if k >= min(m, n) else err
+            Lk, Uk = L_nat, U_nat
+            if k < Rb:  # trim the zero-padded factor columns/rows
+                Lk, Uk = L_nat[:, :k], U_nat[:k, :]
+            return DeviceRRLU(
+                Lk, Uk, rowpermutation, colpermutation,
+                k, err_fin, leftorthogonal, nslabs=nslabs,
+            )
+
+        if defer:
+            return _PendingRRLU(finish_mixed)
+        return finish_mixed()
+
+    LUp, rp, cp, kdev, errdev, I0fdev, J0f, nslabsdev = run(*run_args)
+
+    def finish_plain() -> DeviceRRLU:
+        k = int(kdev)
+        err = float(errdev)
+        nslabs = int(nslabsdev)
+        cp_h = np.asarray(cp)
+        I0f = np.asarray(I0fdev)
+
+        # assembly: final slab was the ROW slab A[I0f_prev, :] (all
+        # columns) — same code path as rrlu_rook_device's
+        # materialize="device" with last_full_rows=False
+        from scipy.linalg import solve_triangular as _st
+
+        blk = np.asarray(LUp[:k, :k])
+        Lblk = np.tril(blk)
+        Ublk = np.triu(blk)
+        if leftorthogonal:
+            np.fill_diagonal(Lblk, 1.0)
+        else:
+            np.fill_diagonal(Ublk, 1.0)
+        colpermutation = np.asarray(cp_h[:n], dtype=np.int64)
         I0sel = [int(i) for i in I0f[:k]]
         I2 = [i for i in range(m) if i not in set(I0sel)]
         rowpermutation = np.array(I0sel + I2, dtype=np.int64)
+        Uinv = _st(Ublk, np.eye(k), lower=False)
         err_fin = 0.0 if k >= min(m, n) else err
-        if k < Rb:  # trim the zero-padded factor columns/rows
-            L_nat, U_nat = L_nat[:, :k], U_nat[:k, :]
+        L_nat, U_nat = _assemble_cols_branch(
+            A, LUp,
+            jnp.asarray(colpermutation[:k], dtype=np.int32),
+            jnp.asarray(I2 if I2 else np.zeros((0,)), dtype=np.int32),
+            jnp.asarray(np.argsort(rowpermutation), dtype=np.int32),
+            jnp.asarray(np.argsort(colpermutation), dtype=np.int32),
+            jnp.asarray(Uinv),
+            k=k, unit_lower=leftorthogonal,
+        )
         return DeviceRRLU(
-            L_nat, U_nat, rowpermutation, colpermutation,
-            k, err_fin, leftorthogonal,
+            L_nat, U_nat, rowpermutation, colpermutation, k, err_fin,
+            leftorthogonal, nslabs=nslabs,
         )
 
-    LUp, rp, cp, k, err, I0f, J0f = run(*run_args)
-    k = int(k)
-    err = float(err)
-    rp = np.asarray(rp)
-    cp = np.asarray(cp)
-    I0f = np.asarray(I0f)
-
-    # assembly: final slab was the ROW slab A[I0f_prev, :] (all columns) —
-    # same code path as rrlu_rook_device's materialize="device" with
-    # last_full_rows=False
-    from scipy.linalg import solve_triangular as _st
-
-    blk = np.asarray(LUp[:k, :k])
-    Lblk = np.tril(blk)
-    Ublk = np.triu(blk)
-    if leftorthogonal:
-        np.fill_diagonal(Lblk, 1.0)
-    else:
-        np.fill_diagonal(Ublk, 1.0)
-    colpermutation = np.asarray(cp[:n], dtype=np.int64)
-    I0sel = [int(i) for i in I0f[:k]]
-    I2 = [i for i in range(m) if i not in set(I0sel)]
-    rowpermutation = np.array(I0sel + I2, dtype=np.int64)
-    Uinv = _st(Ublk, np.eye(k), lower=False)
-    err_fin = 0.0 if k >= min(m, n) else err
-    L_nat, U_nat = _assemble_cols_branch(
-        A, LUp,
-        jnp.asarray(colpermutation[:k], dtype=np.int32),
-        jnp.asarray(I2 if I2 else np.zeros((0,)), dtype=np.int32),
-        jnp.asarray(np.argsort(rowpermutation), dtype=np.int32),
-        jnp.asarray(np.argsort(colpermutation), dtype=np.int32),
-        jnp.asarray(Uinv),
-        k=k, unit_lower=leftorthogonal,
-    )
-    return DeviceRRLU(
-        L_nat, U_nat, rowpermutation, colpermutation, k, err_fin,
-        leftorthogonal,
-    )
+    if defer:
+        return _PendingRRLU(finish_plain)
+    return finish_plain()
 
 
 def rrlu_rook_device(

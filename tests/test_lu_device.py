@@ -267,3 +267,40 @@ def test_rook_fused_mixed_f32_input_passthrough(rng):
                                precision="mixed")
     assert a.npivots() == b.npivots()
     np.testing.assert_array_equal(np.asarray(a.left()), np.asarray(b.left()))
+
+
+@pytest.mark.parametrize("precision", ["f64", "mixed"])
+def test_rook_fused_defer_pipelines_batches(rng, precision):
+    """defer=True: several factorizations issued back-to-back, collected
+    afterwards. Each result must equal the eager call with the same rng,
+    and the slab-elimination count diagnostic must be recorded."""
+    from tci_tpu.ops.lu_device import _PendingRRLU, rrlu_rook_device_fused
+
+    mats = []
+    for r in (6, 9, 13):
+        U = rng.standard_normal((80, r))
+        V = rng.standard_normal((r, 72))
+        mats.append((U * np.exp(-np.arange(r) / 3.0)) @ V)
+
+    pending = [
+        rrlu_rook_device_fused(
+            A, maxrank=24, reltol=1e-11,
+            rng=np.random.default_rng(11 + i), precision=precision,
+            defer=True,
+        )
+        for i, A in enumerate(mats)
+    ]
+    assert all(isinstance(p, _PendingRRLU) for p in pending)
+    for i, (p, A) in enumerate(zip(pending, mats)):
+        lu = p.result()
+        assert lu is p.result()  # memoized
+        eager = rrlu_rook_device_fused(
+            A, maxrank=24, reltol=1e-11,
+            rng=np.random.default_rng(11 + i), precision=precision,
+        )
+        assert lu.npivots() == eager.npivots()
+        np.testing.assert_allclose(
+            np.asarray(lu.left() @ lu.right()), A, atol=1e-9 * np.abs(A).max()
+        )
+        assert lu.nslabs is not None and lu.nslabs >= 1
+        assert lu.nslabs == eager.nslabs
