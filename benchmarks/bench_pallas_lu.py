@@ -21,7 +21,7 @@ import numpy as np
 from _common import finish, setup_cache
 
 
-def main(N: int = 256, rank: int = 32):
+def main(N: int = 256, rank: int = 32, batch: int = 32):
     setup_cache()
     import jax
     import jax.numpy as jnp
@@ -71,6 +71,65 @@ def main(N: int = 256, rank: int = 32):
         except Exception as e:  # noqa: BLE001 - record the compile failure
             out["pallas_f32"] = {"error": f"{type(e).__name__}: {e}"[:400]}
 
+    # --- MANY-PANEL batch: the regime TCI sweeps actually produce ---------
+    # One pallas_call with grid=(B,) runs B VMEM-resident eliminations
+    # back-to-back (one HBM read+write per panel total, one dispatch); the
+    # XLA alternative — vmap of the while-loop kernel — must stream the
+    # whole (B, m, n) buffer through HBM on EVERY rank-1 step until the
+    # slowest panel stops. This is where VMEM residency should beat XLA by
+    # an architectural margin, not a dispatch-floor artifact.
+    if HAVE_PALLAS and batch > 0:
+        from tci_tpu.ops.pallas_lu import pallas_rrlu_batched
+
+        kb = jax.random.split(jax.random.PRNGKey(2), batch)
+        Ub = jax.vmap(
+            lambda k: jax.random.normal(k, (N, rank), dtype=jnp.float32)
+        )(kb)
+        Vb = jax.vmap(
+            lambda k: jax.random.normal(k, (rank, N), dtype=jnp.float32)
+        )(jax.random.split(jax.random.PRNGKey(3), batch))
+        Ab = jnp.einsum("bmr,brn->bmn", Ub * s[None, None, :], Vb)
+        float(jnp.sum(Ab))
+        ones = jnp.ones((batch,), jnp.int32)
+        bargs = (
+            Ab, ones * N, ones * N, ones * rank,
+            jnp.full((batch,), 1e-6, jnp.float32),
+            jnp.zeros((batch,), jnp.float32),
+        )
+
+        def timed_b(fn, *args, **kw):
+            res = fn(*args, **kw)
+            int(np.asarray(res[3])[0])  # sync via scalar fetch
+            t0 = time.perf_counter()
+            res = fn(*args, **kw)
+            ks = np.asarray(res[3])
+            return round(time.perf_counter() - t0, 4), ks
+
+        try:
+            pall_b = jax.jit(
+                lambda *a: pallas_rrlu_batched(*a, leftorthogonal=True)
+            )
+            wp, ksp = timed_b(pall_b, *bargs)
+            # XLA contender: vmapped fused while-loop elimination
+            from tci_tpu.ops.lu_kernel import _rrlu_state_fused
+
+            xla_b = jax.jit(jax.vmap(
+                lambda a, m, n, r, rt, at: _rrlu_state_fused(
+                    a, m, n, r, rt.astype(jnp.float64),
+                    at.astype(jnp.float64), True
+                )
+            ))
+            wx, ksx = timed_b(xla_b, *bargs)
+            out["batched"] = {
+                "B": batch,
+                "pallas_wall_s": wp,
+                "xla_vmap_wall_s": wx,
+                "speedup_pallas_vs_xla": round(wx / wp, 2),
+                "npivot_agree": bool((ksp == ksx).all()),
+            }
+        except Exception as e:  # noqa: BLE001
+            out["batched"] = {"error": f"{type(e).__name__}: {e}"[:400]}
+
     print(
         json.dumps(
             {
@@ -93,5 +152,9 @@ if __name__ == "__main__":
         int(sys.argv[sys.argv.index("--rank") + 1])
         if "--rank" in sys.argv else 32
     )
-    main(n, r)
+    b = (
+        int(sys.argv[sys.argv.index("--batch") + 1])
+        if "--batch" in sys.argv else 32
+    )
+    main(n, r, b)
     finish()

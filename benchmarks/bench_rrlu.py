@@ -140,10 +140,45 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     gflops_mx = 2.0 * r_mx * N * N / wall_mx / 1e9
     err_mx = _recon_err_device(jnp, A, lu_mx)
 
+    # --- PIPELINED mixed rook: the serving pattern ------------------------
+    # A TCI sweep (or a serving deployment) factorizes MANY independent
+    # panels. defer=True dispatches the whole one-program factorization
+    # without fetching; collecting afterwards pipelines the device work so
+    # the link's per-transfer latency floor is paid once per batch, not
+    # once per factorization. Amortized wall/B is the per-factorization
+    # cost that matters at scale; the fair roofline is the equally
+    # pipelined f64 GEMM of the factor shape (measured below).
+    nbatch = 4
+    keys = jax.random.split(jax.random.PRNGKey(42), nbatch)
+    Abatch = [makeA(k) for k in keys]
+    for Ab in Abatch:
+        float(jnp.sum(Ab))  # materialize outside the timed region
+
+    def run_batch():
+        pend = [
+            rrlu_rook_device_fused(
+                Ab, maxrank=rank, reltol=tol,
+                rng=np.random.default_rng(7 + i), precision="mixed",
+                defer=True,
+            )
+            for i, Ab in enumerate(Abatch)
+        ]
+        return [p.result() for p in pend]
+
+    lus = run_batch()  # warm-up
+    t0 = time.perf_counter()
+    lus = run_batch()
+    wall_pipe = (time.perf_counter() - t0) / nbatch
+    r_pipe = int(np.median([lu.npivots() for lu in lus]))
+    gflops_pipe = 2.0 * r_pipe * N * N / wall_pipe / 1e9
+    err_pipe = max(
+        _recon_err_device(jnp, Ab, lu) for Ab, lu in zip(Abatch, lus)
+    )
+
     # --- scaling row: the blocked path's asymptotic advantage -------------
-    # At N=16384 the exact path must stream 2.1 GB per pivot step; the rook
-    # slabs touch only O(N * rank) per step.
-    N2 = 16384
+    # At N2=16384 the exact path must stream 2.1 GB per pivot step; the
+    # rook slabs touch only O(N * rank) per step.
+    N2 = 4 * N
 
     @jax.jit
     def makeA2(key):
@@ -172,6 +207,16 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     s = float(jnp.sum(mm(Lf, Uf)))
     gemm_wall = time.perf_counter() - t0
     gemm_gflops = 2.0 * r_rook * N * N / gemm_wall / 1e9
+
+    # pipelined GEMM roofline: nbatch GEMMs dispatched back-to-back, one
+    # sync — the floor-amortized rate the pipelined rook competes with
+    outs = [mm(Lf, Uf) for _ in range(nbatch)]
+    float(jnp.sum(outs[-1]))
+    t0 = time.perf_counter()
+    outs = [mm(Lf, Uf) for _ in range(nbatch)]
+    float(jnp.sum(outs[-1]))
+    gemm_pipe_wall = (time.perf_counter() - t0) / nbatch
+    gemm_pipe_gflops = 2.0 * r_rook * N * N / gemm_pipe_wall / 1e9
 
     # --- measured HBM streaming bandwidth ---------------------------------
     # Read+write the same N^2 f64 buffer the elimination streams, with ALL
@@ -233,6 +278,22 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
                             "pivot sets; full f64 reconstruction checked"
                         ),
                     },
+                    "rook_mixed_pipelined": {
+                        "nbatch": nbatch,
+                        "amortized_wall_s": round(wall_pipe, 4),
+                        "effective_gflops": round(gflops_pipe, 2),
+                        "worst_full_recon_relerr": err_pipe,
+                        "pct_of_pipelined_f64_gemm_roofline": round(
+                            100 * gflops_pipe / gemm_pipe_gflops, 1
+                        ),
+                        "note": (
+                            "defer=True: 4 independent factorizations "
+                            "dispatched back-to-back, collected after — "
+                            "link latency paid per batch (serving "
+                            "pattern); roofline is the equally pipelined "
+                            "GEMM"
+                        ),
+                    },
                     "exact_complete_pivot": {
                         "npivots": int(r_exact),
                         "wall_s": round(wall_exact, 4),
@@ -251,6 +312,7 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
                         "full_recon_relerr": err_rook2,
                     },
                     "f64_gemm_same_shape_gflops": round(gemm_gflops, 1),
+                    "f64_gemm_pipelined_gflops": round(gemm_pipe_gflops, 1),
                     "scipy_dense_lu_wall_s": round(cpu_wall, 3),
                 },
             }
