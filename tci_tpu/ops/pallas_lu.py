@@ -97,9 +97,37 @@ def _pick_row_tile(mp: int) -> int:
     return mp
 
 
+class _Row0:
+    """Row-0 view of a (1, n) ref, presenting the (n,) ref interface the
+    single-panel kernel body was written against. The batched grid carries
+    per-panel 1-D outputs as (B, 1, n) arrays blocked to (1, n) per step
+    because Mosaic requires the last two block dims to fully cover (or
+    tile 8x128) the array dims — a squeezed (None, n) block over (B, n)
+    fails that rule."""
+
+    def __init__(self, ref):
+        self._ref = ref
+
+    @property
+    def shape(self):
+        return self._ref.shape[1:]
+
+    @property
+    def dtype(self):
+        return self._ref.dtype
+
+    def __getitem__(self, idx):
+        return self._ref[0]
+
+    def __setitem__(self, idx, val):
+        self._ref[0] = val
+
+
 def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
                  colperm_ref, mags_ref, out_scalars_ref, rowpos_ref,
-                 colpos_ref, colmax_ref, *, leftorthogonal: bool):
+                 colpos_ref, colmax_ref, rowperm_s=None, colperm_s=None,
+                 mags_s=None, *, leftorthogonal: bool,
+                 batched: bool = False):
     """Swap-free complete-pivot elimination, fully mask-based.
 
     scalars (SMEM): [m_true, n_true, maxrank] int32; tol (SMEM):
@@ -113,13 +141,33 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
     _rrlu_state_fused).
     """
     mp, npd = A_ref.shape
-    rmax = mags_ref.shape[0]
 
-    m_true = scalars_ref[0]
-    n_true = scalars_ref[1]
-    maxrank = scalars_ref[2]
-    reltol = tol_ref[0]
-    abstol = tol_ref[1]
+    if batched:
+        # Per-panel scalars live as FULL (B, k) SMEM arrays (blocked SMEM
+        # operands fail Mosaic's block-shape rule) indexed by the grid id;
+        # 1-D vector outputs arrive as (1, n) blocks of (B, 1, n) arrays.
+        # The while body below mutates 1-D VMEM SCRATCH (the exact ref
+        # layout the hardware-validated single-panel kernel uses) and the
+        # blocked outputs are written ONCE after the loop: read-modify-
+        # write of 2-D blocked refs inside the loop body was implicated in
+        # a Mosaic backend crash (tpu_compile_helper exit 1).
+        b = pl.program_id(0)
+        m_true = scalars_ref[b, 0]
+        n_true = scalars_ref[b, 1]
+        maxrank = scalars_ref[b, 2]
+        reltol = tol_ref[b, 0]
+        abstol = tol_ref[b, 1]
+        out_rowperm = _Row0(rowperm_ref)
+        out_colperm = _Row0(colperm_ref)
+        out_mags = _Row0(mags_ref)
+        rowperm_ref, colperm_ref, mags_ref = rowperm_s, colperm_s, mags_s
+    else:
+        m_true = scalars_ref[0]
+        n_true = scalars_ref[1]
+        maxrank = scalars_ref[2]
+        reltol = tol_ref[0]
+        abstol = tol_ref[1]
+    rmax = mags_ref.shape[0]
     A_ref[:] = A_in_ref[:]
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (mp, 1), 0)[:, 0]
@@ -307,8 +355,15 @@ def _rrlu_kernel(scalars_ref, A_in_ref, tol_ref, A_ref, rowperm_ref,
             False,
         ),
     )
-    out_scalars_ref[0] = k.astype(out_scalars_ref.dtype)
-    out_scalars_ref[1] = err
+    if batched:
+        out_rowperm[:] = rowperm_ref[:]
+        out_colperm[:] = colperm_ref[:]
+        out_mags[:] = mags_ref[:]
+        out_scalars_ref[b, 0] = k.astype(out_scalars_ref.dtype)
+        out_scalars_ref[b, 1] = err
+    else:
+        out_scalars_ref[0] = k.astype(out_scalars_ref.dtype)
+        out_scalars_ref[1] = err
 
 
 @functools.partial(jax.jit, static_argnames=("leftorthogonal", "interpret"))
@@ -424,9 +479,12 @@ def pallas_rrlu_batched(A, m_true, n_true, maxrank, reltol, abstol,
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, mp, npd), A.dtype),
-        jax.ShapeDtypeStruct((B, mp), jnp.int32),
-        jax.ShapeDtypeStruct((B, npd), jnp.int32),
-        jax.ShapeDtypeStruct((B, rmax), ftype),
+        # 1-D per-panel outputs ride as (B, 1, n): a (None, n) block over
+        # (B, n) fails Mosaic's last-two-block-dims rule, while (None, 1, n)
+        # blocks fully cover their trailing array dims. Squeezed on return.
+        jax.ShapeDtypeStruct((B, 1, mp), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, npd), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, rmax), ftype),
         jax.ShapeDtypeStruct((B, 2), ftype),
     )
 
@@ -435,41 +493,58 @@ def pallas_rrlu_batched(A, m_true, n_true, maxrank, reltol, abstol,
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT_BYTES
         )
-    # Leading batch dims are squeezed (`None` block entries), so the kernel
-    # body sees exactly the single-panel ref shapes and is reused unchanged.
+    # The (B, m, n) operands are squeezed (`None` leading block entry) so
+    # the kernel body sees single-panel panel refs; per-panel scalars stay
+    # FULL SMEM arrays indexed by program_id inside the kernel (blocked
+    # SMEM operands fail Mosaic's block-shape rule). Every index map —
+    # including the otherwise-auto-generated ones of the full SMEM
+    # operands — returns EXPLICIT int32 zeros: with jax x64 enabled
+    # (tci_tpu enables it globally) bare `0` literals trace as i64 and
+    # Mosaic fails to legalize the transform functions'
+    # `func.return (i64, i64)` (tpu_compile_helper exit 1, bisected
+    # 2026-08-19).
+    Z = np.int32(0)
     A_out, rowperm, colperm, mags, out_sc = pl.pallas_call(
-        functools.partial(_rrlu_kernel, leftorthogonal=leftorthogonal),
+        functools.partial(_rrlu_kernel, leftorthogonal=leftorthogonal,
+                          batched=True),
         grid=(B,),
         out_shape=out_shapes,
         in_specs=[
-            pl.BlockSpec((None, 3), lambda b: (b, 0),
+            pl.BlockSpec((B, 3), lambda b: (Z, Z),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, mp, npd), lambda b: (b, 0, 0),
+            pl.BlockSpec((None, mp, npd), lambda b: (b, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 2), lambda b: (b, 0),
+            pl.BlockSpec((B, 2), lambda b: (Z, Z),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, mp, npd), lambda b: (b, 0, 0),
+            pl.BlockSpec((None, mp, npd), lambda b: (b, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, mp), lambda b: (b, 0),
+            pl.BlockSpec((None, 1, mp), lambda b: (b, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, npd), lambda b: (b, 0),
+            pl.BlockSpec((None, 1, npd), lambda b: (b, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, rmax), lambda b: (b, 0),
+            pl.BlockSpec((None, 1, rmax), lambda b: (b, Z, Z),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 2), lambda b: (b, 0),
+            pl.BlockSpec((B, 2), lambda b: (Z, Z),
                          memory_space=pltpu.SMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((mp,), jnp.int32),
             pltpu.VMEM((npd,), jnp.int32),
             pltpu.VMEM((npd,), ftype),
+            # loop-carried perm/mags live in 1-D scratch (see kernel note)
+            pltpu.VMEM((mp,), jnp.int32),
+            pltpu.VMEM((npd,), jnp.int32),
+            pltpu.VMEM((rmax,), ftype),
         ],
         interpret=interpret,
         **kwargs,
     )(scalars, A, tol)
 
+    rowperm = rowperm[:, 0, :]
+    colperm = colperm[:, 0, :]
+    mags = mags[:, 0, :]
     A_sw = jax.vmap(lambda a, rp, cp: a[rp, :][:, cp])(
         A_out, rowperm, colperm
     )
