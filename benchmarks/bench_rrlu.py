@@ -175,6 +175,36 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
         _recon_err_device(jnp, Ab, lu) for Ab, lu in zip(Abatch, lus)
     )
 
+    # --- TUNED pipelined mixed rook: numrookiter=2 (serving config) -------
+    # numrookiter is the reference's own knob (matrixlu.jl:502). One
+    # col-slab + one row-slab alternation — a randomized interpolative-
+    # decomposition-style hunt — is exactly two streamed slab passes; the
+    # alternation reuses the closing row move's factors, so the whole
+    # factorization is 2 slab eliminations + the f64 completion. The full
+    # f64 reconstruction check below is the quality gate for the reduced
+    # hunt.
+    def run_batch2():
+        pend = [
+            rrlu_rook_device_fused(
+                Ab, maxrank=rank, reltol=tol,
+                rng=np.random.default_rng(7 + i), precision="mixed",
+                numrookiter=2, defer=True,
+            )
+            for i, Ab in enumerate(Abatch)
+        ]
+        return [p.result() for p in pend]
+
+    lus2 = run_batch2()  # warm-up
+    t0 = time.perf_counter()
+    lus2 = run_batch2()
+    wall_p2 = (time.perf_counter() - t0) / nbatch
+    r_p2 = int(np.median([lu.npivots() for lu in lus2]))
+    gflops_p2 = 2.0 * r_p2 * N * N / wall_p2 / 1e9
+    err_p2 = max(
+        _recon_err_device(jnp, Ab, lu) for Ab, lu in zip(Abatch, lus2)
+    )
+    nslabs_p2 = lus2[0].nslabs
+
     # --- scaling row: the blocked path's asymptotic advantage -------------
     # At N2=16384 the exact path must stream 2.1 GB per pivot step; the
     # rook slabs touch only O(N * rank) per step.
@@ -292,6 +322,24 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
                             "link latency paid per batch (serving "
                             "pattern); roofline is the equally pipelined "
                             "GEMM"
+                        ),
+                    },
+                    "rook_mixed_pipelined_nri2": {
+                        "nbatch": nbatch,
+                        "numrookiter": 2,
+                        "nslabs": nslabs_p2,
+                        "amortized_wall_s": round(wall_p2, 4),
+                        "npivots": int(r_p2),
+                        "effective_gflops": round(gflops_p2, 2),
+                        "worst_full_recon_relerr": err_p2,
+                        "pct_of_pipelined_f64_gemm_roofline": round(
+                            100 * gflops_p2 / gemm_pipe_gflops, 1
+                        ),
+                        "note": (
+                            "serving config: 2 slab passes (one col + one "
+                            "row alternation, closing row move's factors "
+                            "reused) + f64 completion; numrookiter is the "
+                            "reference's knob (matrixlu.jl:502)"
                         ),
                     },
                     "exact_complete_pivot": {

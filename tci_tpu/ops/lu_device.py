@@ -214,75 +214,70 @@ def _assemble_mixed_body(A, Ipad, Jpad, k, reltol, abstol, *,
 
     idx = jnp.arange(Rb, dtype=jnp.int32)
 
-    # --- pass 1: f64 rank detection along the fixed pivot order -----------
-    # The f32 hunt may keep noise pivots past the true rank (anything the
-    # f32 stop rule cannot resolve); re-apply the reference stop rule
-    # (matrixlu.jl:363) to the f64 pivot magnitudes of the SAME fixed-order
-    # elimination, so the f64 block LU below never divides by a numerically
-    # zero pivot.
-    def rank_body(j, carry):
-        M, keff, maxerr, rejerr, live = carry
-        piv = M[j, j]
+    # --- ONE fused pass: f64 rank detection + Doolittle LU + Gauss-Jordan --
+    # The f32 hunt may keep noise pivots past the true rank; the reference
+    # stop rule (matrixlu.jl:363) is re-applied to the f64 pivot magnitudes
+    # of the SAME fixed-order elimination. Rank detection, the block LU and
+    # the Gauss-Jordan inverse all visit pivots in the same fixed order, so
+    # they fuse into a single fori_loop with `live` gating: once the stop
+    # rule fires, every later step applies the identity transformation,
+    # which reproduces the two-pass algebra (eliminating a keff-masked
+    # block) exactly on the valid block — entries outside it are masked to
+    # zero below either way. Halves the sequential-step count (Rb instead
+    # of 2*Rb), the dominant non-GEMM cost of the completion at Rb=256.
+    def fused_body(j, carry):
+        M_lu, M_gj, keff, maxerr, rejerr, live = carry
+        piv = M_lu[j, j]
         errj = jnp.abs(piv)
         stop = (((errj < reltol * maxerr) | (errj <= abstol)) & (j > 0)) | (
             errj == 0
         )
         live = live & (j < k) & (~stop)
         rejerr = jnp.where((~live) & (j == keff) & (j < k), errj, rejerr)
+        maxerr = jnp.where(live, jnp.maximum(maxerr, errj), maxerr)
         do = live.astype(dt)
-        after = (idx > j).astype(dt) * do
-        mult = M[:, j] / jnp.where(live, piv, 1.0) * (idx > j).astype(dt)
-        M = M - (mult * do)[:, None] * (M[j, :] * after)[None, :]
-        return (
-            M,
-            keff + live.astype(jnp.int32),
-            jnp.where(live, jnp.maximum(maxerr, errj), maxerr),
-            rejerr,
-            live,
-        )
-
-    _, keff, _, rejerr, _ = jax.lax.fori_loop(
-        0, Rb, rank_body,
-        (B0, jnp.int32(0), jnp.zeros((), dt), jnp.zeros((), dt), True),
-    )
-    valid = idx < keff
-    Ig = jnp.where(valid, Ipad, 0)
-    Jg = jnp.where(valid, Jpad, 0)
-    v2 = valid[:, None] & valid[None, :]
-    B = jnp.where(v2, B0, eye)
-
-    def lu_gj_body(j, carry):
-        M_lu, M_gj = carry
-        # --- Doolittle step on M_lu (store multipliers in place) ----------
+        below = (idx > j).astype(dt)
+        safe = jnp.where(live, piv, 1.0)
         pivrow = M_lu[j, :]
         pivcol = M_lu[:, j]
-        piv = M_lu[j, j]
-        below = (idx > j).astype(dt)
-        after = (idx > j).astype(dt)
+        # --- Doolittle step (multipliers stored in place; dead steps write
+        #     zeros into the dead line, which the v2 mask drops) -----------
         if unit_lower:
-            mult = pivcol / piv * below
-            M_lu = M_lu - mult[:, None] * (pivrow * after)[None, :]
+            mult = pivcol / safe * below * do
+            M_lu = M_lu - mult[:, None] * (pivrow * below)[None, :]
             M_lu = jnp.where(
                 (below[:, None] > 0) & (idx == j)[None, :],
                 mult[:, None], M_lu,
             )
         else:
-            mult = pivrow / piv * after
+            mult = pivrow / safe * below * do
             M_lu = M_lu - (pivcol * below)[:, None] * mult[None, :]
             M_lu = jnp.where(
-                (idx == j)[:, None] & (after > 0)[None, :],
+                (idx == j)[:, None] & (below > 0)[None, :],
                 mult[None, :], M_lu,
             )
-        # --- Gauss-Jordan step on [B | I] ---------------------------------
-        grow = M_gj[j, :] / M_gj[j, j]
-        gcol = M_gj[:, j] * (idx != j).astype(dt)
+        # --- Gauss-Jordan step on [B | I]; dead steps set row j to the
+        #     identity row (what eliminating a keff-masked block does) -----
+        gpiv = jnp.where(live, M_gj[j, j], 1.0)
+        onehot2 = jnp.concatenate(
+            [(idx == j).astype(dt), (idx == j).astype(dt)]
+        )
+        grow = jnp.where(live, M_gj[j, :] / gpiv, onehot2)
+        gcol = M_gj[:, j] * (idx != j).astype(dt) * do
         M_gj = M_gj - gcol[:, None] * grow[None, :]
         M_gj = jnp.where((idx == j)[:, None], grow[None, :], M_gj)
-        return (M_lu, M_gj)
+        return (M_lu, M_gj, keff + live.astype(jnp.int32), maxerr, rejerr,
+                live)
 
-    M_lu, M_gj = jax.lax.fori_loop(
-        0, Rb, lu_gj_body, (B, jnp.concatenate([B, eye], axis=1))
+    M_lu, M_gj, keff, _, rejerr, _ = jax.lax.fori_loop(
+        0, Rb, fused_body,
+        (B0, jnp.concatenate([B0, eye], axis=1), jnp.int32(0),
+         jnp.zeros((), dt), jnp.zeros((), dt), True),
     )
+    valid = idx < keff
+    Ig = jnp.where(valid, Ipad, 0)
+    Jg = jnp.where(valid, Jpad, 0)
+    v2 = valid[:, None] & valid[None, :]
     Binv = M_gj[:, Rb:]
     tri_lo = (idx[:, None] >= idx[None, :]).astype(dt)
     tri_up = (idx[:, None] <= idx[None, :]).astype(dt)
@@ -396,10 +391,15 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
             sameI = (nIl == I0len_) & jnp.all((idx >= nIl) | (nI == I0_))
             sameJ = (nJl == J0len_) & jnp.all((idx >= nJl) | (nJ == J0_))
             done2 = sameI & sameJ
-            # a row move that PROVED self-consistency (output sets == its
-            # own input sets) already is the final row-slab elimination
+            # whenever the LAST executed move was a row move, its factors
+            # ARE the LU of A[I_input, :] and its outputs (newI, cp) are the
+            # final pivot sets — re-eliminating the same row set after the
+            # loop would redo identical work (complete pivoting re-picks
+            # the same pivots), so the epilogue reuses these factors
+            # unconditionally (one full streamed slab pass saved whenever
+            # the alternation ends on a row move, consistent or not)
             return (nI, nIl, nJ, nJl, k2, e2, errw2, sm, it_ + 1,
-                    done2, LUp2, rp2, cp2, isrow & done2)
+                    done2, LUp2, rp2, cp2, isrow)
 
         st0 = (
             I0, I0len, J0, J0len, jnp.int32(0), jnp.float64(jnp.nan),
@@ -413,12 +413,13 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
                                body, st0)
         )
 
-        # Final ROW slab elimination on the converged row set: provides the
+        # Final ROW slab elimination on the final row set: provides the
         # factors for the "slab spans all columns" assembly
-        # (_assemble_cols_branch) in one pass. When the alternation was
-        # proved consistent BY a row move, that move's elimination had the
-        # identical input set — reuse its factors instead of re-eliminating
-        # the slab (one full streamed pass saved per factorization).
+        # (_assemble_cols_branch) in one pass. Whenever the alternation
+        # ENDED on a row move, that move's factors/outputs already are
+        # exactly this elimination — reuse them instead of re-eliminating
+        # (one full streamed pass saved per factorization); only a
+        # col-move ending needs the extra row pass.
         def reuse(_):
             return (I0f, I0flen, J0f, J0flen, kc, errc, sminc,
                     LUp_c, rp_c, cp_c)
