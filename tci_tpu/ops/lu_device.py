@@ -443,9 +443,22 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
 
 def _make_rook_fused(M: int, N: int, Rb: int, numrookiter: int,
                      leftorthogonal: bool):
-    return jax.jit(
-        _make_rook_alternation(M, N, Rb, numrookiter, leftorthogonal)
-    )
+    """One-dispatch plain-precision rook. Host arguments arrive PACKED in
+    two arrays (ipack int32: [I0len, J0len, maxrank] ++ I0 ++ J0; tpack
+    f64: [reltol, abstol]) — each separate argument of a jitted call is
+    its own host->device transfer, and per-transfer latency over a
+    tunneled link (~1-3 ms each) otherwise rivals the factorization
+    itself."""
+    alt = _make_rook_alternation(M, N, Rb, numrookiter, leftorthogonal)
+
+    @jax.jit
+    def run(A, ipack, tpack):
+        I0 = ipack[3:3 + Rb]
+        J0 = ipack[3 + Rb:3 + 2 * Rb]
+        return alt(A, I0, ipack[0], J0, ipack[1], ipack[2],
+                   tpack[0], tpack[1])
+
+    return run
 
 
 def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
@@ -460,7 +473,11 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
     alt = _make_rook_alternation(M, N, Rb, numrookiter, leftorthogonal)
 
     @jax.jit
-    def run(A64, I0, I0len, J0, J0len, maxrank, reltol, abstol):
+    def run(A64, ipack, tpack):
+        I0 = ipack[3:3 + Rb]
+        J0 = ipack[3 + Rb:3 + 2 * Rb]
+        I0len, J0len, maxrank = ipack[0], ipack[1], ipack[2]
+        reltol, abstol = tpack[0], tpack[1]
         LUp, rp, cp, kf, err, newI, newJ, nslabs = alt(
             A64.astype(jnp.float32), I0, I0len, J0, J0len, maxrank,
             reltol, abstol,
@@ -572,19 +589,23 @@ def rrlu_rook_device_fused(
         )
     run = _rook_fused_cache[key]
 
-    I0 = np.zeros((Rb,), dtype=np.int32)
-    J0 = np.zeros((Rb,), dtype=np.int32)
+    # ONE packed int32 upload ([I0len, J0len, maxrank] ++ I0 ++ J0) and one
+    # f64 upload ([reltol, abstol]): separate jitted-call arguments each
+    # pay the link's per-transfer latency, which rivals the factorization
+    # wall at serving batch sizes.
+    ipack = np.zeros((3 + 2 * Rb,), dtype=np.int32)
+    ipack[2] = maxrank
     if leftorthogonal:
-        J0[:maxrank] = rng.choice(n, size=maxrank, replace=False)
-        I0len, J0len = 0, maxrank
+        ipack[1] = maxrank  # J0len
+        ipack[3 + Rb:3 + Rb + maxrank] = rng.choice(
+            n, size=maxrank, replace=False)
     else:
-        I0[:maxrank] = rng.choice(m, size=maxrank, replace=False)
-        I0len, J0len = maxrank, 0
+        ipack[0] = maxrank  # I0len
+        ipack[3:3 + maxrank] = rng.choice(m, size=maxrank, replace=False)
 
     run_args = (
-        A, jnp.asarray(I0), jnp.int32(I0len), jnp.asarray(J0),
-        jnp.int32(J0len),
-        jnp.int32(maxrank), jnp.float64(reltol), jnp.float64(abstol),
+        A, jnp.asarray(ipack),
+        jnp.asarray(np.array([reltol, abstol], dtype=np.float64)),
     )
 
     if mixed:
@@ -601,9 +622,10 @@ def rrlu_rook_device_fused(
             I0f = pk[5:5 + Rb].astype(np.int64)
             cp = pk[5 + Rb:].astype(np.int64)
             colpermutation = cp[:n]
-            I0sel = [int(i) for i in I0f[:k]]
-            I2 = [i for i in range(m) if i not in set(I0sel)]
-            rowpermutation = np.array(I0sel + I2, dtype=np.int64)
+            I0sel = I0f[:k]
+            mask = np.ones(m, dtype=bool)
+            mask[I0sel] = False
+            rowpermutation = np.concatenate([I0sel, np.nonzero(mask)[0]])
             err_fin = 0.0 if k >= min(m, n) else err
             Lk, Uk = L_nat, U_nat
             if k < Rb:  # trim the zero-padded factor columns/rows
@@ -639,15 +661,17 @@ def rrlu_rook_device_fused(
         else:
             np.fill_diagonal(Ublk, 1.0)
         colpermutation = np.asarray(cp_h[:n], dtype=np.int64)
-        I0sel = [int(i) for i in I0f[:k]]
-        I2 = [i for i in range(m) if i not in set(I0sel)]
-        rowpermutation = np.array(I0sel + I2, dtype=np.int64)
+        I0sel = np.asarray(I0f[:k], dtype=np.int64)
+        mask = np.ones(m, dtype=bool)
+        mask[I0sel] = False
+        rowpermutation = np.concatenate([I0sel, np.nonzero(mask)[0]])
+        I2 = rowpermutation[k:]
         Uinv = _st(Ublk, np.eye(k), lower=False)
         err_fin = 0.0 if k >= min(m, n) else err
         L_nat, U_nat = _assemble_cols_branch(
             A, LUp,
             jnp.asarray(colpermutation[:k], dtype=np.int32),
-            jnp.asarray(I2 if I2 else np.zeros((0,)), dtype=np.int32),
+            jnp.asarray(I2 if I2.size else np.zeros((0,)), dtype=np.int32),
             jnp.asarray(np.argsort(rowpermutation), dtype=np.int32),
             jnp.asarray(np.argsort(colpermutation), dtype=np.int32),
             jnp.asarray(Uinv),

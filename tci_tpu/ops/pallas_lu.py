@@ -41,20 +41,23 @@ failure first):
   outputs as its inputs (measured npivot collapse with abstol == previous
   err) -> no aliasing; the kernel copies A_in -> A_out itself.
 
-Status: TPU Mosaic has no f64 vector support, so on hardware this kernel is
-an f32-only fast path (hardware-validated 2026-08-17: bit-exact vs the
-interpret path and the XLA kernels at N in {8..256}, stable across repeated
-executions; warm wall at N=256 is the ~29 ms tunnel dispatch floor, equal to
-the XLA kernels there). Above a padded edge of 256 the Mosaic register
-allocator ran out of spill slots in the scoped allocation
-("register allocator spill slots", measured at 512) with fused full-panel
-op chains; the body is now ROW-TILED (ROW_TILE) to bound the live set, but
-the tiled program is not yet hardware-validated above 256 (the dev tunnel
-went down mid-probe), so `rrlu_raw` only dispatches EXPLICITLY-f32 panels
-up to `lu_kernel.PALLAS_MAX_EDGE` here (TPU backends only); everything
-else takes the XLA path. `pallas_rrlu_call` is the direct entry point
-(same contract as lu_kernel._rrlu_while). TCI panels at these sizes are
-dispatch-bound over the tunnel either way.
+Status (round-4 decision record, see docs/ARCHITECTURE.md): these kernels
+are a hardware-validated ALTERNATIVE, not the production path. TPU Mosaic
+has no f64 vector support, so on hardware they are f32-only
+(hardware-validated: bit-exact vs the interpret path and the XLA kernels,
+stable across repeated executions). Measured 2026-08-19 on the chip:
+single 256² panel 26.5 ms vs XLA 28.1 ms (dispatch-floor tie); batched
+32×256² grid 82.6 ms vs 27.0 ms for a vmapped XLA while-loop (0.33x) —
+vmap parallelizes ACROSS panels inside each pivot step on the single
+core, while a grid serializes panels, so batched same-shape elimination
+is a vmap regime. Above a padded edge of 256 the Mosaic register
+allocator ran out of spill slots in the scoped allocation ("register
+allocator spill slots", measured at 512) with fused full-panel op chains;
+the body is ROW-TILED (ROW_TILE) to bound the live set. `rrlu_raw`
+dispatches EXPLICITLY-f32 panels up to `lu_kernel.PALLAS_MAX_EDGE` here
+(TPU backends only, where the kernel ties XLA); everything else takes the
+XLA path. `pallas_rrlu_call` / `pallas_rrlu_batched` are the direct entry
+points (same contract as lu_kernel._rrlu_while).
 """
 
 from __future__ import annotations
