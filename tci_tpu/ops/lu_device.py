@@ -565,6 +565,11 @@ def rrlu_rook_device_fused(
     (~1e-7 relative); reltol below that is indistinguishable from 0 for
     the stop rule, so pass precision="f64" when the adaptive stop must
     resolve tighter tolerances (fixed-maxrank workloads are unaffected).
+    On spectra reaching more than ~7 decades below the top singular value,
+    the f32 hunt picks noise pivot sets for the deepest directions and the
+    reconstruction error amplifies to ~1e-5 relative (measured; see
+    tests/test_lu_device.py::test_rook_fused_nri2_serving_quality) — f64
+    hunting recovers the full-precision floor there.
 
     defer=True returns a ``_PendingRRLU`` handle instead of a finished
     ``DeviceRRLU``: the whole program is DISPATCHED (JAX async) but no

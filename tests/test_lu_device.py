@@ -304,3 +304,48 @@ def test_rook_fused_defer_pipelines_batches(rng, precision):
         )
         assert lu.nslabs is not None and lu.nslabs >= 1
         assert lu.nslabs == eager.nslabs
+
+
+@pytest.mark.parametrize("spectrum", ["exp8", "exp2", "flat", "steps"])
+def test_rook_fused_nri2_serving_quality(rng, spectrum):
+    """numrookiter=2 (the tuned serving config benchmarked at 4096²):
+    one col-slab + one row-slab alternation, closing row move's factors
+    reused. The reduced hunt must still produce reconstruction at the
+    spectrum/precision floor across qualitatively different spectra, for
+    both precisions, with real permutations and the maxrank cap held."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    m, n, r = 220, 180, 48
+    s = {
+        "exp8": np.exp(-np.arange(r) / 8.0),
+        "exp2": np.exp(-np.arange(r) / 2.0),
+        "flat": np.ones(r),
+        "steps": np.repeat([1.0, 1e-2, 1e-4], [16, 16, 16]),
+    }[spectrum]
+    U = rng.standard_normal((m, r))
+    V = rng.standard_normal((r, n))
+    A = (U * s) @ V
+    for prec in ("f64", "mixed"):
+        lu = rrlu_rook_device_fused(
+            A, maxrank=64, reltol=1e-12, numrookiter=2,
+            rng=np.random.default_rng(5), precision=prec,
+        )
+        assert lu.nslabs == 2
+        assert lu.npivots() <= 64
+        err = np.abs(
+            np.asarray(lu.left() @ lu.right()) - A
+        ).max() / np.abs(A).max()
+        # mixed hunts pivots in f32: components below f32 resolution get
+        # noise pivot sets, so on spectra reaching past ~7 decades (exp2
+        # bottoms at 6e-11) the interpolation basis for the deepest
+        # directions is poor and the recon error amplifies to ~1e-5 —
+        # the documented trade of the mixed hunt (use precision="f64"
+        # when tolerances below f32 round-off must be resolved). Shallow
+        # or flat spectra sit at the f32 floor.
+        if prec == "mixed":
+            tol = 2e-4 if spectrum == "exp2" else 3e-7
+        else:
+            tol = 1e-9
+        assert err < tol, (spectrum, prec, err)
+        assert sorted(lu.rowpermutation.tolist()) == list(range(m))
+        assert sorted(lu.colpermutation.tolist()) == list(range(n))
