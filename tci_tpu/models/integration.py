@@ -34,6 +34,7 @@ def integrate(
     jax_native: bool = False,
     vectorized: bool = False,
     enable_device_sweep: bool = True,
+    mesh=None,
     **kwargs,
 ):
     """∫_a^b f(x) d^N x via TCI2 over a tensor-product GK grid
@@ -44,7 +45,9 @@ def integrate(
 
     With jax_native=True, `f` must be jax-traceable on a coordinate vector;
     the weighted integrand then samples on the accelerator through the
-    batched evaluation runtime and device-resident sweeps.
+    batched evaluation runtime and device-resident sweeps. A
+    `jax.sharding.Mesh` passed as `mesh=` shards the Π panel sampling over
+    its devices (data-parallel over the pivot-product index set).
 
     With vectorized=True (host sampling), `f` must accept a (B, N) coordinate
     matrix and return (B,) values; each Π panel is then one numpy call
@@ -58,6 +61,12 @@ def integrate(
         raise ValueError(
             f"Integral bounds must have the same dimensionality, got "
             f"{len(a)} lower and {len(b)} upper bounds."
+        )
+
+    if mesh is not None and not jax_native:
+        raise ValueError(
+            "mesh= shards the accelerator sampling path; it requires "
+            "jax_native=True (host-sampled tiers ignore the mesh)."
         )
 
     nodes1d, weights1d, _ = kronrod(GKorder // 2)
@@ -78,6 +87,9 @@ def integrate(
         cache_key = (
             GKorder, tuple(a.tolist()), tuple(b.tolist()),
             np.dtype(valuetype).str, enable_device_sweep,
+            None if mesh is None else (
+                tuple(mesh.shape.items()), tuple(map(id, mesh.devices.flat)),
+            ),
         )
         try:
             slots = _GK_EVAL_CACHE.get(f)
@@ -112,7 +124,7 @@ def integrate(
             return w * f(x) * normalization
 
         F = JaxBatchEvaluator(
-            Fjax, localdims, dtype=valuetype,
+            Fjax, localdims, dtype=valuetype, mesh=mesh,
             enable_device_sweep=enable_device_sweep,
             # GK grids have large localdims (GKorder nodes per leg) and high
             # rank: monotone panel capacities keep the fused tier at

@@ -114,13 +114,32 @@ def run(n_devices: int) -> None:
     for a, b in zip(tt1.sitetensors(), ttm.sitetensors()):
         assert np.array_equal(a, b), "mesh compression diverged bitwise"
 
+    # Mesh-sharded GK integration (integration.jl:68-161): the quadrature
+    # over the mesh must match the single-device trajectory exactly.
+    from tci_tpu.models.integration import integrate
+
+    N = 3
+
+    def poly(x):
+        return jnp.prod(x)
+
+    vi1 = integrate(np.float64, lambda x: poly(x), [0.0] * N, [1.0] * N,
+                    GKorder=15, jax_native=True, tolerance=1e-10,
+                    rng=np.random.default_rng(5))
+    vim = integrate(np.float64, lambda x: poly(x), [0.0] * N, [1.0] * N,
+                    GKorder=15, jax_native=True, mesh=mesh, tolerance=1e-10,
+                    rng=np.random.default_rng(5))
+    assert abs(vi1 - 0.5 ** N) < 1e-10, f"integrate off: {vi1}"
+    assert abs(vim - vi1) < 1e-13, f"mesh integrate diverged: {vim} vs {vi1}"
+
     print(
         f"dryrun_multichip({n_devices}): ok — platform=cpu, "
         f"mesh={tuple(mesh.devices.shape)}, rank={tciobj.rank()}, "
         f"final_error={errors[-1]:.3e}, pointwise_err={err:.3e}, "
         f"nevals={bf.nevals}, tp_rrlu_rank={s[3]} (bit-parity ok), "
         f"mesh_contraction_linkdims={cm.linkdims()} (bitwise ok), "
-        f"mesh_compress_linkdims={ttm.linkdims()} (bitwise ok)"
+        f"mesh_compress_linkdims={ttm.linkdims()} (bitwise ok), "
+        f"mesh_integration={vim:.12f} (single-device match ok)"
     )
 
 
