@@ -1,11 +1,15 @@
 """Multi-chip TCI on a device mesh (virtual 8-device CPU mesh here).
 
-Two parallel axes (SURVEY §2.5):
+Parallel axes (SURVEY §2.5):
 1. data-parallel sampling — JaxBatchEvaluator(mesh=...) shards the Π-panel
    sample batch over the mesh; the full crossinterpolate2 runs mesh-sharded
    and matches the single-device result exactly;
 2. tensor-parallel rrLU — rrlu_sharded row-shards the elimination itself
-   (exact collectives, bit-identical pivot order).
+   (exact collectives, bit-identical pivot order);
+3. mesh-sharded L5/L3 device tiers — contract(..., mesh=),
+   TensorTrain.compress(..., mesh=) and integrate(..., mesh=) run every
+   bond split's elimination tensor-parallel, bit-identical to the
+   single-device device tier.
 
 On a real pod the same code runs with the mesh over TPU chips and the
 collectives riding ICI.
@@ -67,4 +71,38 @@ assert lu_tp.npivot == lu_1d.npivot == 12
 assert np.array_equal(lu_tp.rowpermutation, lu_1d.rowpermutation)
 print(f"tensor-parallel rrLU: rank {lu_tp.npivot}, pivot order "
       "bit-identical to the single-device kernel")
+
+# --- 3. mesh-sharded contraction / compression / integration -----------------
+from tci_tpu import TensorTrain, contract, integrate
+from tci_tpu.models.tensortrain import fulltensor
+
+
+def _mpo(seed, L, chi, d):
+    g = np.random.default_rng(seed)
+    bonds = [1] + [chi] * (L - 1) + [1]
+    return TensorTrain([g.standard_normal((bonds[i], d, d, bonds[i + 1]))
+                        for i in range(L)])
+
+
+A4, B4 = _mpo(1, 4, 3, 2), _mpo(2, 4, 3, 2)
+cm = contract(A4, B4, algorithm="zipup", method="LU", tolerance=1e-10,
+              jax_native=True, mesh=mesh)
+c1 = contract(A4, B4, algorithm="zipup", method="LU", tolerance=1e-10,
+              jax_native=True)
+assert all(np.array_equal(a, b)
+           for a, b in zip(cm.sitetensors(), c1.sitetensors()))
+print(f"mesh zip-up contraction: linkdims {cm.linkdims()} — bitwise "
+      "identical to single-device")
+
+ttm = TensorTrain([t.copy() for t in cm.sitetensors()])
+ttm.compress("LU", tolerance=1e-10, jax_native=True, mesh=mesh)
+exact = fulltensor(contract(A4, B4, algorithm="naive"))
+assert np.allclose(fulltensor(ttm), exact, atol=1e-9 * np.abs(exact).max())
+print(f"mesh compression: linkdims {ttm.linkdims()}")
+
+val = integrate(np.float64, lambda x: jnp.prod(x), [0.0] * 3, [1.0] * 3,
+                jax_native=True, mesh=mesh, tolerance=1e-10,
+                rng=np.random.default_rng(5))
+assert abs(val - 0.5 ** 3) < 1e-10
+print(f"mesh-sharded GK integration: {val:.12f} (exact 0.125)")
 print("ok")
