@@ -171,7 +171,7 @@ def _assemble_cols_branch(A, LUp, piv_cols, i2, inv_rowperm, inv_colperm,
 
 
 def _assemble_mixed_body(A, Ipad, Jpad, k, reltol, abstol, *,
-                         unit_lower: bool):
+                         unit_lower: bool, maxrank=None):
     """Completion of the rook factors in f64 from the PIVOT SETS alone.
 
     The mixed-precision rook (see rrlu_rook_device_fused(precision=
@@ -181,135 +181,122 @@ def _assemble_mixed_body(A, Ipad, Jpad, k, reltol, abstol, *,
     running an f64 elimination over the big matrix:
 
       B = A[I, J]            (k x k pivot block, gathered in f64)
-      B = Lblk · Ublk        (fixed-order Doolittle LU, fori_loop — the
-                              pivot ORDER is already chosen, so no pivoting)
-      Binv                   (fixed-order Gauss-Jordan, fori_loop)
-      L = A[:, J] · (Binv · Lblk)   = A[:, J] · Ublk⁻¹   (one MXU GEMM)
-      U = (Ublk · Binv) · A[I, :]   = Lblk⁻¹ · A[I, :]   (one MXU GEMM)
+      PBQ = Lblk · Ublk      (COMPLETE-PIVOT f64 elimination of the block —
+                              the f32 hunt fixes the pivot SETS, but its
+                              ORDER is noise below f32 resolution, and a
+                              fixed-order elimination in a noisy order has
+                              unbounded growth: measured 1e-5 relative
+                              recon on 10-decade spectra vs 1e-14 with the
+                              re-pivoted block. Re-pivoting inside the
+                              sampled block is exactly what the reference's
+                              final slab elimination does, matrixlu.jl:566)
+      Linv = Lblk⁻¹, Uinv = Ublk⁻¹   (triangular SUBSTITUTION, one fori
+                              pass running both recurrences — an explicit
+                              Gauss-Jordan inverse of B re-introduces the
+                              growth that the pivoting removed: measured
+                              catastrophic (O(1) relative error) at block
+                              condition 1e18 where substitution holds 1e-14)
+      L = A[:, J·Q] · Ublk⁻¹   (one MXU GEMM; cols2Lmatrix)
+      U = Lblk⁻¹ · A[I·P, :]   (one MXU GEMM; rows2Umatrix)
 
-    which are exactly cols2Lmatrix / rows2Umatrix (matrixlu.jl:627-674)
-    evaluated through the pivot-block inverse. The sequential parts touch
-    only k² data (fori_loop over k rank-1 passes); all O(m·k)/O(k·n) work
-    is MXU GEMMs. On pivot rows/columns the GEMM reproduces the triangular
-    blocks up to f64 rounding; the blocks are scattered in exactly so the
-    factor triangularity is bit-clean.
+    (matrixlu.jl:627-674 evaluated through the triangular inverses). The
+    sequential parts touch only k² data; all O(m·k)/O(k·n) work is MXU
+    GEMMs. On pivot rows/columns the GEMM reproduces the triangular blocks
+    up to f64 rounding; the blocks are scattered in exactly so the factor
+    triangularity is bit-clean.
 
-    Ipad/Jpad are the ordered pivot ids padded to the slab width Rb; padded
-    slots (>= k) are masked out of every gather/scatter (scatter indices are
+    Rank detection = the reference stop rule (matrixlu.jl:363) applied to
+    the f64 complete-pivot magnitudes of the block, so f32 noise pivots
+    past the true rank are rejected with full f64 resolution.
+
+    Ipad/Jpad are the pivot ids padded to the slab width Rb; padded slots
+    (>= k) are masked out of every gather/scatter (scatter indices are
     pushed out of bounds, which XLA drops). Returns natural-order L (m, Rb)
-    and U (Rb, n) whose rows/columns beyond k are zero.
+    and U (Rb, n) whose rows/columns beyond keff are zero, PLUS the
+    re-pivoted id arrays (Ire, Jre) — the first keff entries are the
+    accepted pivots in elimination order; callers must use these, not the
+    input order.
+
+    maxrank (optional, traced): hard cap on the accepted rank keff — the
+    multi-stage deflated hunt supplies MORE candidate pivots than the
+    requested rank (stage candidates are concatenated) and lets this f64
+    walk pick the first `maxrank` that survive the stop rule.
     """
+    from .lu_kernel import _rrlu_state
+
     m, n = A.shape
     Rb = Ipad.shape[0]
     dt = A.dtype
-    rows = jnp.arange(Rb, dtype=jnp.int32)
-    valid = rows < k
-    Ig = jnp.where(valid, Ipad, 0)
-    Jg = jnp.where(valid, Jpad, 0)
+    idx = jnp.arange(Rb, dtype=jnp.int32)
+    valid0 = idx < k
+    Ig = jnp.where(valid0, Ipad, 0)
+    Jg = jnp.where(valid0, Jpad, 0)
 
     eye = jnp.eye(Rb, dtype=dt)
     B0 = jnp.take(jnp.take(A, Ig, axis=0), Jg, axis=1)
-    v2k = valid[:, None] & valid[None, :]
-    B0 = jnp.where(v2k, B0, eye)  # padded block = identity (invertible)
+    B0 = jnp.where(valid0[:, None] & valid0[None, :], B0, 0.0)
 
-    idx = jnp.arange(Rb, dtype=jnp.int32)
-
-    # --- ONE fused pass: f64 rank detection + Doolittle LU + Gauss-Jordan --
-    # The f32 hunt may keep noise pivots past the true rank; the reference
-    # stop rule (matrixlu.jl:363) is re-applied to the f64 pivot magnitudes
-    # of the SAME fixed-order elimination. Rank detection, the block LU and
-    # the Gauss-Jordan inverse all visit pivots in the same fixed order, so
-    # they fuse into a single fori_loop with `live` gating: once the stop
-    # rule fires, every later step applies the identity transformation,
-    # which reproduces the two-pass algebra (eliminating a keff-masked
-    # block) exactly on the valid block — entries outside it are masked to
-    # zero below either way. Halves the sequential-step count (Rb instead
-    # of 2*Rb), the dominant non-GEMM cost of the completion at Rb=256.
-    def fused_body(j, carry):
-        M_lu, M_gj, keff, maxerr, rejerr, live = carry
-        piv = M_lu[j, j]
-        errj = jnp.abs(piv)
-        stop = (((errj < reltol * maxerr) | (errj <= abstol)) & (j > 0)) | (
-            errj == 0
-        )
-        live = live & (j < k) & (~stop)
-        rejerr = jnp.where((~live) & (j == keff) & (j < k), errj, rejerr)
-        maxerr = jnp.where(live, jnp.maximum(maxerr, errj), maxerr)
-        do = live.astype(dt)
-        below = (idx > j).astype(dt)
-        safe = jnp.where(live, piv, 1.0)
-        pivrow = M_lu[j, :]
-        pivcol = M_lu[:, j]
-        # --- Doolittle step (multipliers stored in place; dead steps write
-        #     zeros into the dead line, which the v2 mask drops) -----------
-        if unit_lower:
-            mult = pivcol / safe * below * do
-            M_lu = M_lu - mult[:, None] * (pivrow * below)[None, :]
-            M_lu = jnp.where(
-                (below[:, None] > 0) & (idx == j)[None, :],
-                mult[:, None], M_lu,
-            )
-        else:
-            mult = pivrow / safe * below * do
-            M_lu = M_lu - (pivcol * below)[:, None] * mult[None, :]
-            M_lu = jnp.where(
-                (idx == j)[:, None] & (below > 0)[None, :],
-                mult[None, :], M_lu,
-            )
-        # --- Gauss-Jordan step on [B | I]; dead steps set row j to the
-        #     identity row (what eliminating a keff-masked block does) -----
-        gpiv = jnp.where(live, M_gj[j, j], 1.0)
-        onehot2 = jnp.concatenate(
-            [(idx == j).astype(dt), (idx == j).astype(dt)]
-        )
-        grow = jnp.where(live, M_gj[j, :] / gpiv, onehot2)
-        gcol = M_gj[:, j] * (idx != j).astype(dt) * do
-        M_gj = M_gj - gcol[:, None] * grow[None, :]
-        M_gj = jnp.where((idx == j)[:, None], grow[None, :], M_gj)
-        return (M_lu, M_gj, keff + live.astype(jnp.int32), maxerr, rejerr,
-                live)
-
-    M_lu, M_gj, keff, _, rejerr, _ = jax.lax.fori_loop(
-        0, Rb, fused_body,
-        (B0, jnp.concatenate([B0, eye], axis=1), jnp.int32(0),
-         jnp.zeros((), dt), jnp.zeros((), dt), True),
+    mr = k if maxrank is None else jnp.minimum(k, maxrank)
+    LUp, rp, cp, keff, _, rejerr = _rrlu_state(
+        B0, k, k, mr, reltol, abstol, unit_lower
     )
+    # pivot ids in elimination (complete-pivot) order
+    Ire = jnp.take(Ig, rp[:Rb].astype(jnp.int32))
+    Jre = jnp.take(Jg, cp[:Rb].astype(jnp.int32))
     valid = idx < keff
-    Ig = jnp.where(valid, Ipad, 0)
-    Jg = jnp.where(valid, Jpad, 0)
     v2 = valid[:, None] & valid[None, :]
-    Binv = M_gj[:, Rb:]
-    tri_lo = (idx[:, None] >= idx[None, :]).astype(dt)
-    tri_up = (idx[:, None] <= idx[None, :]).astype(dt)
-    dia = eye
-    if unit_lower:
-        Lblk = M_lu * tri_lo * (1 - dia) + dia
-        Ublk = M_lu * tri_up
-    else:
-        Lblk = M_lu * tri_lo
-        Ublk = M_lu * tri_up * (1 - dia) + dia
-    Lblk = jnp.where(v2, Lblk, 0)
-    Ublk = jnp.where(v2, Ublk, 0)
-    Binv = jnp.where(v2, Binv, 0)
 
-    Uinv = Binv @ Lblk          # = Ublk^{-1} on the valid block
-    Linv = Ublk @ Binv          # = Lblk^{-1}
-    L_all = jnp.take(A, Jg, axis=1) * valid[None, :].astype(dt)
+    # triangular factors of the re-pivoted block; dead region = identity so
+    # the substitution recurrences are exact no-ops there
+    Lb = jnp.tril(LUp[:Rb, :Rb])
+    Ub = jnp.triu(LUp[:Rb, :Rb])
+    dia = (idx[:, None] == idx[None, :]).astype(dt)
+    if unit_lower:
+        Lb = Lb * (1 - dia) + dia
+    else:
+        Ub = Ub * (1 - dia) + dia
+    Lb = jnp.where(v2, Lb, eye)
+    Ub = jnp.where(v2, Ub, eye)
+
+    # Both triangular inverses by row substitution in ONE fori pass: the
+    # L recurrence runs forward (row t), the U recurrence backward (row
+    # Rb-1-t) — independent, so each step does two masked matvecs.
+    def inv_body(t, carry):
+        Xl, Xu = carry
+        rl = (Lb[t, :] * (idx < t).astype(dt)) @ Xl
+        Xl = Xl.at[t, :].set((eye[t, :] - rl) / Lb[t, t])
+        ju = Rb - 1 - t
+        ru = (Ub[ju, :] * (idx > ju).astype(dt)) @ Xu
+        Xu = Xu.at[ju, :].set((eye[ju, :] - ru) / Ub[ju, ju])
+        return Xl, Xu
+
+    Linv, Uinv = jax.lax.fori_loop(
+        0, Rb, inv_body,
+        (jnp.zeros((Rb, Rb), dt), jnp.zeros((Rb, Rb), dt)),
+    )
+    Linv = jnp.where(v2, Linv, 0)
+    Uinv = jnp.where(v2, Uinv, 0)
+    Lblk = jnp.where(v2, Lb, 0)
+    Ublk = jnp.where(v2, Ub, 0)
+
+    IgR = jnp.where(valid, Ire, 0)
+    JgR = jnp.where(valid, Jre, 0)
+    L_all = jnp.take(A, JgR, axis=1) * valid[None, :].astype(dt)
     L_nat = L_all @ Uinv        # (m, Rb): A[:, J] · Ublk^{-1}
-    U_all = jnp.take(A, Ig, axis=0) * valid[:, None].astype(dt)
+    U_all = jnp.take(A, IgR, axis=0) * valid[:, None].astype(dt)
     U_nat = Linv @ U_all        # (Rb, n): Lblk^{-1} · A[I, :]
 
     # Scatter the exact triangular blocks into the pivot rows/columns
     # (the GEMM reproduces them only up to rounding). Padded slots point
     # out of bounds, which XLA scatter drops.
-    Iscat = jnp.where(valid, Ipad, m)
-    Jscat = jnp.where(valid, Jpad, n)
+    Iscat = jnp.where(valid, Ire, m)
+    Jscat = jnp.where(valid, Jre, n)
     L_nat = L_nat.at[Iscat, :].set(Lblk)
     U_nat = U_nat.at[:, Jscat].set(Ublk)
     # zero out the invalid factor columns/rows so L @ U is rank-keff exactly
     L_nat = L_nat * valid[None, :].astype(dt)
     U_nat = U_nat * valid[:, None].astype(dt)
-    return L_nat, U_nat, keff, rejerr
+    return L_nat, U_nat, keff, rejerr, Ire, Jre
 
 
 _assemble_mixed = jax.jit(
@@ -462,15 +449,31 @@ def _make_rook_fused(M: int, N: int, Rb: int, numrookiter: int,
 
 
 def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
-                           leftorthogonal: bool):
+                           leftorthogonal: bool, hunt_stages: int = 1):
     """Whole mixed-precision rook — f32 alternation + f64 completion — as
     ONE XLA program, with the host-bound results packed into two buffers
     (one int32, one f64) so the epilogue costs exactly two device→host
     transfers. Splitting the elimination and the assembly into separate
     dispatches costs ~5 small fetches/uploads in between, each paying the
     link's per-transfer latency — measured at 4096²: 0.26 s split vs the
-    fused program's wall, with only ~0.09 s of actual device work."""
+    fused program's wall, with only ~0.09 s of actual device work.
+
+    hunt_stages > 1 adds DEFLATED hunt rounds for deep spectra: the f32
+    hunt resolves ~7 decades below the top singular value, so after each
+    round the trusted pivots (f64 walk truncated at f32 resolution,
+    reltol >= 1e-6) are completed in f64, the f64 residual A − L·U is
+    rescaled to O(1) and re-hunted in f32 at the residual's OWN scale —
+    each stage buys another ~6-7 decades of spectrum while every slab
+    elimination stays f32 (the decision process). Residual rows/columns
+    already covered by chosen pivots are masked to exact zero so a later
+    stage can never re-pick them (they are rounding-level anyway; a
+    duplicate pivot would make the combined block singular). The FINAL f64
+    completion walks the concatenated candidate pivots (stage order =
+    descending scale) under the caller's reltol/abstol and the maxrank
+    cap, so rank detection semantics stay the reference stop rule
+    (matrixlu.jl:363) applied to f64 pivot magnitudes."""
     alt = _make_rook_alternation(M, N, Rb, numrookiter, leftorthogonal)
+    C = Rb * hunt_stages  # combined candidate-pivot capacity
 
     @jax.jit
     def run(A64, ipack, tpack):
@@ -482,24 +485,88 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
             A64.astype(jnp.float32), I0, I0len, J0, J0len, maxrank,
             reltol, abstol,
         )
-        L_nat, U_nat, keff, rejerr = _assemble_mixed_body(
-            A64, newI.astype(jnp.int32), cp[:Rb].astype(jnp.int32), kf,
-            reltol, abstol, unit_lower=leftorthogonal,
+        if hunt_stages == 1:
+            L_nat, U_nat, keff, rejerr, Ire, Jre = _assemble_mixed_body(
+                A64, newI.astype(jnp.int32), cp[:Rb].astype(jnp.int32), kf,
+                reltol, abstol, unit_lower=leftorthogonal,
+            )
+            # ONE packed f64 buffer (indices are exact in f64 far beyond
+            # any real m/n): scalars ++ pivot row ids ++ pivot col ids (in
+            # the f64 completion's elimination order — the host completes
+            # both permutations from the id lists). The epilogue then costs
+            # exactly one device→host transfer — the same dispatch +
+            # single-fetch structure as a plain GEMM, so the benchmark
+            # comparison against the GEMM roofline is floor-symmetric on a
+            # high-latency link.
+            pack = jnp.concatenate([
+                jnp.stack([
+                    keff.astype(jnp.float64), rejerr.astype(jnp.float64),
+                    kf.astype(jnp.float64), err.astype(jnp.float64),
+                    nslabs.astype(jnp.float64),
+                ]),
+                Ire.astype(jnp.float64),
+                Jre.astype(jnp.float64),
+            ])
+            return L_nat, U_nat, pack
+
+        jj = jnp.arange(C, dtype=jnp.int32)
+        Icomb = jnp.zeros((C,), jnp.int32).at[:Rb].set(
+            newI.astype(jnp.int32))
+        Jcomb = jnp.zeros((C,), jnp.int32).at[:Rb].set(
+            cp[:Rb].astype(jnp.int32))
+        kcomb = kf
+        errfin = err.astype(jnp.float64)
+        for s in range(1, hunt_stages):
+            # complete the so-far-trusted pivots in f64, then deflate. The
+            # f64 complete-pivot walk inside the completion truncates f32
+            # noise candidates under the caller's stop rule, so the
+            # residual is computed from accepted pivots only.
+            L1, U1, keff1, _, Icomb, Jcomb = _assemble_mixed_body(
+                A64, Icomb, Jcomb, kcomb, reltol, abstol,
+                unit_lower=leftorthogonal, maxrank=maxrank,
+            )
+            Rres = A64 - L1 @ U1
+            vmask = jj < keff1
+            rowmask = jnp.ones((M,), A64.dtype).at[
+                jnp.where(vmask, Icomb, M)].set(0.0, mode="drop")
+            colmask = jnp.ones((N,), A64.dtype).at[
+                jnp.where(vmask, Jcomb, N)].set(0.0, mode="drop")
+            Rres = Rres * rowmask[:, None] * colmask[None, :]
+            smax = jnp.max(jnp.abs(Rres))
+            scale = jnp.where(smax > 0, smax, 1.0)
+            R32 = (Rres / scale).astype(jnp.float32)
+            I0s = ipack[3 + 2 * s * Rb:3 + (2 * s + 1) * Rb]
+            J0s = ipack[3 + (2 * s + 1) * Rb:3 + (2 * s + 2) * Rb]
+            _, _, cp2, kf2, err2, newI2, _, nslabs2 = alt(
+                R32, I0s, I0len, J0s, J0len, maxrank,
+                reltol, abstol / scale,
+            )
+            # compact-append the stage candidates right after the keff1
+            # trusted pivots (padded gathers; shapes stay static)
+            i2e = jnp.zeros((C,), jnp.int32).at[:Rb].set(
+                newI2.astype(jnp.int32))
+            j2e = jnp.zeros((C,), jnp.int32).at[:Rb].set(
+                cp2[:Rb].astype(jnp.int32))
+            tail = jnp.clip(jj - keff1, 0, C - 1)
+            Icomb = jnp.where(jj < keff1, Icomb, jnp.take(i2e, tail))
+            Jcomb = jnp.where(jj < keff1, Jcomb, jnp.take(j2e, tail))
+            kcomb = jnp.minimum(keff1 + kf2, jnp.int32(C))
+            nslabs = nslabs + nslabs2
+            errfin = err2.astype(jnp.float64) * scale
+        L_nat, U_nat, keff, rejerr, Ire, Jre = _assemble_mixed_body(
+            A64, Icomb, Jcomb, kcomb, reltol, abstol,
+            unit_lower=leftorthogonal, maxrank=maxrank,
         )
-        # ONE packed f64 buffer (indices are exact in f64 far beyond any
-        # real m/n): scalars ++ pivot rows ++ column permutation. The
-        # epilogue then costs exactly one device→host transfer — the same
-        # dispatch + single-fetch structure as a plain GEMM, so the
-        # benchmark comparison against the GEMM roofline is floor-symmetric
-        # on a high-latency link.
+        # multi-stage pack: scalars ++ pivot row ids ++ pivot col ids (the
+        # host completes both permutations from the id lists)
         pack = jnp.concatenate([
             jnp.stack([
                 keff.astype(jnp.float64), rejerr.astype(jnp.float64),
-                kf.astype(jnp.float64), err.astype(jnp.float64),
+                kcomb.astype(jnp.float64), errfin,
                 nslabs.astype(jnp.float64),
             ]),
-            newI.astype(jnp.float64),
-            cp.astype(jnp.float64),
+            Ire.astype(jnp.float64),
+            Jre.astype(jnp.float64),
         ])
         return L_nat, U_nat, pack
 
@@ -538,6 +605,7 @@ def rrlu_rook_device_fused(
     rng: Optional[np.random.Generator] = None,
     precision: str = "f64",
     defer: bool = False,
+    hunt_stages: int = 1,
 ):
     """One-dispatch adaptive rook rrLU of a device-resident matrix.
 
@@ -566,10 +634,20 @@ def rrlu_rook_device_fused(
     the stop rule, so pass precision="f64" when the adaptive stop must
     resolve tighter tolerances (fixed-maxrank workloads are unaffected).
     On spectra reaching more than ~7 decades below the top singular value,
-    the f32 hunt picks noise pivot sets for the deepest directions and the
-    reconstruction error amplifies to ~1e-5 relative (measured; see
-    tests/test_lu_device.py::test_rook_fused_nri2_serving_quality) — f64
-    hunting recovers the full-precision floor there.
+    a SINGLE f32 hunt picks noise pivot sets for the deepest directions
+    and the reconstruction error amplifies to ~1e-5 relative (measured;
+    see tests/test_lu_device.py::test_rook_fused_nri2_serving_quality).
+
+    hunt_stages (mixed only, default 1): number of deflated hunt rounds.
+    Each extra round completes the so-far-trusted pivots in f64, rescales
+    the f64 residual A − L·U to O(1) and re-hunts it in f32 at the
+    residual's own scale, buying ~6-7 more decades of spectrum per stage
+    while keeping every slab elimination f32. hunt_stages=2 recovers the
+    f64-resolution floor on 10-14-decade spectra (the exp2 serving gate)
+    at roughly 2x the single-stage cost (one extra m×n residual GEMM +
+    one extra alternation + a 2Rb-wide final completion), still as ONE
+    dispatch. The error estimate is then f64-resolution (first rejected
+    f64 pivot magnitude, or the last stage's rescaled estimate).
 
     defer=True returns a ``_PendingRRLU`` handle instead of a finished
     ``DeviceRRLU``: the whole program is DISPATCHED (JAX async) but no
@@ -586,27 +664,48 @@ def rrlu_rook_device_fused(
     maxrank = int(min(maxrank, m, n))
     Rb = bucket(maxrank)
     mixed = precision == "mixed" and A.dtype == jnp.float64
-    key = (m, n, Rb, numrookiter, leftorthogonal, mixed, str(A.dtype))
-    if key not in _rook_fused_cache:
-        maker = _make_rook_fused_mixed if mixed else _make_rook_fused
-        _rook_fused_cache[key] = maker(
-            m, n, Rb, numrookiter, leftorthogonal
+    hunt_stages = int(hunt_stages)
+    if hunt_stages < 1:
+        raise ValueError("hunt_stages must be >= 1")
+    if hunt_stages > 1 and not mixed:
+        raise ValueError(
+            "hunt_stages > 1 is the deflated f32 hunt — it requires "
+            "precision='mixed' on an f64 matrix (the f64 path hunts at "
+            "full precision already)"
         )
+    key = (m, n, Rb, numrookiter, leftorthogonal, mixed, str(A.dtype),
+           hunt_stages)
+    if key not in _rook_fused_cache:
+        if mixed:
+            _rook_fused_cache[key] = _make_rook_fused_mixed(
+                m, n, Rb, numrookiter, leftorthogonal, hunt_stages
+            )
+        else:
+            _rook_fused_cache[key] = _make_rook_fused(
+                m, n, Rb, numrookiter, leftorthogonal
+            )
     run = _rook_fused_cache[key]
 
-    # ONE packed int32 upload ([I0len, J0len, maxrank] ++ I0 ++ J0) and one
+    # ONE packed int32 upload ([I0len, J0len, maxrank] ++ I0 ++ J0, plus a
+    # fresh random start-set pair per extra deflated hunt stage) and one
     # f64 upload ([reltol, abstol]): separate jitted-call arguments each
     # pay the link's per-transfer latency, which rivals the factorization
     # wall at serving batch sizes.
-    ipack = np.zeros((3 + 2 * Rb,), dtype=np.int32)
+    nsets = 2 * (hunt_stages if mixed else 1)
+    ipack = np.zeros((3 + nsets * Rb,), dtype=np.int32)
     ipack[2] = maxrank
     if leftorthogonal:
         ipack[1] = maxrank  # J0len
-        ipack[3 + Rb:3 + Rb + maxrank] = rng.choice(
-            n, size=maxrank, replace=False)
+        for s in range(hunt_stages if mixed else 1):
+            lo = 3 + (2 * s + 1) * Rb
+            ipack[lo:lo + maxrank] = rng.choice(
+                n, size=maxrank, replace=False)
     else:
         ipack[0] = maxrank  # I0len
-        ipack[3:3 + maxrank] = rng.choice(m, size=maxrank, replace=False)
+        for s in range(hunt_stages if mixed else 1):
+            lo = 3 + 2 * s * Rb
+            ipack[lo:lo + maxrank] = rng.choice(
+                m, size=maxrank, replace=False)
 
     run_args = (
         A, jnp.asarray(ipack),
@@ -615,6 +714,7 @@ def rrlu_rook_device_fused(
 
     if mixed:
         L_nat, U_nat, pack = run(*run_args)  # dispatched async
+        cap = Rb * hunt_stages  # candidate capacity (factor width)
 
         def finish_mixed() -> DeviceRRLU:
             pk = np.asarray(pack)  # the ONE device→host transfer (also the
@@ -624,16 +724,21 @@ def rrlu_rook_device_fused(
             err = float(pk[1]) if keff < kf else float(pk[3])
             nslabs = int(pk[4])
             k = keff
-            I0f = pk[5:5 + Rb].astype(np.int64)
-            cp = pk[5 + Rb:].astype(np.int64)
-            colpermutation = cp[:n]
+            I0f = pk[5:5 + cap].astype(np.int64)
+            Jids = pk[5 + cap:].astype(np.int64)
+            # the pack carries pivot ids (f64-completion elimination order);
+            # complete both permutations with the remaining indices
             I0sel = I0f[:k]
             mask = np.ones(m, dtype=bool)
             mask[I0sel] = False
             rowpermutation = np.concatenate([I0sel, np.nonzero(mask)[0]])
+            J0sel = Jids[:k]
+            cmask = np.ones(n, dtype=bool)
+            cmask[J0sel] = False
+            colpermutation = np.concatenate([J0sel, np.nonzero(cmask)[0]])
             err_fin = 0.0 if k >= min(m, n) else err
             Lk, Uk = L_nat, U_nat
-            if k < Rb:  # trim the zero-padded factor columns/rows
+            if k < cap:  # trim the zero-padded factor columns/rows
                 Lk, Uk = L_nat[:, :k], U_nat[:k, :]
             return DeviceRRLU(
                 Lk, Uk, rowpermutation, colpermutation,

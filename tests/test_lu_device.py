@@ -306,19 +306,31 @@ def test_rook_fused_defer_pipelines_batches(rng, precision):
         assert lu.nslabs == eager.nslabs
 
 
-@pytest.mark.parametrize("spectrum", ["exp8", "exp2", "flat", "steps"])
+@pytest.mark.parametrize(
+    "spectrum", ["exp8", "exp2", "deep14", "flat", "steps"])
 def test_rook_fused_nri2_serving_quality(rng, spectrum):
     """numrookiter=2 (the tuned serving config benchmarked at 4096²):
     one col-slab + one row-slab alternation, closing row move's factors
     reused. The reduced hunt must still produce reconstruction at the
-    spectrum/precision floor across qualitatively different spectra, for
-    both precisions, with real permutations and the maxrank cap held."""
+    f64 floor across qualitatively different spectra — INCLUDING deep
+    (10-14 decade) ones — for both precisions, with real permutations
+    and the maxrank cap held.
+
+    The mixed path's f32 hunt fixes good pivot SETS even past f32
+    resolution (measured: direct f64 cross interpolation from the f32
+    sets reaches 1e-14 on 14-decade spectra); what used to cap mixed
+    recon at ~1e-5 on deep spectra was the completion eliminating the
+    pivot block in the hunt's (noise) ORDER — fixed by the complete-pivot
+    re-ordering + triangular-substitution inverses inside
+    _assemble_mixed_body, so mixed now matches the f64 path everywhere.
+    """
     from tci_tpu.ops.lu_device import rrlu_rook_device_fused
 
     m, n, r = 220, 180, 48
     s = {
         "exp8": np.exp(-np.arange(r) / 8.0),
-        "exp2": np.exp(-np.arange(r) / 2.0),
+        "exp2": np.exp(-np.arange(r) / 2.0),          # 10 decades
+        "deep14": np.exp(-np.arange(r) * 0.67),       # 14 decades
         "flat": np.ones(r),
         "steps": np.repeat([1.0, 1e-2, 1e-4], [16, 16, 16]),
     }[spectrum]
@@ -335,17 +347,63 @@ def test_rook_fused_nri2_serving_quality(rng, spectrum):
         err = np.abs(
             np.asarray(lu.left() @ lu.right()) - A
         ).max() / np.abs(A).max()
-        # mixed hunts pivots in f32: components below f32 resolution get
-        # noise pivot sets, so on spectra reaching past ~7 decades (exp2
-        # bottoms at 6e-11) the interpolation basis for the deepest
-        # directions is poor and the recon error amplifies to ~1e-5 —
-        # the documented trade of the mixed hunt (use precision="f64"
-        # when tolerances below f32 round-off must be resolved). Shallow
-        # or flat spectra sit at the f32 floor.
-        if prec == "mixed":
-            tol = 2e-4 if spectrum == "exp2" else 3e-7
-        else:
-            tol = 1e-9
+        # both precisions sit at the f64 floor (the deepest spectra pay
+        # a little growth: reltol=1e-12 keeps pivots 12 decades down)
+        tol = 5e-11 if spectrum == "deep14" else 1e-9
         assert err < tol, (spectrum, prec, err)
         assert sorted(lu.rowpermutation.tolist()) == list(range(m))
         assert sorted(lu.colpermutation.tolist()) == list(range(n))
+
+
+@pytest.mark.parametrize("spectrum", ["exp2", "deep14", "exp8"])
+def test_rook_fused_mixed_hunt_stages(rng, spectrum):
+    """hunt_stages=2 (the deflated re-hunt): completes the trusted pivots
+    in f64, rescales the residual to O(1) and re-hunts it in f32 at the
+    residual's own scale, then walks the concatenated candidates under the
+    caller's stop rule — still ONE dispatch. Must match the single-stage
+    floor on every spectrum (it is insurance for spectra deeper than one
+    f32 hunt can see), hold the maxrank cap, and produce real
+    permutations."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    m, n, r = 220, 180, 48
+    s = {
+        "exp8": np.exp(-np.arange(r) / 8.0),
+        "exp2": np.exp(-np.arange(r) / 2.0),
+        "deep14": np.exp(-np.arange(r) * 0.67),
+    }[spectrum]
+    U = rng.standard_normal((m, r))
+    V = rng.standard_normal((r, n))
+    A = (U * s) @ V
+    lu = rrlu_rook_device_fused(
+        A, maxrank=64, reltol=1e-12, numrookiter=2,
+        rng=np.random.default_rng(5), precision="mixed", hunt_stages=2,
+    )
+    assert lu.nslabs == 4  # two alternations of two slabs each
+    assert lu.npivots() <= 64
+    err = np.abs(
+        np.asarray(lu.left() @ lu.right()) - A
+    ).max() / np.abs(A).max()
+    tol = 5e-11 if spectrum == "deep14" else 1e-9
+    assert err < tol, (spectrum, err)
+    assert sorted(lu.rowpermutation.tolist()) == list(range(m))
+    assert sorted(lu.colpermutation.tolist()) == list(range(n))
+    # factors stay triangular in pivot order (scattered exact blocks)
+    k = lu.npivots()
+    Lp = np.asarray(lu.left())[lu.rowpermutation[:k], :]
+    Up = np.asarray(lu.right())[:, lu.colpermutation[:k]]
+    assert np.allclose(np.triu(Lp[:k], 1), 0)
+    assert np.allclose(np.tril(Up[:, :k], -1), 0)
+    assert np.allclose(np.diagonal(Lp), 1.0)
+
+
+def test_rook_fused_hunt_stages_validation(rng):
+    """hunt_stages is mixed-only and must be >= 1."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    A = rng.standard_normal((32, 24))
+    with pytest.raises(ValueError, match="mixed"):
+        rrlu_rook_device_fused(A, maxrank=8, hunt_stages=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        rrlu_rook_device_fused(A, maxrank=8, hunt_stages=0,
+                               precision="mixed")
