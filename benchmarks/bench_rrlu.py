@@ -127,10 +127,11 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
     # --- MIXED-PRECISION rook: f32 pivot hunt + f64 MXU completion --------
     # TPU has no native f64; the TPU-native factorization hunts pivots in
     # f32 (where the VPU is native and HBM traffic halves) and rebuilds the
-    # f64 factors from the pivot sets with a fixed-order block LU + two MXU
-    # GEMMs (ops/lu_device._assemble_mixed_body). The FULL f64
-    # reconstruction check below is the honest quality gate: the error is
-    # spectrum-floor-limited, same as the pure-f64 path.
+    # f64 factors from the pivot sets with a complete-pivot f64 block LU,
+    # triangular-substitution inverses and two MXU GEMMs
+    # (ops/lu_device._assemble_mixed_body). The FULL f64 reconstruction
+    # check below is the honest quality gate: the error matches the
+    # pure-f64 path on every tested spectrum (incl. 10-14 decade decays).
     lu_mx = run_rook(A, N, precision="mixed")  # warm-up
     t0 = time.perf_counter()
     for _ in range(reps):

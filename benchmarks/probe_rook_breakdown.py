@@ -9,10 +9,12 @@ the optimization targets the real bottleneck instead of a guess:
   alt      — the f32 slab alternation (pivot hunt) alone
   slab1    — ONE f32 (4096 x 256) slab elimination (256 sequential
              masked rank-1 steps): the hunt's unit of work
-  asm      — the f64 completion (_assemble_mixed: fixed-order block LU +
-             Gauss-Jordan fori_loops + 2 MXU GEMMs + gathers/scatters)
+  asm      — the f64 completion (_assemble_mixed: complete-pivot block LU
+             + triangular-substitution fori_loops + 2 MXU GEMMs +
+             gathers/scatters)
   asm_gemm — only the two completion GEMMs + gathers (no fori_loops)
-  blk      — only the fori_loop block (rank pass + LU/GJ) on the k² block
+  blk      — an Rb-step GJ fori_loop on the k² block (sequential-step
+             cost proxy for the completion's non-GEMM part)
   full     — the production fused program (alt + asm in one dispatch)
   gemm     — the (m x k) @ (k x n) f64 GEMM roofline, equally pipelined
 
@@ -136,8 +138,12 @@ def main(N: int = 4096, rank: int = 256, nrep: int = 4):
     # --- block fori_loops only ----------------------------------------------
     @jax.jit
     def blk_only(a, i, j, k):
-        # same traced prologue as _assemble_mixed_body, stopping after the
-        # fori_loops (returns the GJ inverse so nothing is dead-code'd)
+        # micro-benchmark of an Rb-step Gauss-Jordan fori_loop over the
+        # gathered block — the sequential-step cost scale of the
+        # completion's non-GEMM part (the production completion now runs a
+        # complete-pivot elimination + a substitution pass instead of GJ;
+        # both are Rb-step fori_loops over Rb² data, so this is still the
+        # right cost proxy)
         import jax as _jax
         B0 = jnp.take(jnp.take(a, i, axis=0), j, axis=1)
         idx = jnp.arange(Rb, dtype=jnp.int32)

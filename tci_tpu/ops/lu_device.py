@@ -458,13 +458,14 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
     link's per-transfer latency — measured at 4096²: 0.26 s split vs the
     fused program's wall, with only ~0.09 s of actual device work.
 
-    hunt_stages > 1 adds DEFLATED hunt rounds for deep spectra: the f32
-    hunt resolves ~7 decades below the top singular value, so after each
-    round the trusted pivots (f64 walk truncated at f32 resolution,
-    reltol >= 1e-6) are completed in f64, the f64 residual A − L·U is
-    rescaled to O(1) and re-hunted in f32 at the residual's OWN scale —
-    each stage buys another ~6-7 decades of spectrum while every slab
-    elimination stays f32 (the decision process). Residual rows/columns
+    hunt_stages > 1 adds DEFLATED hunt rounds for extreme spectra: after
+    each round the accepted pivots are completed in f64, the f64 residual
+    A − L·U is rescaled to O(1) and re-hunted in f32 at the residual's OWN
+    scale — each stage buys the f32 hunt a fresh dynamic-range window
+    while every slab elimination stays f32 (the decision process).
+    Measured, a single hunt's pivot SETS already hold the f64 floor down
+    to 14-decade spectra (see _assemble_mixed_body), so stages > 1 are
+    insurance for deeper/adversarial inputs. Residual rows/columns
     already covered by chosen pivots are masked to exact zero so a later
     stage can never re-pick them (they are rounding-level anyway; a
     duplicate pivot would make the combined block singular). The FINAL f64
@@ -629,25 +630,23 @@ def rrlu_rook_device_fused(
     ``_assemble_mixed`` (fixed-order block LU + Gauss-Jordan over the k²
     pivot block, two MXU GEMMs for the completion). TPU has no native f64:
     pivot HUNTING in f32 + f64 completion is the TPU-native shape of this
-    factorization. The returned ``error`` estimate is f32-resolution
-    (~1e-7 relative); reltol below that is indistinguishable from 0 for
-    the stop rule, so pass precision="f64" when the adaptive stop must
-    resolve tighter tolerances (fixed-maxrank workloads are unaffected).
-    On spectra reaching more than ~7 decades below the top singular value,
-    a SINGLE f32 hunt picks noise pivot sets for the deepest directions
-    and the reconstruction error amplifies to ~1e-5 relative (measured;
-    see tests/test_lu_device.py::test_rook_fused_nri2_serving_quality).
+    factorization. Rank detection and the ``error`` estimate come from
+    the f64 complete-pivot walk over the chosen pivot block inside the
+    completion (_assemble_mixed_body), so both hold f64 resolution; the
+    f32 hunt's own stop rule saturates at ~1e-7 relative, which only
+    means the hunt may carry extra candidates for the f64 walk to
+    reject. Reconstruction matches the f64 path on every tested spectrum
+    down to 14 decades (see
+    tests/test_lu_device.py::test_rook_fused_nri2_serving_quality).
 
     hunt_stages (mixed only, default 1): number of deflated hunt rounds.
-    Each extra round completes the so-far-trusted pivots in f64, rescales
-    the f64 residual A − L·U to O(1) and re-hunts it in f32 at the
-    residual's own scale, buying ~6-7 more decades of spectrum per stage
-    while keeping every slab elimination f32. hunt_stages=2 recovers the
-    f64-resolution floor on 10-14-decade spectra (the exp2 serving gate)
-    at roughly 2x the single-stage cost (one extra m×n residual GEMM +
-    one extra alternation + a 2Rb-wide final completion), still as ONE
-    dispatch. The error estimate is then f64-resolution (first rejected
-    f64 pivot magnitude, or the last stage's rescaled estimate).
+    Each extra round completes the accepted pivots in f64, rescales the
+    f64 residual A − L·U to O(1) and re-hunts it in f32 at the residual's
+    own scale, giving the f32 hunt a fresh dynamic-range window per stage
+    while keeping every slab elimination f32. Insurance for spectra
+    deeper than one hunt can see, at roughly 2x the single-stage cost
+    (one extra m×n residual GEMM + one extra alternation + a 2Rb-wide
+    final completion), still as ONE dispatch.
 
     defer=True returns a ``_PendingRRLU`` handle instead of a finished
     ``DeviceRRLU``: the whole program is DISPATCHED (JAX async) but no
