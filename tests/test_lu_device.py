@@ -397,6 +397,27 @@ def test_rook_fused_mixed_hunt_stages(rng, spectrum):
     assert np.allclose(np.diagonal(Lp), 1.0)
 
 
+def test_rook_fused_hunt_stages_exact_rank(rng):
+    """hunt_stages=2 on an EXACTLY low-rank matrix: stage 1 resolves the
+    full rank, the deflated residual is ~0 (the rescale guard keeps the
+    division defined), the stage-2 hunt finds only zero pivots and the
+    final f64 walk rejects them — rank must not inflate."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    U = rng.standard_normal((150, 12))
+    V = rng.standard_normal((12, 120))
+    A = U @ V
+    lu = rrlu_rook_device_fused(
+        A, maxrank=40, reltol=1e-12, numrookiter=2,
+        rng=np.random.default_rng(5), precision="mixed", hunt_stages=2,
+    )
+    assert lu.npivots() == 12
+    err = np.abs(
+        np.asarray(lu.left() @ lu.right()) - A
+    ).max() / np.abs(A).max()
+    assert err < 1e-12
+
+
 def test_rook_fused_hunt_stages_validation(rng):
     """hunt_stages is mixed-only and must be >= 1."""
     from tci_tpu.ops.lu_device import rrlu_rook_device_fused
