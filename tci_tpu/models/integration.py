@@ -87,8 +87,12 @@ def integrate(
         cache_key = (
             GKorder, tuple(a.tolist()), tuple(b.tolist()),
             np.dtype(valuetype).str, enable_device_sweep,
+            # stable device identity (platform, id) — Python id() values can
+            # be recycled after a mesh is garbage-collected, which would let
+            # a stale evaluator (sharded for a dead mesh) leak into a new one
             None if mesh is None else (
-                tuple(mesh.shape.items()), tuple(map(id, mesh.devices.flat)),
+                tuple(mesh.shape.items()),
+                tuple((d.platform, d.id) for d in mesh.devices.flat),
             ),
         )
         try:

@@ -523,15 +523,42 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
         J0 = ipack[3 + Rb:3 + 2 * Rb]
         I0len, J0len, maxrank = ipack[0], ipack[1], ipack[2]
         reltol, abstol = tpack[0], tpack[1]
-        LUp, rp, cp, kf, err, newI, newJ, nslabs = alt(
-            A64.astype(jnp.float32), I0, I0len, J0, J0len, maxrank,
-            reltol, abstol,
+        # Dynamic-range guard: a legal f64 input may live entirely outside
+        # f32 range (|x| > ~3.4e38 becomes inf and poisons reltol*maxerror;
+        # |x| < ~1e-38 flushes to 0 and the hunt finds nothing), and even
+        # the f64 completion walk squares pivot magnitudes (reference abs2
+        # pivoting), which under/overflows past ~1e±154. Normalize the
+        # WHOLE program by a power-of-two scale — exact in f64, so in the
+        # ordinary range every pivot decision is bit-identical to the
+        # unscaled computation — run with abstol in the rescaled units
+        # (reltol is scale-invariant), and scale the non-unit factor and
+        # the error estimates back at the end.
+        smax0 = jnp.max(jnp.abs(A64))
+        scale0 = jnp.where(
+            smax0 > 0, jnp.exp2(jnp.round(jnp.log2(
+                jnp.where(smax0 > 0, smax0, 1.0)))), 1.0
         )
+        A64 = A64 / scale0
+        abstol = abstol / scale0
+        LUp, rp, cp, kf, err, newI, newJ, nslabs = alt(
+            A64.astype(jnp.float32), I0, I0len, J0, J0len,
+            maxrank, reltol, abstol,
+        )
+        err = err.astype(jnp.float64)  # rescaled units until the pack
+
+        def _unscale(L_nat, U_nat):
+            # the unit-diagonal factor is scale-invariant; the other one
+            # carries the magnitudes and absorbs scale0
+            if leftorthogonal:
+                return L_nat, U_nat * scale0
+            return L_nat * scale0, U_nat
+
         if hunt_stages == 1:
             L_nat, U_nat, keff, rejerr, Ire, Jre = _assemble_mixed_body(
                 A64, newI.astype(jnp.int32), cp[:Rb].astype(jnp.int32), kf,
                 reltol, abstol, unit_lower=leftorthogonal,
             )
+            L_nat, U_nat = _unscale(L_nat, U_nat)
             # ONE packed f64 buffer (indices are exact in f64 far beyond
             # any real m/n): scalars ++ pivot row ids ++ pivot col ids (in
             # the f64 completion's elimination order — the host completes
@@ -542,8 +569,10 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
             # high-latency link.
             pack = jnp.concatenate([
                 jnp.stack([
-                    keff.astype(jnp.float64), rejerr.astype(jnp.float64),
-                    kf.astype(jnp.float64), err.astype(jnp.float64),
+                    keff.astype(jnp.float64),
+                    rejerr.astype(jnp.float64) * scale0,
+                    kf.astype(jnp.float64),
+                    err.astype(jnp.float64) * scale0,
                     nslabs.astype(jnp.float64),
                 ]),
                 Ire.astype(jnp.float64),
@@ -599,12 +628,15 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
             A64, Icomb, Jcomb, kcomb, reltol, abstol,
             unit_lower=leftorthogonal, maxrank=maxrank,
         )
+        L_nat, U_nat = _unscale(L_nat, U_nat)
         # multi-stage pack: scalars ++ pivot row ids ++ pivot col ids (the
         # host completes both permutations from the id lists)
         pack = jnp.concatenate([
             jnp.stack([
-                keff.astype(jnp.float64), rejerr.astype(jnp.float64),
-                kcomb.astype(jnp.float64), errfin,
+                keff.astype(jnp.float64),
+                rejerr.astype(jnp.float64) * scale0,
+                kcomb.astype(jnp.float64),
+                errfin * scale0,
                 nslabs.astype(jnp.float64),
             ]),
             Ire.astype(jnp.float64),
@@ -671,12 +703,18 @@ def rrlu_rook_device_fused(
     ``_assemble_mixed`` (fixed-order block LU + Gauss-Jordan over the k²
     pivot block, two MXU GEMMs for the completion). TPU has no native f64:
     pivot HUNTING in f32 + f64 completion is the TPU-native shape of this
-    factorization. Rank detection and the ``error`` estimate come from
-    the f64 complete-pivot walk over the chosen pivot block inside the
-    completion (_assemble_mixed_body), so both hold f64 resolution; the
-    f32 hunt's own stop rule saturates at ~1e-7 relative, which only
-    means the hunt may carry extra candidates for the f64 walk to
-    reject. Reconstruction matches the f64 path on every tested spectrum
+    factorization. Rank detection comes from the f64 complete-pivot walk
+    over the chosen pivot block inside the completion
+    (_assemble_mixed_body), so it holds f64 resolution; the ``error``
+    estimate is the f64 walk's first-rejected-pivot magnitude whenever the
+    walk rejects a candidate, and otherwise (every candidate accepted,
+    keff == kf) falls back to the f32 hunt's estimate, which carries only
+    ~1e-7 relative resolution — in that case the factorization is
+    rank-complete up to the hunt's view and the estimate is a loose upper
+    bound, not an f64-sharp residual. The f32 hunt's own stop rule
+    saturating at ~1e-7 relative only means the hunt may carry extra
+    candidates for the f64 walk to reject.
+    Reconstruction matches the f64 path on every tested spectrum
     down to 14 decades (see
     tests/test_lu_device.py::test_rook_fused_nri2_serving_quality).
 
@@ -703,6 +741,16 @@ def rrlu_rook_device_fused(
     m, n = A.shape
     maxrank = int(min(maxrank, m, n))
     Rb = bucket(maxrank)
+    if precision not in ("f64", "mixed"):
+        raise ValueError(
+            f"precision must be 'f64' or 'mixed', got {precision!r}"
+        )
+    if precision == "mixed" and jnp.iscomplexobj(A):
+        raise ValueError(
+            "precision='mixed' requires a real float64 matrix (complex "
+            "inputs run the pair path at full precision; f32 inputs pass "
+            "through the plain-precision path)"
+        )
     mixed = precision == "mixed" and A.dtype == jnp.float64
     hunt_stages = int(hunt_stages)
     if hunt_stages < 1:

@@ -120,9 +120,13 @@ class _Row0:
         return self._ref.dtype
 
     def __getitem__(self, idx):
+        # full-slice access only: element access like row[3] would silently
+        # read/write the whole row — fail loudly instead of misbehaving
+        assert idx == slice(None), f"_Row0 supports [:] access only, got {idx!r}"
         return self._ref[0]
 
     def __setitem__(self, idx, val):
+        assert idx == slice(None), f"_Row0 supports [:] access only, got {idx!r}"
         self._ref[0] = val
 
 

@@ -254,6 +254,54 @@ def test_rook_fused_mixed_precision(rng, leftorthogonal):
         assert sorted(lumx.colpermutation.tolist()) == list(range(n))
 
 
+def test_rook_fused_mixed_extreme_scale(rng):
+    """The f32 hunt must survive f64 inputs outside f32 range: |x| > ~3.4e38
+    would round to inf (poisoning reltol*maxerror), |x| < ~1e-38 would flush
+    to zero (hunt finds nothing). The hunt rescales the matrix to O(1)
+    before the cast, so pivot quality is scale-invariant."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    r = 24
+    U = np.linalg.qr(rng.standard_normal((128, r)))[0]
+    V = np.linalg.qr(rng.standard_normal((96, r)))[0]
+    base = (U * np.logspace(0, -6, r)) @ V.T
+    for scale in (1.0, 1e300, 1e30, 1e-30, 1e-250):
+        A = base * scale
+        lu = rrlu_rook_device_fused(A, maxrank=48, reltol=1e-10,
+                                    precision="mixed",
+                                    rng=np.random.default_rng(5))
+        amax = np.abs(A).max()
+        rel = np.abs(np.asarray(lu.left() @ lu.right()) - A).max() / amax
+        assert lu.npivots() >= r - 2, (scale, lu.npivots())
+        assert rel < 1e-9, (scale, rel)
+    # At the very bottom of f64 range the factor entries themselves fall
+    # into subnormal territory (< 2.2e-308), which XLA flushes to zero —
+    # an f64 representability limit, not an algorithm property. The guard
+    # must still find the full rank and degrade gracefully.
+    A = base * 1e-300
+    lu = rrlu_rook_device_fused(A, maxrank=48, reltol=1e-10,
+                                precision="mixed",
+                                rng=np.random.default_rng(5))
+    rel = np.abs(
+        np.asarray(lu.left() @ lu.right()) - A
+    ).max() / np.abs(A).max()
+    assert lu.npivots() >= r - 2, lu.npivots()
+    assert rel < 1e-5, rel
+
+
+def test_rook_fused_precision_validation(rng):
+    """Unknown precision strings and mixed-on-complex raise instead of
+    silently running the plain-precision path."""
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    A = rng.standard_normal((32, 32))
+    with pytest.raises(ValueError, match="precision"):
+        rrlu_rook_device_fused(A, maxrank=8, precision="Mixed")
+    with pytest.raises(ValueError, match="mixed"):
+        rrlu_rook_device_fused(A.astype(np.complex128), maxrank=8,
+                               precision="mixed")
+
+
 def test_rook_fused_mixed_f32_input_passthrough(rng):
     """precision="mixed" on an f32 input degrades to the plain f32 path
     (nothing to mix); result must equal precision="f64" on the same rng."""
