@@ -29,11 +29,14 @@ wall is reported in detail.cold_wall_s for transparency.
 
 After config 1, the remaining BASELINE configs (2: rrLU 4096², 3: quantics
 R=40, 4: 10-D GK integration, 5: complex Feynman-type) run in-process on
-the same chip grant (their JSON lines are captured into
-detail.other_configs), gated by a total time budget so the headline line
+the same chip grant, gated by a total time budget so the headline line
 always prints.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Output contract (the driver tail-captures only the last ~2KB): the FULL
+detail payload is written to bench_detail.json and printed as an early
+stdout line; the LAST line is one COMPACT JSON object — the config-1
+headline {"metric", "value", "unit", "vs_baseline"} plus each other
+config's headline quadruple under "detail", nothing bulkier.
 """
 
 import io
@@ -323,48 +326,98 @@ def main():
     else:
         other = _other_configs()
 
-    print(
-        json.dumps(
-            {
-                "metric": "tci2_8d_lorentzian_fevals_per_sec",
-                "value": round(rate, 1),
-                "unit": "evals/s",
-                "vs_baseline": round(rate / base_rate, 3),
-                "detail": {
-                    # Baseline caveat (BASELINE.md "Measured baselines"):
-                    # vs_baseline compares against the Python scalar
-                    # sampling loop; detail.compiled_anchor holds the
-                    # MEASURED compiled-scalar (C, gcc -O3) ceiling that
-                    # upper-bounds single-node Julia.
-                    "baseline_kind": "python-scalar-proxy",
-                    "compiled_anchor": anchor,
-                    "panel_sampling": panel,
-                    "rook_tier": rook,
-                    "dispatch_floor_s": dispatch_floor_s,
-                    "rank": int(tciobj.rank()),
-                    "wall_s": round(wall, 3),
-                    "wall_s_reps": [round(w, 3) for w in walls],
-                    "cold_wall_s": round(cold_wall, 3),
-                    "nevals": int(nevals),
-                    "final_error": float(errors[-1]),
-                    "baseline_scalar_evals_per_sec": round(base_rate, 1),
-                    "device": str(jax.devices()[0]),
-                    "other_configs": other,
-                    **(
-                        {
-                            "tpu_fallback": (
-                                "TPU backend init wedged (tunnel outage); "
-                                "measured on host CPU instead — see "
-                                "docs/STATUS.md for the on-chip numbers"
-                            )
-                        }
-                        if "--cpu-fallback" in sys.argv
-                        else {}
-                    ),
-                },
+    full = {
+        "metric": "tci2_8d_lorentzian_fevals_per_sec",
+        "value": round(rate, 1),
+        "unit": "evals/s",
+        "vs_baseline": round(rate / base_rate, 3),
+        "detail": {
+            # Baseline caveat (BASELINE.md "Measured baselines"):
+            # vs_baseline compares against the Python scalar
+            # sampling loop; detail.compiled_anchor holds the
+            # MEASURED compiled-scalar (C, gcc -O3) ceiling that
+            # upper-bounds single-node Julia.
+            "baseline_kind": "python-scalar-proxy",
+            "compiled_anchor": anchor,
+            "panel_sampling": panel,
+            "rook_tier": rook,
+            "dispatch_floor_s": dispatch_floor_s,
+            "rank": int(tciobj.rank()),
+            "wall_s": round(wall, 3),
+            "wall_s_reps": [round(w, 3) for w in walls],
+            "cold_wall_s": round(cold_wall, 3),
+            "nevals": int(nevals),
+            "final_error": float(errors[-1]),
+            "baseline_scalar_evals_per_sec": round(base_rate, 1),
+            "device": str(jax.devices()[0]),
+            "other_configs": other,
+            **(
+                {
+                    "tpu_fallback": (
+                        "TPU backend init wedged (tunnel outage); "
+                        "measured on host CPU instead — see "
+                        "docs/STATUS.md for the on-chip numbers"
+                    )
+                }
+                if "--cpu-fallback" in sys.argv
+                else {}
+            ),
+        },
+    }
+
+    # FULL payload first: to disk and as an early stdout line. The driver
+    # tail-captures only the last ~2KB of stdout — round 4 lost the
+    # config-1 headline entirely by making the final line carry every
+    # config's detail (BENCH_r04.json parsed: null).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        detail_path = None
+    print(json.dumps(full), flush=True)
+
+    def _headline(entry):
+        """Compact quadruple for the final line; short marker otherwise."""
+        if not isinstance(entry, dict):
+            return {"error": str(entry)[:60]}
+        if all(k in entry for k in ("metric", "value", "unit")):
+            return {
+                "metric": entry["metric"],
+                "value": entry["value"],
+                "unit": entry["unit"],
+                "vs_baseline": entry.get("vs_baseline"),
             }
-        )
-    )
+        return {
+            k: str(v)[:80]
+            for k, v in entry.items()
+            if k in ("skipped", "error")
+        } or {"error": "no headline"}
+
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "vs_baseline": full["vs_baseline"],
+        "detail": {
+            "wall_s": round(wall, 3),
+            "rank": int(tciobj.rank()),
+            "nevals": int(nevals),
+            "multiple_vs_compiled_anchor": anchor.get(
+                "multiple_vs_compiled_inline"),
+            **(
+                {
+                    name: _headline(entry)
+                    for name, entry in other.items()
+                }
+                if isinstance(other, dict) and "skipped" not in other
+                else {"other_configs": str(other)[:120]}
+            ),
+            "full_detail": "bench_detail.json (also printed above)",
+        },
+    }
+    print(json.dumps(compact))
 
 
 def _cpu_fallback_and_exit():

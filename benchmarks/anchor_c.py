@@ -110,6 +110,44 @@ double sample_inline(const int32_t *Iset, int64_t nI, int64_t len_l,
     return acc;
 }
 
+/* Parametric-cost integrand: the same Lorentzian modulated by an
+   nterms-term sine series. nterms is a RUNTIME loop bound so one build
+   sweeps the whole per-sample-cost axis (the crossover study); gcc -O3
+   still keeps the inner loop in registers, and each term pays a real
+   libm sin() call — the honest scalar cost of a physics integrand. */
+static double lorentz8_exp_t(const int32_t *idx, int64_t nterms) {
+    double s = 0.0;
+    for (int k = 0; k < 8; ++k) {
+        double v = (double)idx[k] + 1.0;
+        s += v * v;
+    }
+    double w = 0.0;
+    for (int64_t k = 1; k <= nterms; ++k) {
+        w += __builtin_sin(s * (double)k / (double)nterms + (double)k)
+             / ((double)k + 1.0);
+    }
+    return (1.0 + 0.1 * w) / (1.0 + s);
+}
+
+double sample_inline_exp_t(const int32_t *Iset, int64_t nI, int64_t len_l,
+                           const int32_t *Jset, int64_t nJ, int64_t len_r,
+                           int64_t d, int64_t nterms) {
+    double acc = 0.0;
+    int32_t idx[8];
+    for (int64_t a = 0; a < nI; ++a) {
+        for (int64_t k = 0; k < len_l; ++k) idx[k] = Iset[a * len_l + k];
+        for (int64_t c = 0; c < d; ++c) {
+            idx[len_l] = (int32_t)c;
+            for (int64_t b = 0; b < nJ; ++b) {
+                for (int64_t k = 0; k < len_r; ++k)
+                    idx[len_l + 1 + k] = Jset[b * len_r + k];
+                acc += lorentz8_exp_t(idx, nterms);
+            }
+        }
+    }
+    return acc;
+}
+
 double sample_fptr(const int32_t *Iset, int64_t nI, int64_t len_l,
                    const int32_t *Jset, int64_t nJ, int64_t len_r,
                    int64_t d, fptr_t f) {
@@ -149,15 +187,52 @@ def _build():
     )
     lib = ctypes.CDLL(so)
     i32p = ctypes.POINTER(ctypes.c_int32)
-    for name in ("sample_inline", "sample_fptr", "sample_inline_exp"):
+    for name in ("sample_inline", "sample_fptr", "sample_inline_exp",
+                 "sample_inline_exp_t"):
         fn = getattr(lib, name)
         fn.restype = ctypes.c_double
         fn.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_int64,
             i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-        ] + ([ctypes.c_void_p] if name == "sample_fptr" else [])
+        ] + ([ctypes.c_void_p] if name == "sample_fptr" else []) + (
+            [ctypes.c_int64] if name == "sample_inline_exp_t" else [])
     _LIB = lib
     return lib
+
+
+def measure_expensive_t(nterms: int, n_target: int = 2_000_000,
+                        reps: int = 3):
+    """Compiled-scalar evals/s for the nterms-term expensive integrand
+    (crossover study's C side; same panel shape as measure())."""
+    import numpy as np
+
+    lib = _build()
+    nI, nJ, dd = 40, 50, 10
+    Iset = np.ascontiguousarray(
+        np.array([[i % 10, (i // 10) % 10, i % 7] for i in range(nI)],
+                 dtype=np.int32))
+    Jset = np.ascontiguousarray(
+        np.array([[i % 10, i % 3, i % 5, i % 2] for i in range(nJ)],
+                 dtype=np.int32))
+    per_call = nI * dd * nJ
+    # scale the loop count down as the integrand gets pricier, bounded
+    # below so timing noise stays small
+    loops = max(1, min(n_target // per_call,
+                       int(64_000_000 / (per_call * max(nterms, 1)))))
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    args = (Iset.ctypes.data_as(i32p), nI, 3,
+            Jset.ctypes.data_as(i32p), nJ, 4, dd, nterms)
+    lib.sample_inline_exp_t(*args)  # warm-up
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        acc = 0.0
+        for _ in range(loops):
+            acc += lib.sample_inline_exp_t(*args)
+        dt = time.perf_counter() - t0
+        assert acc != 0.0
+        rates.append(loops * per_call / dt)
+    return float(np.median(rates))
 
 
 def measure(n_target: int = 4_000_000, reps: int = 3):

@@ -52,6 +52,10 @@ from .ops.ci import MatrixCI, AtimesBinv, AinvtimesB, matrix_crossinterpolate  #
 from .ops.aca import MatrixACA  # noqa: E402
 from .ops.luci import MatrixLUCI  # noqa: E402
 from .ops.factorize import factorize  # noqa: E402
+from .ops.lu_device import (  # noqa: E402
+    DeviceRRLU,
+    rrlu_rook_device_fused as rrlu_serving,
+)
 from .ops.lu_sharded import rrlu_sharded  # noqa: E402
 from .ops.kronrod import kronrod  # noqa: E402
 from .parallel.batcheval import (  # noqa: E402
@@ -109,7 +113,8 @@ __all__ = [
     "pushrandomsubset", "optfirstpivot", "replacenothing", "projector_to_slice",
     "IndexSet", "isnested", "forwardsweep",
     # L1 matrix engines
-    "rrLU", "rrlu", "rrlu_sharded", "arrlu", "submatrixargmax",
+    "rrLU", "rrlu", "rrlu_sharded", "rrlu_serving", "DeviceRRLU", "arrlu",
+    "submatrixargmax",
     "cols2Lmatrix", "rows2Umatrix",
     "lu_solve", "MatrixCI", "AtimesBinv", "AinvtimesB", "matrix_crossinterpolate",
     "MatrixACA", "MatrixLUCI", "factorize", "kronrod",

@@ -560,18 +560,43 @@ class TensorCI2(AbstractTensorTrain):
                 self._rook_tier_warned = True
             if sampler is not None:
                 # Device rook tier: materialize the Π panel with ONE device
-                # program (cheap for a jax-traceable integrand), then run the
-                # arrlu slab iteration against the device-resident panel
-                # (ops/lu_device.py) — no per-slab host sampling round trips
+                # program (cheap for a jax-traceable integrand), then run
+                # the whole arrlu slab alternation + factor completion as
+                # ONE further XLA dispatch (ops/lu_device.py fused serving
+                # rook — f32 pivot hunt + f64 completion for f64 panels,
+                # the config-2 headline path). Slab width starts near the
+                # continuation rank and doubles on a rank-capped result,
+                # playing the reference's widen-and-retry loop
+                # (matrixlu.jl:512-548) at one dispatch per round.
                 # (reference arrlu: matrixlu.jl:492-569).
-                from ..ops.lu_device import rrlu_rook_device
+                from ..ops.lu_device import rrlu_rook_device_fused
 
                 Pi_dev, maxsample = sampler.sample(Icombined, Jcombined)
-                lu = rrlu_rook_device(
-                    Pi_dev, I0=I0, J0=J0, maxrank=maxbonddim,
-                    reltol=reltol, abstol=abstol,
-                    leftorthogonal=leftorthogonal,
-                )
+                m_p, n_p = Pi_dev.shape
+                cap = int(min(maxbonddim, m_p, n_p))
+                mixed = Pi_dev.dtype == np.float64
+                # hunt resolution: one deflated re-hunt stage when the
+                # requested tolerance is below what f32 can see
+                deep = (0 < reltol < 1e-6) or (abstol > 0)
+                width = min(cap, max(16, 2 * max(len(I0), len(J0), 1)))
+                rng = getattr(self, "rng", None) or np.random.default_rng()
+                wI0, wJ0 = I0, J0
+                while True:
+                    dev = rrlu_rook_device_fused(
+                        Pi_dev, maxrank=width, reltol=reltol,
+                        abstol=abstol, leftorthogonal=leftorthogonal,
+                        rng=rng, I0=wI0, J0=wJ0,
+                        precision="mixed" if mixed else "f64",
+                        hunt_stages=2 if (mixed and deep) else 1,
+                    )
+                    if dev.npivots() < width or width >= cap:
+                        break
+                    # rank-capped below the true cap: widen, warm-started
+                    # from the pivots just found
+                    wI0 = [int(i) for i in dev.rowindices()]
+                    wJ0 = [int(j) for j in dev.colindices()]
+                    width = min(cap, 2 * width)
+                lu = dev.to_rrlu()
                 luci = MatrixLUCI(lu=lu)
                 self.updatemaxsample(np.asarray([maxsample]))
             else:
@@ -913,6 +938,10 @@ class TensorCI2(AbstractTensorTrain):
 
         if rng is None:
             rng = np.random.default_rng()
+        # visible to updatepivots' device rook tier (start-set fills), so a
+        # caller-provided rng makes whole-optimization trajectories
+        # reproducible
+        self.rng = rng
 
         tstart = time.time()
         finder = globalpivotfinder or DefaultGlobalPivotFinder(

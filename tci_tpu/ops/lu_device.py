@@ -83,6 +83,19 @@ def _pad_idx(idx, size: int) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+def _fit_to(x, size: int):
+    """Trace-time pad/trim of a 1-D array to a static length (panels
+    narrower than the slab bucket Rb otherwise break the alternation's
+    static shapes)."""
+    if x.shape[0] == size:
+        return x
+    if x.shape[0] > size:
+        return x[:size]
+    return jnp.concatenate(
+        [x, jnp.zeros((size - x.shape[0],), x.dtype)]
+    )
+
+
 class DeviceRRLU:
     """rrLU result whose factors stay on device (serving path: the factors
     feed downstream device ops; materializing them on the host would pay
@@ -370,8 +383,8 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
         LUp, rp, cp, k, mags, err = _rrlu_state_fused(
             slab, I0len, jnp.int32(N), mr, reltol, abstol, leftorthogonal
         )
-        newI = jnp.where(valid, jnp.take(I0, rp[:Rb]), 0)
-        newJ = jnp.where(valid, cp[:Rb], 0)
+        newI = jnp.where(valid, jnp.take(I0, _fit_to(rp, Rb)), 0)
+        newJ = jnp.where(valid, _fit_to(cp, Rb), 0)
         smin = jnp.minimum(I0len, jnp.int32(N))
         return newI, k, newJ, k, k, err, smin, LUp, rp, cp
 
@@ -383,8 +396,8 @@ def _make_rook_alternation(M: int, N: int, Rb: int, numrookiter: int,
         LUp, rp, cp, k, mags, err = _rrlu_state_fused(
             slab, jnp.int32(M), J0len, mr, reltol, abstol, leftorthogonal
         )
-        newI = jnp.where(valid, rp[:Rb], 0)
-        newJ = jnp.where(valid, jnp.take(J0, cp[:Rb]), 0)
+        newI = jnp.where(valid, _fit_to(rp, Rb), 0)
+        newJ = jnp.where(valid, jnp.take(J0, _fit_to(cp, Rb)), 0)
         smin = jnp.minimum(jnp.int32(M), J0len)
         return newI, k, newJ, k, k, err, smin
 
@@ -555,7 +568,8 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
 
         if hunt_stages == 1:
             L_nat, U_nat, keff, rejerr, Ire, Jre = _assemble_mixed_body(
-                A64, newI.astype(jnp.int32), cp[:Rb].astype(jnp.int32), kf,
+                A64, newI.astype(jnp.int32),
+                _fit_to(cp, Rb).astype(jnp.int32), kf,
                 reltol, abstol, unit_lower=leftorthogonal,
             )
             L_nat, U_nat = _unscale(L_nat, U_nat)
@@ -584,7 +598,7 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
         Icomb = jnp.zeros((C,), jnp.int32).at[:Rb].set(
             newI.astype(jnp.int32))
         Jcomb = jnp.zeros((C,), jnp.int32).at[:Rb].set(
-            cp[:Rb].astype(jnp.int32))
+            _fit_to(cp, Rb).astype(jnp.int32))
         kcomb = kf
         errfin = err.astype(jnp.float64)
         for s in range(1, hunt_stages):
@@ -617,7 +631,7 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
             i2e = jnp.zeros((C,), jnp.int32).at[:Rb].set(
                 newI2.astype(jnp.int32))
             j2e = jnp.zeros((C,), jnp.int32).at[:Rb].set(
-                cp2[:Rb].astype(jnp.int32))
+                _fit_to(cp2, Rb).astype(jnp.int32))
             tail = jnp.clip(jj - keff1, 0, C - 1)
             Icomb = jnp.where(jj < keff1, Icomb, jnp.take(i2e, tail))
             Jcomb = jnp.where(jj < keff1, Jcomb, jnp.take(j2e, tail))
@@ -680,6 +694,8 @@ def rrlu_rook_device_fused(
     precision: str = "f64",
     defer: bool = False,
     hunt_stages: int = 1,
+    I0=(),
+    J0=(),
 ):
     """One-dispatch adaptive rook rrLU of a device-resident matrix.
 
@@ -689,10 +705,15 @@ def rrlu_rook_device_fused(
     trips per slab otherwise dominate: measured ~29 ms each over the
     development tunnel vs tens of ms of total slab compute at 4096²).
 
-    The start set is the full slab width (maxrank random distinct columns
-    for leftorthogonal, rows otherwise), which collapses the reference's
-    outer widen-and-retry loop (matrixlu.jl:512-548) into a single round —
-    the same design as the whole-sweep rook (models/device_sweep).
+    The start set is the full slab width (maxrank distinct columns for
+    leftorthogonal, rows otherwise — caller-provided I0/J0 pivot
+    continuations first, random fills after), which collapses the
+    reference's outer widen-and-retry loop (matrixlu.jl:512-548) into a
+    single round — the same design as the whole-sweep rook
+    (models/device_sweep). NOTE maxrank is therefore also the slab width:
+    callers with an effectively unbounded rank cap should pick a start
+    width near the expected rank and re-call wider on k == maxrank
+    (rank-capped), as tensorci2.updatepivots does.
     Factors stay on device (DeviceRRLU); only the k×k pivot block and the
     index lists cross to the host for the triangular inversion + assembly.
 
@@ -779,6 +800,28 @@ def rrlu_rook_device_fused(
     # f64 upload ([reltol, abstol]): separate jitted-call arguments each
     # pay the link's per-transfer latency, which rivals the factorization
     # wall at serving batch sizes.
+    #
+    # Warm starts: caller-provided J0 (leftorthogonal) / I0 (otherwise) —
+    # pivot continuation from a previous factorization, the reference's
+    # arrlu I0/J0 arguments (matrixlu.jl:492) — seed the first widened
+    # start set; the remaining slots are filled with random distinct
+    # indices up to the full slab width. (For leftorthogonal the first
+    # rook move eliminates the column slab A[:, J0], which replaces I0
+    # wholesale, so only the J side is seeded — and vice versa.)
+    def _widened_start(seed_idx, limit):
+        seed = list(dict.fromkeys(int(i) for i in seed_idx))[:maxrank]
+        if len(seed) < maxrank:
+            pool = np.setdiff1d(
+                np.arange(limit, dtype=np.int64),
+                np.asarray(seed, dtype=np.int64),
+                assume_unique=True,
+            )
+            extra = rng.choice(pool, size=maxrank - len(seed),
+                               replace=False)
+            seed = np.concatenate(
+                [np.asarray(seed, dtype=np.int64), extra])
+        return np.asarray(seed, dtype=np.int64)
+
     nsets = 2 * (hunt_stages if mixed else 1)
     ipack = np.zeros((3 + nsets * Rb,), dtype=np.int32)
     ipack[2] = maxrank
@@ -786,14 +829,18 @@ def rrlu_rook_device_fused(
         ipack[1] = maxrank  # J0len
         for s in range(hunt_stages if mixed else 1):
             lo = 3 + (2 * s + 1) * Rb
-            ipack[lo:lo + maxrank] = rng.choice(
-                n, size=maxrank, replace=False)
+            ipack[lo:lo + maxrank] = (
+                _widened_start(J0, n) if s == 0
+                else rng.choice(n, size=maxrank, replace=False)
+            )
     else:
         ipack[0] = maxrank  # I0len
         for s in range(hunt_stages if mixed else 1):
             lo = 3 + 2 * s * Rb
-            ipack[lo:lo + maxrank] = rng.choice(
-                m, size=maxrank, replace=False)
+            ipack[lo:lo + maxrank] = (
+                _widened_start(I0, m) if s == 0
+                else rng.choice(m, size=maxrank, replace=False)
+            )
 
     run_args = (
         A, jnp.asarray(ipack),

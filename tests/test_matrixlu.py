@@ -263,3 +263,81 @@ class TestEliminationEdgeCases:
         LU = np.asarray(out[0])
         assert k == 1
         assert np.all(np.isfinite(LU))
+
+
+class TestRrluRookPublicAPI:
+    """rrlu(pivotsearch='rook'): the fused serving rook (arrlu,
+    matrixlu.jl:492-569 / :593-611) through the public host-facing API."""
+
+    def test_rook_matches_full_rank_and_reconstructs(self, rng):
+        import tci_tpu as tci
+
+        A = rng.standard_normal((300, 48)) @ rng.standard_normal((48, 240))
+        full = tci.rrlu(A, reltol=1e-12)
+        rook = tci.rrlu(A, maxrank=96, reltol=1e-12, pivotsearch="rook",
+                        rng=np.random.default_rng(3))
+        assert rook.npivot == full.npivot == 48
+        amax = np.abs(A).max()
+        assert np.abs(rook.left() @ rook.right() - A).max() < 1e-9 * amax
+        # host rrLU contract: triangular factors, true permutations
+        k = rook.npivot
+        assert np.allclose(np.triu(rook.L[:k, :k], 1), 0)
+        assert np.allclose(np.diagonal(rook.L[:k, :k]), 1.0)
+        assert sorted(rook.rowpermutation.tolist()) == list(range(300))
+
+    def test_rook_mixed_precision_through_public_api(self, rng):
+        import tci_tpu as tci
+
+        r = 20
+        A = (rng.standard_normal((256, r)) * np.logspace(0, -9, r)) \
+            @ rng.standard_normal((r, 200))
+        rook = tci.rrlu(A, maxrank=64, reltol=1e-11, pivotsearch="rook",
+                        precision="mixed", rng=np.random.default_rng(5))
+        amax = np.abs(A).max()
+        rel = np.abs(rook.left() @ rook.right() - A).max() / amax
+        assert rook.npivot == r
+        assert rel < 1e-9, rel
+
+    def test_rook_complex_passthrough(self, rng):
+        import tci_tpu as tci
+
+        r = 12
+        A = (rng.standard_normal((96, r)) + 1j * rng.standard_normal((96, r))) \
+            @ (rng.standard_normal((r, 80)) + 1j * rng.standard_normal((r, 80)))
+        rook = tci.rrlu(A, maxrank=32, reltol=1e-11, pivotsearch="rook",
+                        precision="mixed", rng=np.random.default_rng(7))
+        amax = np.abs(A).max()
+        assert rook.npivot == r
+        assert np.abs(rook.left() @ rook.right() - A).max() < 1e-9 * amax
+
+    def test_rook_rejects_mesh_and_unknown_search(self, rng):
+        import pytest
+
+        import tci_tpu as tci
+
+        A = rng.standard_normal((16, 16))
+        with pytest.raises(ValueError, match="single-device"):
+            tci.rrlu(A, pivotsearch="rook", mesh=object())
+        with pytest.raises(ValueError, match="pivot search"):
+            tci.rrlu(A, pivotsearch="banana")
+
+    def test_rrlu_serving_export(self, rng):
+        """rrlu_serving is the exported device-resident serving entry
+        (DeviceRRLU factors stay on device; defer= pipelines batches)."""
+        import tci_tpu as tci
+
+        A = rng.standard_normal((128, 16)) @ rng.standard_normal((16, 96))
+        pend = [
+            tci.rrlu_serving(A, maxrank=32, reltol=1e-12, defer=True,
+                             precision="mixed",
+                             rng=np.random.default_rng(11 + i))
+            for i in range(3)
+        ]
+        for p in pend:
+            lu = p.result()
+            assert isinstance(lu, tci.DeviceRRLU)
+            assert lu.npivots() == 16
+            amax = np.abs(A).max()
+            assert np.abs(
+                np.asarray(lu.left() @ lu.right()) - A
+            ).max() < 1e-9 * amax
