@@ -114,6 +114,28 @@ def run(n_devices: int) -> None:
     for a, b in zip(tt1.sitetensors(), ttm.sitetensors()):
         assert np.array_equal(a, b), "mesh compression diverged bitwise"
 
+    # Serving rook (the config-2 headline path): a deferred mixed-precision
+    # fused factorization executed while the mesh is live. The program is
+    # single-device BY DESIGN (one slab alternation fits one chip; scaling
+    # is by factorizing independent panels in parallel, not by sharding one
+    # panel — docs/ARCHITECTURE.md), so this checks it runs correctly on
+    # the mesh's default device alongside mesh-sharded work and that the
+    # deferred handle round-trips.
+    from tci_tpu.ops.lu_device import rrlu_rook_device_fused
+
+    srv_A = rng.standard_normal((128, 12)) @ rng.standard_normal((12, 96))
+    pend = rrlu_rook_device_fused(
+        srv_A, maxrank=24, reltol=1e-11, rng=np.random.default_rng(3),
+        precision="mixed", defer=True,
+    )
+    srv = pend.result()
+    srv_rel = float(
+        np.abs(np.asarray(srv.left() @ srv.right()) - srv_A).max()
+        / np.abs(srv_A).max()
+    )
+    assert srv.npivots() == 12, f"serving rook rank {srv.npivots()} != 12"
+    assert srv_rel < 1e-9, f"serving rook recon {srv_rel}"
+
     # Mesh-sharded GK integration (integration.jl:68-161): the quadrature
     # over the mesh must match the single-device trajectory exactly.
     from tci_tpu.models.integration import integrate
@@ -139,6 +161,8 @@ def run(n_devices: int) -> None:
         f"nevals={bf.nevals}, tp_rrlu_rank={s[3]} (bit-parity ok), "
         f"mesh_contraction_linkdims={cm.linkdims()} (bitwise ok), "
         f"mesh_compress_linkdims={ttm.linkdims()} (bitwise ok), "
+        f"serving_rook_rank={srv.npivots()} (deferred mixed, recon "
+        f"{srv_rel:.1e}), "
         f"mesh_integration={vim:.12f} (single-device match ok)"
     )
 
