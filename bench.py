@@ -320,6 +320,22 @@ def main():
     else:
         rook = {"skipped": "time budget"}
 
+    # --- batched-vs-compiled crossover (VERDICT r4 item 3) -----------------
+    # Sweep per-sample integrand cost through BOTH the C scalar anchor and
+    # the device panel sampler; report where the device passes 1x and 10x
+    # compiled-inline. Completes the config-1 story: free integrands favor
+    # the compiled scalar loop, expensive ones the batched device panel.
+    crossover = {}
+    if _remaining() > 420 and "--cpu-fallback" not in sys.argv:
+        try:
+            import bench_crossover
+
+            crossover = bench_crossover.measure(budget_s=300.0)
+        except Exception as e:  # noqa: BLE001
+            crossover = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        crossover = {"skipped": "time budget / cpu fallback"}
+
     # --- configs 2-5 on the same chip grant -------------------------------
     if "--config1-only" in sys.argv or "--cpu-fallback" in sys.argv:
         other = {"skipped": "--config1-only / cpu fallback"}
@@ -340,6 +356,7 @@ def main():
             "baseline_kind": "python-scalar-proxy",
             "compiled_anchor": anchor,
             "panel_sampling": panel,
+            "crossover_vs_compiled": crossover,
             "rook_tier": rook,
             "dispatch_floor_s": dispatch_floor_s,
             "rank": int(tciobj.rank()),
@@ -406,6 +423,13 @@ def main():
             "nevals": int(nevals),
             "multiple_vs_compiled_anchor": anchor.get(
                 "multiple_vs_compiled_inline"),
+            **(
+                {"crossover_1x_nterms": crossover.get("crossover_1x_nterms"),
+                 "crossover_10x_nterms": crossover.get(
+                     "crossover_10x_nterms")}
+                if isinstance(crossover, dict) and "rows" in crossover
+                else {}
+            ),
             **(
                 {
                     name: _headline(entry)

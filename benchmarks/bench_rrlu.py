@@ -333,6 +333,13 @@ def main(N: int = 4096, rank: int = 256, tol: float = 1e-10):
                 "unit": "GFLOP/s",
                 "vs_baseline": round(cpu_wall / wall_p2, 3),
                 "detail": {
+                    "headline_scope": (
+                        "SERVING pattern: numrookiter=2, deferred batch "
+                        "of 4 (link latency amortized per batch); the "
+                        "single synchronous factorization is "
+                        "detail.rook_mixed — its gap to the roofline is "
+                        "the dev tunnel's per-dispatch latency"
+                    ),
                     "rook": {
                         "effective_gflops": round(gflops_rook, 2),
                         "npivots": int(r_rook),

@@ -216,6 +216,7 @@ def test_device_tci_contraction_matches_host(rng):
     assert np.allclose(fulltensor(dev), exact, atol=1e-7 * np.abs(exact).max())
 
 
+@pytest.mark.slow
 def test_device_tci_contraction_mps(rng):
     B = _lowrank_mpo(rng, 4, 5, 3, 2, 2)
     mps = TensorTrain(
@@ -340,6 +341,7 @@ def test_product_evaluator_pair_postmap(rng):
     assert abs(complex(got[0], got[1]) - want) < 1e-12
 
 
+@pytest.mark.slow
 def test_device_tci_contraction_complex_pair(monkeypatch, rng):
     """End-to-end contract(..., algorithm='TCI', jax_native=True) on a
     complex-free backend: platform_supports_complex is forced False, so the

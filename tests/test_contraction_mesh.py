@@ -116,6 +116,7 @@ def test_zipup_mesh_complex_pair(rng, mesh):
     assert np.allclose(fh, fs, atol=1e-9 * np.abs(fh).max())
 
 
+@pytest.mark.slow
 def test_tci_mesh_matches_single_device(rng, mesh):
     A = _rand_mpo(rng, 4, 3, 2, 2)
     B = _rand_mpo(rng, 4, 3, 2, 2)

@@ -53,6 +53,7 @@ def test_device_engine_equals_generic():
     assert bf.nevals > 0
 
 
+@pytest.mark.slow
 def test_device_engine_complex():
     localdims = [3] * 4
     bg = JaxBatchEvaluator(_gjax, localdims, dtype=np.complex128)
@@ -515,6 +516,7 @@ def test_sweep_pair_equals_per_sweep(strictlynested):
         assert np.allclose(a, b, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_sweep_pair_rook_parity():
     """Pair program with rook: identical RNG seeding must give identical
     results to two sequential rook sweeps (the pair draws its two seeds
@@ -599,6 +601,7 @@ def test_fused_search_matches_host_finder():
     assert dev == host
 
 
+@pytest.mark.slow
 def test_fused_search_complex_pair():
     """Same in-program search parity for a complex integrand carried as
     (re, im) pairs."""
@@ -764,6 +767,7 @@ def test_optimize_loop_equals_per_iteration(strictlynested):
     )
 
 
+@pytest.mark.slow
 def test_optimize_loop_global_pivot_exit():
     """When the in-loop search finds global pivots, the loop exits to the
     host for insertion and re-enters; the whole trajectory (incl. the
@@ -795,6 +799,7 @@ def test_optimize_loop_global_pivot_exit():
     assert sum(t1.stats["nglobalpivots"]) > 0  # pivots actually fired
 
 
+@pytest.mark.slow
 def test_optimize_loop_capacity_growth():
     """Saturation inside the device loop exits with the saturated
     iteration discarded; the host grows the buffer and re-enters with the
@@ -818,6 +823,7 @@ def test_optimize_loop_capacity_growth():
     assert im1 > 2
 
 
+@pytest.mark.slow
 def test_optimize_loop_complex_pair():
     import jax.numpy as jnp
 
@@ -932,6 +938,7 @@ def test_fuzz_engine_vs_host_random_configs():
         assert np.allclose(ft1, ft2, atol=1e-8), cfg
 
 
+@pytest.mark.slow
 def test_whole_sweep_rook_complex_pair():
     """pivotsearch='rook' with a pair-valued (complex) evaluator runs the
     pair-capable SCAN rook body (the only rook variant with (re, im) slab

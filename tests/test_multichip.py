@@ -110,6 +110,7 @@ def test_rook_on_mesh_matches_single_device():
     assert abs(t8(pt) - t1(pt)) < 1e-12
 
 
+@pytest.mark.slow
 def test_floatingzone_on_mesh_matches_single_device():
     """estimatetrueerror's whole-search device program carries the mesh
     sharding constraint on its candidate-row axis: the mesh-sharded search
@@ -194,6 +195,7 @@ def test_tt_evaluate_sharded_matches_single_device(rng):
     out = tt_evaluate_batched_jit(cores_r, idx_p)
     assert len(out.sharding.device_set) == n
 
+@pytest.mark.slow
 def test_integrate_on_mesh_matches_single_device():
     """integrate(jax_native=True, mesh=) shards the GK panel sampling over
     the mesh and must agree with the single-device result (same pivot

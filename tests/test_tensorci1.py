@@ -52,7 +52,8 @@ def test_trivial_mps():
         assert np.array_equal(t.Pi[i], np.ones((2, 2)))
 
 
-@pytest.mark.parametrize("coeff", [1.0, 1.0j])
+@pytest.mark.parametrize(
+    "coeff", [1.0, pytest.param(1.0j, marks=pytest.mark.slow)])
 def test_lorentz_mps(coeff):
     n = 5
     # 0-based indices shifted so values match the reference's 1-based grid
