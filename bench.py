@@ -320,27 +320,31 @@ def main():
     else:
         rook = {"skipped": "time budget"}
 
-    # --- batched-vs-compiled crossover (VERDICT r4 item 3) -----------------
-    # Sweep per-sample integrand cost through BOTH the C scalar anchor and
-    # the device panel sampler; report where the device passes 1x and 10x
-    # compiled-inline. Completes the config-1 story: free integrands favor
-    # the compiled scalar loop, expensive ones the batched device panel.
-    crossover = {}
-    if _remaining() > 420 and "--cpu-fallback" not in sys.argv:
-        try:
-            import bench_crossover
-
-            crossover = bench_crossover.measure(budget_s=300.0)
-        except Exception as e:  # noqa: BLE001
-            crossover = {"error": f"{type(e).__name__}: {e}"}
-    else:
-        crossover = {"skipped": "time budget / cpu fallback"}
-
     # --- configs 2-5 on the same chip grant -------------------------------
     if "--config1-only" in sys.argv or "--cpu-fallback" in sys.argv:
         other = {"skipped": "--config1-only / cpu fallback"}
     else:
         other = _other_configs()
+
+    # --- batched-vs-compiled crossover (VERDICT r4 item 3) -----------------
+    # Sweep per-sample integrand cost through BOTH the C scalar anchor and
+    # the device panel sampler; report where the device passes 1x and 10x
+    # compiled-inline. Completes the config-1 story: free integrands favor
+    # the compiled scalar loop, expensive ones the batched device panel.
+    # Runs AFTER configs 2-5 (they keep budget priority); the full 5-point
+    # sweep lives in benchmarks/bench_crossover.py, measured canonically in
+    # docs/STATUS.md — the in-bench sweep is the 3-point confirmation.
+    crossover = {}
+    if _remaining() > 300 and "--cpu-fallback" not in sys.argv:
+        try:
+            import bench_crossover
+
+            crossover = bench_crossover.measure(
+                terms=(16, 256, 1024), budget_s=min(240.0, _remaining()))
+        except Exception as e:  # noqa: BLE001
+            crossover = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        crossover = {"skipped": "time budget / cpu fallback"}
 
     full = {
         "metric": "tci2_8d_lorentzian_fevals_per_sec",

@@ -21,13 +21,13 @@ import numpy as np
 
 
 def main():
+    from _common import setup_cache
+
+    setup_cache()
     import jax
     import jax.numpy as jnp
 
     from tci_tpu.ops.lu_kernel import _rrlu_state
-
-    # chip-grant warm-up
-    float(jnp.sum(jnp.ones((8, 8))))
 
     run = jax.jit(_rrlu_state, static_argnames=("leftorthogonal",))
     rng = np.random.default_rng(0)
