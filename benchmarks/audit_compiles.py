@@ -42,7 +42,6 @@ class _Capture(logging.Handler):
 
 
 def _run_config(cfg: str):
-    sys.path.insert(0, __file__.rsplit("/", 1)[0])
     if cfg == "1":
         # config-1 optimization loop exactly as bench.py drives it
         import jax.numpy as jnp
@@ -80,6 +79,8 @@ def _run_config(cfg: str):
 
 
 def main():
+    import _common  # noqa: F401  (repo root + benchmarks on sys.path)
+
     cfg = sys.argv[1] if len(sys.argv) > 1 else "1"
     import jax
 

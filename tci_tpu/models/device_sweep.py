@@ -1730,6 +1730,20 @@ class DeviceSweepEngine:
         # then costs O(1) dispatches instead of O(iterations).
         self.use_optimize_loop = True
         self.loop_kmax = 32
+        # Chain length at and above which the full-pivot sweep and fill
+        # use the lax.scan bodies (one traced bond body — compile flat in
+        # L) instead of the unrolled ones (exact static shapes per bond).
+        # Default 6 = the shortest chain where the scan win is MEASURED
+        # on hardware (probe_scan_bodies/probe_scan_config1, 2026-08-19):
+        # config-5 shape (L=6, d=15 pair) cold 58.8 s vs 186.4 s unrolled,
+        # config-1 (L=8, d=10) 54.6 s vs 83.8 s, fault-note shape (L=10,
+        # d=15 pair) 107.9 s vs 1252 s — warm walls at parity or better
+        # and identical convergence in every probe. The old "TPU kernel
+        # fault at d=15, L=10" gate note is refuted (re-probed round 5).
+        # Shorter chains keep the unrolled exact-shape bodies (unmeasured
+        # territory; compile cost is small at L<6 anyway). The rook sweep
+        # is scan-only (see _get_sweep_rook).
+        self.scan_min_L = 6
         self._sweeps = {}
         self.nevals = 0
         self.last_search = None
@@ -1766,7 +1780,7 @@ class DeviceSweepEngine:
             # the dynamic-index assembly in the scan body has triggered TPU
             # kernel faults for large odd local dims (d=15, L=10).
             maker = (
-                _make_sweep_scan if len(self.localdims) >= 16
+                _make_sweep_scan if len(self.localdims) >= self.scan_min_L
                 else _make_sweep
             )
             self._sweeps[key] = maker(
@@ -1909,7 +1923,8 @@ class DeviceSweepEngine:
         key = ("fill", self.Imax)
         if key not in self._sweeps:
             maker = (
-                _make_fillsitetensors_scan if len(self.localdims) >= 16
+                _make_fillsitetensors_scan
+                if len(self.localdims) >= self.scan_min_L
                 else _make_fillsitetensors
             )
             self._sweeps[key] = maker(
@@ -2547,12 +2562,15 @@ class DeviceSweepEngine:
                 self.nevals += self.Imax * self.Imax
 
     def _get_sweep1(self, forward: bool):
+        # scan body by default: the 1-site sweep runs ONCE per optimization
+        # (the post-convergence cleanup, tensorci2.jl:1157-1167), so its
+        # compile wall dominates its runtime — measured on-chip at config-5
+        # shapes (probe_compile_opts, 2026-08-19): unrolled 38.6 s vs scan
+        # 12.2 s to compile, identical results (parity test in
+        # test_device_sweep). The unrolled maker remains for tests/parity.
         key = ("sweep1", forward, self.Imax)
         if key not in self._sweeps:
-            maker = (
-                _make_sweep1site_scan if len(self.localdims) >= 16
-                else _make_sweep1site
-            )
+            maker = _make_sweep1site_scan
             self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward, self._jdtype,
                 pair=self.pair,
