@@ -188,6 +188,65 @@ def test_scan_fill_and_sweep1site_match_unrolled():
             assert np.allclose(np.asarray(ru[i]), np.asarray(rs[i]))
 
 
+def test_scan_2site_sweep_matches_unrolled():
+    """_make_sweep_scan must reproduce _make_sweep bit-for-bit on uniform
+    chains (padding to dmax is then the identity, so the candidate rows —
+    and hence the pivot walk — are in the same order). This is the body
+    the scan_min_L=6 default routes every BASELINE config through."""
+    import jax.numpy as jnp
+
+    from tci_tpu.models.device_sweep import _make_sweep, _make_sweep_scan
+
+    L, Imax = 6, 16
+    localdims = tuple([3] * L)
+    bf = JaxBatchEvaluator(_hjax, list(localdims))
+    t, _, _ = tci.crossinterpolate2(np.float64, bf, list(localdims),
+                                    tolerance=1e-6)
+    assert max(t.linkdims()) <= Imax
+
+    Iset = np.zeros((L, Imax, L), dtype=np.int32)
+    Ilen = np.zeros(L, np.int32)
+    Jset = np.zeros((L, Imax, L), dtype=np.int32)
+    Jlen = np.zeros(L, np.int32)
+    for b in range(L):
+        Ilen[b], Jlen[b] = len(t.Iset[b]), len(t.Jset[b])
+        for r, idx in enumerate(t.Iset[b]):
+            if idx:
+                Iset[b, r, : len(idx)] = idx
+        for r, idx in enumerate(t.Jset[b]):
+            if idx:
+                Jset[b, r, : len(idx)] = idx
+    extra = np.zeros((L, Imax, L), dtype=np.int32)
+    extralen = np.zeros(L, np.int32)
+    args = tuple(
+        jnp.asarray(x)
+        for x in (Iset, Ilen, Jset, Jlen, extra, extralen, extra, extralen)
+    )
+    tols = (jnp.float64(1e-10), jnp.float64(0.0), jnp.int32(2**31 - 1))
+
+    for fwd in (True, False):
+        ru = _make_sweep(_hjax, localdims, Imax, fwd, jnp.float64)(
+            *args, *tols
+        )
+        rs = _make_sweep_scan(_hjax, localdims, Imax, fwd, jnp.float64)(
+            *args, *tols
+        )
+        Il, Jl = np.asarray(ru[1]), np.asarray(ru[3])
+        assert np.array_equal(Il, np.asarray(rs[1]))
+        assert np.array_equal(Jl, np.asarray(rs[3]))
+        for b in range(L):
+            assert np.array_equal(
+                np.asarray(ru[0])[b][: Il[b]], np.asarray(rs[0])[b][: Il[b]]
+            ), f"Iset mismatch at bond {b} (forward={fwd})"
+            assert np.array_equal(
+                np.asarray(ru[2])[b][: Jl[b]], np.asarray(rs[2])[b][: Jl[b]]
+            ), f"Jset mismatch at bond {b} (forward={fwd})"
+        for i in (4, 5, 6):  # bonderrs, perrs, maxsample
+            assert np.allclose(
+                np.asarray(ru[i]), np.asarray(rs[i]), rtol=0, atol=0
+            ), f"output {i} not bitwise (forward={fwd})"
+
+
 @pytest.mark.slow
 def test_long_chain_engine_fill_and_sweep1():
     """L >= 16 routes fill/1-site through the scan programs; results must
