@@ -1771,14 +1771,10 @@ class DeviceSweepEngine:
     def _get_sweep(self, forward: bool):
         key = (forward, self.Imax)
         if key not in self._sweeps:
-            # Long chains use the scan-based sweep (compile time constant in
-            # L); short chains use the unrolled variant (slightly cheaper at
-            # runtime, exact static shapes per bond).
-            # The scan variant is required for long chains (compile time
-            # constant in L) and is hardware-proven for small local dims
-            # (quantics d=2); mid-length chains use the unrolled variant —
-            # the dynamic-index assembly in the scan body has triggered TPU
-            # kernel faults for large odd local dims (d=15, L=10).
+            # Chains at L >= scan_min_L use the scan-based sweep (compile
+            # time constant in L — see the scan_min_L note above for the
+            # round-5 measurements); shorter chains keep the unrolled
+            # variant (exact static shapes per bond, small compile anyway).
             maker = (
                 _make_sweep_scan if len(self.localdims) >= self.scan_min_L
                 else _make_sweep

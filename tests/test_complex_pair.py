@@ -155,7 +155,8 @@ def test_pair_scan_sweep_long_chain():
 @pytest.mark.parametrize("L", [8, 16])
 def test_pair_sweep1site_and_fill(L):
     """Pair 1-site sweeps and fills run as whole-device programs (unrolled
-    for L < 16, lax.scan for L >= 16) and match the host complex path."""
+    below scan_min_L=6, lax.scan at/above — both L here take the scan
+    route) and match the host complex path."""
     localdims = [2] * L
     w = 1.0 + 0.3 * np.arange(L)
 
