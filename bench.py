@@ -339,19 +339,30 @@ def main():
     # compiled-inline. Completes the config-1 story: free integrands favor
     # the compiled scalar loop, expensive ones the batched device panel.
     # Runs AFTER configs 2-5 (they keep budget priority); the full 5-point
-    # sweep lives in benchmarks/bench_crossover.py, measured canonically in
-    # docs/STATUS.md — the in-bench sweep is the 3-point confirmation.
+    # sweep lives in benchmarks/bench_crossover.py — the in-bench sweep is
+    # the live confirmation (endpoints measured first so both crossings
+    # stay bracketed when the budget truncates it), and the saved dated
+    # canonical sweep (bench_crossover.py --save-canonical) is embedded
+    # alongside so the artifact always carries the full measured curve.
     crossover = {}
     if _remaining() > 300 and "--cpu-fallback" not in sys.argv:
         try:
             import bench_crossover
 
             crossover = bench_crossover.measure(
-                terms=(16, 256, 1024), budget_s=min(240.0, _remaining()))
+                terms=(16, 256, 1024, 4096),
+                budget_s=min(240.0, _remaining()))
         except Exception as e:  # noqa: BLE001
             crossover = {"error": f"{type(e).__name__}: {e}"}
     else:
         crossover = {"skipped": "time budget / cpu fallback"}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "results",
+                               "crossover_canonical.json")) as fh:
+            crossover_canonical = json.load(fh)
+    except Exception:  # noqa: BLE001
+        crossover_canonical = None
 
     full = {
         "metric": "tci2_8d_lorentzian_fevals_per_sec",
@@ -368,6 +379,7 @@ def main():
             "compiled_anchor": anchor,
             "panel_sampling": panel,
             "crossover_vs_compiled": crossover,
+            "crossover_canonical_sweep": crossover_canonical,
             "rook_tier": rook,
             "dispatch_floor_s": dispatch_floor_s,
             "rank": int(tciobj.rank()),
@@ -439,6 +451,16 @@ def main():
                  "crossover_10x_nterms": crossover.get(
                      "crossover_10x_nterms")}
                 if isinstance(crossover, dict) and "rows" in crossover
+                else {}
+            ),
+            **(
+                {"crossover_canonical": {
+                    "1x": crossover_canonical.get("crossover_1x_nterms"),
+                    "10x": crossover_canonical.get("crossover_10x_nterms"),
+                    "measured": crossover_canonical.get("measured"),
+                }}
+                if isinstance(crossover_canonical, dict)
+                and "rows" in crossover_canonical
                 else {}
             ),
             **(
