@@ -50,12 +50,33 @@ def main(N: int = 6, GKorder: int = 15, tol: float = 1e-7):
         np.complex128, bf, localdims, tolerance=tol, nsearchglobalpivot=10
     )
     cold_wall = time.perf_counter() - t0
+    nevals_before = int(bf.nevals)
     t0 = time.perf_counter()
     t, ranks, errors = tci.crossinterpolate2(
         np.complex128, bf, localdims, tolerance=tol, nsearchglobalpivot=10
     )
     integral = t.sum() / normalization
     wall = time.perf_counter() - t0
+    nevals_timed = int(bf.nevals) - nevals_before
+
+    # Proxy baseline (BASELINE.md config-5 row; bench.py config-1
+    # methodology): the reference-style per-point host sampling loop of the
+    # same complex integrand, measured on this host and modeled over the
+    # timed run's sample count.
+    nodes_np = np.asarray(nodes)
+    weights_np = np.asarray(weights)
+    rng = np.random.default_rng(0)
+    proxy_idx = rng.integers(0, len(nodes1d), size=(3000, N))
+    t0 = time.perf_counter()
+    for row in proxy_idx:
+        tt = nodes_np[row]
+        w = float(np.prod(weights_np[row]))
+        s = 10.0 * float(np.sum(tt))
+        damp = float(np.exp(-np.sum((tt[:, None] - tt[None, :]) ** 2)))
+        w * damp * normalization * complex(np.cos(s), np.sin(s))
+    proxy_rate = len(proxy_idx) / (time.perf_counter() - t0)
+    modeled_scalar_wall = nevals_timed / proxy_rate
+    vs_baseline = round(modeled_scalar_wall / wall, 2)
 
     print(
         json.dumps(
@@ -63,14 +84,19 @@ def main(N: int = 6, GKorder: int = 15, tol: float = 1e-7):
                 "metric": "feynman_6d_walltime",
                 "value": round(wall, 3),
                 "unit": "s",
-                "vs_baseline": None,
+                "vs_baseline": vs_baseline,
                 "detail": {
                     "rank": int(t.rank()),
                     "integral_re": float(np.real(integral)),
                     "integral_im": float(np.imag(integral)),
                     "final_error": float(errors[-1]),
                     "nevals": int(bf.nevals),
+                    "nevals_timed_run": nevals_timed,
                     "cold_wall_s": round(cold_wall, 3),
+                    "baseline_kind": "python-scalar-proxy (modeled wall = "
+                                     "nevals_timed / measured scalar rate)",
+                    "baseline_scalar_evals_per_sec": round(proxy_rate, 1),
+                    "modeled_scalar_wall_s": round(modeled_scalar_wall, 3),
                 },
             }
         )

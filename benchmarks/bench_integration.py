@@ -47,23 +47,71 @@ def main(jax_native: bool = False, scalar: bool = False,
     t0 = time.perf_counter()
     I15 = tci.integrate(np.float64, f, [-1.0] * 10, [1.0] * 10, **kw)
     cold_wall = time.perf_counter() - t0
+
+    def _gk_nevals():
+        # the jax_native evaluator is reused via integrate()'s weak cache —
+        # its counter gives the timed run's sample count
+        from tci_tpu.models.integration import _GK_EVAL_CACHE
+
+        slots = _GK_EVAL_CACHE.get(f)
+        if not slots:
+            return None
+        return sum(int(F.nevals) for F in slots.values())
+
+    nevals_before = _gk_nevals() if jax_native else None
     t0 = time.perf_counter()
     I15 = tci.integrate(np.float64, f, [-1.0] * 10, [1.0] * 10, **kw)
     wall = time.perf_counter() - t0
     Iref = -5.4960415218049
+
+    # Proxy baseline (BASELINE.md config-4 row; bench.py config-1
+    # methodology): the reference-style per-point host loop over the SAME
+    # weighted GK integrand (integrate()'s scalar branch), measured on this
+    # host and modeled over the timed run's sample count.
+    vs_baseline = None
+    proxy = {}
+    if jax_native and nevals_before is not None:
+        nevals_timed = _gk_nevals() - nevals_before
+        from tci_tpu.ops.kronrod import kronrod
+
+        nodes1d, weights1d, _ = kronrod(kw["GKorder"] // 2)
+        lo, hi = np.full(10, -1.0), np.full(10, 1.0)
+        nodes = (hi[:, None] - lo[:, None]) * (nodes1d[None, :] + 1) / 2 \
+            + lo[:, None]
+        weights = (hi[:, None] - lo[:, None]) * weights1d[None, :] / 2
+        normalization = float(kw["GKorder"]) ** 10
+        rng = np.random.default_rng(0)
+        proxy_idx = rng.integers(0, len(nodes1d), size=(2000, 10))
+        t0 = time.perf_counter()
+        for row in proxy_idx:
+            x = nodes[np.arange(10), row]
+            w = float(np.prod(weights[np.arange(10), row]))
+            w * 1000 * np.cos(10 * np.sum(x**2)) * np.exp(
+                -np.sum(x) ** 4 / 1000) * normalization
+        proxy_rate = len(proxy_idx) / (time.perf_counter() - t0)
+        modeled_scalar_wall = nevals_timed / proxy_rate
+        vs_baseline = round(modeled_scalar_wall / wall, 2)
+        proxy = {
+            "nevals_timed_run": int(nevals_timed),
+            "baseline_kind": "python-scalar-proxy (modeled wall = "
+                             "nevals_timed / measured scalar rate)",
+            "baseline_scalar_evals_per_sec": round(proxy_rate, 1),
+            "modeled_scalar_wall_s": round(modeled_scalar_wall, 3),
+        }
     print(
         json.dumps(
             {
                 "metric": "integration_10d_walltime",
                 "value": round(wall, 3),
                 "unit": "s",
-                "vs_baseline": None,
+                "vs_baseline": vs_baseline,
                 "detail": {
                     "integral": float(I15),
                     "abs_err_vs_reference": abs(I15 - Iref),
                     "cold_wall_s": round(cold_wall, 3),
                     "jax_native": jax_native,
                     "pivotsearch": pivotsearch,
+                    **proxy,
                 },
             }
         )

@@ -30,11 +30,28 @@ def main(R: int = 40, tol: float = 1e-10):
     t0 = time.perf_counter()
     tci.crossinterpolate2(np.float64, bf, localdims, tolerance=tol)
     cold_wall = time.perf_counter() - t0
+    nevals_before = int(bf.nevals)
     t0 = time.perf_counter()
     t, ranks, errors = tci.crossinterpolate2(
         np.float64, bf, localdims, tolerance=tol
     )
     wall = time.perf_counter() - t0
+    nevals_timed = int(bf.nevals) - nevals_before
+
+    # Proxy baseline (BASELINE.md config-3 row; same methodology as
+    # bench.py config 1): the reference-style per-point sampling loop —
+    # one Python call per quantics bit string — measured on this host,
+    # then modeled over the timed run's sample count.
+    wnp = np.asarray(weights)
+    rng = np.random.default_rng(0)
+    proxy_bits = rng.integers(0, 2, size=(3000, R))
+    t0 = time.perf_counter()
+    for row in proxy_bits:
+        x = float(np.dot(row, wnp))
+        np.cos(100.0 * x) * np.exp(-x)
+    proxy_rate = len(proxy_bits) / (time.perf_counter() - t0)
+    modeled_scalar_wall = nevals_timed / proxy_rate
+    vs_baseline = round(modeled_scalar_wall / wall, 2)
 
     # accuracy spot checks against the scalar function
     from tci_tpu.utils.quantics import DiscretizedGrid
@@ -53,13 +70,18 @@ def main(R: int = 40, tol: float = 1e-10):
                 "metric": "quantics_r40_walltime",
                 "value": round(wall, 3),
                 "unit": "s",
-                "vs_baseline": None,
+                "vs_baseline": vs_baseline,
                 "detail": {
                     "rank": int(t.rank()),
                     "final_error": float(errors[-1]),
                     "spotcheck_maxerr": float(maxerr),
                     "cold_wall_s": round(cold_wall, 3),
                     "nevals": int(bf.nevals),
+                    "nevals_timed_run": nevals_timed,
+                    "baseline_kind": "python-scalar-proxy (modeled wall = "
+                                     "nevals_timed / measured scalar rate)",
+                    "baseline_scalar_evals_per_sec": round(proxy_rate, 1),
+                    "modeled_scalar_wall_s": round(modeled_scalar_wall, 3),
                 },
             }
         )
