@@ -155,15 +155,20 @@ def main():
 
     # --- TCI2 with batched TPU sampling -----------------------------------
     bf = JaxBatchEvaluator(fjax, localdims, dtype=np.float64)
-    # warm up compile of the evaluator (excluded: compile time is one-off)
-    tgrant0 = time.monotonic()
-    bf.evaluate_many(np.zeros((1024, 8), dtype=np.int32))
     # Chip-grant lottery compensation: acquiring the tunneled chip has been
     # observed to take 1 s - 24 min (a per-process lottery, not workload
-    # cost). Extend the section budget by the pre-first-dispatch wall so a
-    # slow grant never silently skips configs 2-5.
+    # cost). Extend the section budget by the wall of ONE trivial dispatch
+    # (grant wait + a microseconds-scale program) so a slow grant never
+    # silently skips configs 2-5 — measured BEFORE the evaluator warm-up
+    # below so that genuine cold-compile time is charged to the budget,
+    # not credited back to it (an inflated budget risks an external
+    # driver's hard kill landing before the final compact line prints).
+    tgrant0 = time.monotonic()
+    float(jnp.sum(jnp.ones((8, 8))))
     global _BUDGET_S
     _BUDGET_S += min(time.monotonic() - tgrant0, 900.0)
+    # warm up compile of the evaluator (excluded: compile time is one-off)
+    bf.evaluate_many(np.zeros((1024, 8), dtype=np.int32))
 
     # The first dispatch succeeded, so the backend is alive — the init
     # watchdog has done its job; cancel it so a slow-but-healthy run

@@ -1745,6 +1745,11 @@ class DeviceSweepEngine:
         # is scan-only (see _get_sweep_rook).
         self.scan_min_L = 6
         self._sweeps = {}
+        # NOTE: every cached program whose body depends on the
+        # scan-vs-unrolled choice keys on _scan_active(), so reassigning
+        # scan_min_L after a sweep has been built (the probe-script
+        # pattern) transparently builds the other variant instead of
+        # silently returning the stale one.
         self.nevals = 0
         self.last_search = None
         self._rng = np.random.default_rng()
@@ -1768,17 +1773,20 @@ class DeviceSweepEngine:
             )
         return self._sweeps[key]
 
+    def _scan_active(self) -> bool:
+        """Whether the full-pivot sweep/fill bodies use the lax.scan
+        variant at the CURRENT scan_min_L setting (part of every dependent
+        program-cache key)."""
+        return len(self.localdims) >= self.scan_min_L
+
     def _get_sweep(self, forward: bool):
-        key = (forward, self.Imax)
+        key = (forward, self.Imax, self._scan_active())
         if key not in self._sweeps:
             # Chains at L >= scan_min_L use the scan-based sweep (compile
             # time constant in L — see the scan_min_L note above for the
             # round-5 measurements); shorter chains keep the unrolled
             # variant (exact static shapes per bond, small compile anyway).
-            maker = (
-                _make_sweep_scan if len(self.localdims) >= self.scan_min_L
-                else _make_sweep
-            )
+            maker = _make_sweep_scan if self._scan_active() else _make_sweep
             self._sweeps[key] = maker(
                 self.fjax, self.localdims, self.Imax, forward,
                 self._jdtype, pair=self.pair, shard_rows=self._shard_rows,
@@ -1916,11 +1924,10 @@ class DeviceSweepEngine:
         return True
 
     def _get_fill(self):
-        key = ("fill", self.Imax)
+        key = ("fill", self.Imax, self._scan_active())
         if key not in self._sweeps:
             maker = (
-                _make_fillsitetensors_scan
-                if len(self.localdims) >= self.scan_min_L
+                _make_fillsitetensors_scan if self._scan_active()
                 else _make_fillsitetensors
             )
             self._sweeps[key] = maker(
@@ -1938,7 +1945,8 @@ class DeviceSweepEngine:
         two jitted programs inside an outer jit inlines them into a single
         executable; the fill consumes the sweep's on-device output sets
         directly, so no index bytes cross the link between the two stages."""
-        key = (forward, self.Imax, "fused_rook" if rook else "fused_full")
+        key = (forward, self.Imax, "fused_rook" if rook else "fused_full",
+               self._scan_active())
         if key not in self._sweeps:
             sweep_fn = (
                 self._get_sweep_rook(forward) if rook
@@ -1975,7 +1983,8 @@ class DeviceSweepEngine:
         the optimize loop's global search then costs no extra dispatch —
         the full iteration is ONE program launch."""
         key = (fwd1, fwd2, self.Imax,
-               "pair_rook" if rook else "pair_full", nsearch)
+               "pair_rook" if rook else "pair_full", nsearch,
+               self._scan_active())
         if key not in self._sweeps:
             s1 = (self._get_sweep_rook(fwd1) if rook
                   else self._get_sweep(fwd1))
@@ -2190,7 +2199,8 @@ class DeviceSweepEngine:
         buffers so the host can replay the exact bookkeeping of the
         per-iteration path."""
         Kmax = self.loop_kmax
-        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch, rook, Kmax)
+        key = ("oloop", fwd1, fwd2, self.Imax, nsearch, nch, rook, Kmax,
+               self._scan_active())
         if key not in self._sweeps:
             s1 = self._get_sweep_rook(fwd1) if rook else self._get_sweep(fwd1)
             s2 = self._get_sweep_rook(fwd2) if rook else self._get_sweep(fwd2)

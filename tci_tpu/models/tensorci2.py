@@ -575,9 +575,16 @@ class TensorCI2(AbstractTensorTrain):
                 m_p, n_p = Pi_dev.shape
                 cap = int(min(maxbonddim, m_p, n_p))
                 mixed = Pi_dev.dtype == np.float64
-                # hunt resolution: one deflated re-hunt stage when the
-                # requested tolerance is below what f32 can see
-                deep = (0 < reltol < 1e-6) or (abstol > 0)
+                # hunt resolution: one deflated re-hunt stage (2x hunt
+                # cost) only when the requested tolerance is below what a
+                # single f32 hunt can see (~1e-7 relative) — abstol is a
+                # magnitude, so compare it against the panel's scale (a
+                # bare `abstol > 0` made every optimize() call "deep":
+                # abstol = tolerance * errornormalization is always > 0)
+                scale = float(abs(maxsample)) if maxsample else 0.0
+                deep = (0 < reltol < 1e-6) or (
+                    scale > 0 and 0 < abstol < 1e-6 * scale
+                )
                 width = min(cap, max(16, 2 * max(len(I0), len(J0), 1)))
                 rng = getattr(self, "rng", None) or np.random.default_rng()
                 wI0, wJ0 = I0, J0

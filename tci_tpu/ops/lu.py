@@ -251,10 +251,20 @@ def rrlu(
             )
         maxrank = int(min(maxrank, *A.shape))
         if hunt_stages is None:
-            # one deflated re-hunt when the requested resolution exceeds
-            # what the f32 hunt can see (~1e-7 relative)
-            deep = (0 < reltol < 1e-6) or (abstol > 0)
-            hunt_stages = 2 if (precision == "mixed" and deep) else 1
+            # One deflated re-hunt (2x hunt cost) ONLY when the requested
+            # resolution exceeds what the single f32 hunt can see (~1e-7
+            # relative): reltol below 1e-6, or abstol below 1e-6 * max|A|
+            # (abstol is compared against a magnitude, so the test must
+            # be magnitude-aware — a bare `abstol > 0` made every
+            # tolerance "deep"). f32 inputs run the plain-precision
+            # passthrough, where a second hunt stage buys nothing (and
+            # is rejected by rrlu_rook_device_fused).
+            if precision == "mixed" and A.dtype == np.float64:
+                scale = float(np.max(np.abs(A))) if A.size else 0.0
+                deep = (0 < reltol < 1e-6) or (0 < abstol < 1e-6 * scale)
+                hunt_stages = 2 if deep else 1
+            else:
+                hunt_stages = 1
         from .lu_device import rrlu_rook_device_fused
 
         if np.iscomplexobj(A):

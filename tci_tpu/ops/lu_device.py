@@ -546,10 +546,14 @@ def _make_rook_fused_mixed(M: int, N: int, Rb: int, numrookiter: int,
         # unscaled computation — run with abstol in the rescaled units
         # (reltol is scale-invariant), and scale the non-unit factor and
         # the error estimates back at the end.
+        # The rounded exponent is clamped to the normal-f64 range: for
+        # max|x| just above 2^1023.5, round(log2) = 1024 and exp2(1024)
+        # would be inf (A64/scale0 -> 0, U * scale0 -> NaN); clamping to
+        # 1023 keeps A64/scale0 in [~1, 2) instead — still in range.
         smax0 = jnp.max(jnp.abs(A64))
         scale0 = jnp.where(
-            smax0 > 0, jnp.exp2(jnp.round(jnp.log2(
-                jnp.where(smax0 > 0, smax0, 1.0)))), 1.0
+            smax0 > 0, jnp.exp2(jnp.clip(jnp.round(jnp.log2(
+                jnp.where(smax0 > 0, smax0, 1.0))), -1022.0, 1023.0)), 1.0
         )
         A64 = A64 / scale0
         abstol = abstol / scale0

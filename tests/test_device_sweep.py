@@ -316,6 +316,26 @@ def test_engine_panel_edge_guard():
     ) is True
 
 
+def test_scan_min_L_reassignment_rebuilds_programs():
+    """Reassigning engine.scan_min_L after a program has been cached must
+    build the other sweep variant, not silently return the stale one (the
+    cache keys on the scan-vs-unrolled choice; the probe scripts rely on
+    exactly this reassignment pattern)."""
+    from tci_tpu.models.device_sweep import DeviceSweepEngine
+
+    eng = DeviceSweepEngine(_fjax_lorentz, [4] * 6, imax=4)
+    assert eng._scan_active()  # L=6 >= default scan_min_L=6
+    scan_sweep = eng._get_sweep(True)
+    scan_fill = eng._get_fill()
+    eng.scan_min_L = 100  # force the unrolled variant
+    assert not eng._scan_active()
+    assert eng._get_sweep(True) is not scan_sweep
+    assert eng._get_fill() is not scan_fill
+    eng.scan_min_L = 6  # back: the scan programs come from cache
+    assert eng._get_sweep(True) is scan_sweep
+    assert eng._get_fill() is scan_fill
+
+
 def test_whole_sweep_rook_converges_and_matches_full():
     """pivotsearch='rook' with a device-sweep-capable evaluator runs the
     whole-sweep rook program (one dispatch per sweep; traced slab

@@ -265,8 +265,15 @@ def test_rook_fused_mixed_extreme_scale(rng):
     U = np.linalg.qr(rng.standard_normal((128, r)))[0]
     V = np.linalg.qr(rng.standard_normal((96, r)))[0]
     base = (U * np.logspace(0, -6, r)) @ V.T
-    for scale in (1.0, 1e300, 1e30, 1e-30, 1e-250):
-        A = base * scale
+    for scale in (1.0, 1e300, 1e30, 1e-30, 1e-250, "top"):
+        if scale == "top":
+            # max|x| above 2^1023.5 ~ 1.35e308: an unclamped power-of-two
+            # scale rounds its exponent to 1024 and exp2(1024) = inf,
+            # zeroing A64/scale0 and returning NaN factors — the clamp to
+            # exponent 1023 must keep this legal f64 input working
+            A = base / np.abs(base).max() * 1.6e308
+        else:
+            A = base * scale
         lu = rrlu_rook_device_fused(A, maxrank=48, reltol=1e-10,
                                     precision="mixed",
                                     rng=np.random.default_rng(5))

@@ -298,6 +298,22 @@ class TestRrluRookPublicAPI:
         assert rook.npivot == r
         assert rel < 1e-9, rel
 
+    def test_rook_mixed_on_f32_input_passthrough(self, rng):
+        """precision='mixed' on an f32 matrix must run the plain f32
+        passthrough, not raise: the auto hunt_stages default used to pick
+        2 without checking the dtype, and rrlu_rook_device_fused rejects
+        hunt_stages > 1 on non-f64 inputs."""
+        import tci_tpu as tci
+
+        r = 10
+        A = (rng.standard_normal((96, r)) @ rng.standard_normal((r, 80))
+             ).astype(np.float32)
+        rook = tci.rrlu(A, maxrank=32, reltol=1e-5, pivotsearch="rook",
+                        precision="mixed", rng=np.random.default_rng(9))
+        amax = np.abs(A).max()
+        assert rook.npivot == r
+        assert np.abs(rook.left() @ rook.right() - A).max() < 1e-4 * amax
+
     def test_rook_complex_passthrough(self, rng):
         import tci_tpu as tci
 
